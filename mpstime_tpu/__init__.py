@@ -1,0 +1,37 @@
+"""mpstime_tpu — a TPU-native framework for time-series machine learning with
+Matrix Product States.
+
+Built from scratch on JAX/XLA/Pallas with the capabilities of MPSTime.jl
+(training via DMRG-style two-site sweeps, feature-map encodings,
+classification, probabilistic imputation, entanglement analysis, synthetic
+data + missing-data simulation, and cross-validated hyperparameter tuning) —
+re-designed TPU-first: fixed-shape compiled sweep loops, batched bond-gradient
+einsums over the sample axis, Gram-eigh truncated splits, and data-parallel
+sharding over device meshes.
+"""
+
+from .options import MPSOptions, print_opts
+from .encodings import (EncodingSpec, get_encoding, function_basis,
+                        encoding_range, EncodedDataset, encode_dataset)
+from .models.mps import MPS, SingleMPS, random_mps, contract_batch, \
+    expand_label_index
+from .training.fit import fit_mps, TrainedMPS
+from .summary import (classify, classify_overlap, get_training_summary,
+                      sweep_summary, KL_div)
+from .utils.preprocessing import (TransformNorms, transform_data,
+                                  transform_train_data, transform_test_data,
+                                  invert_test_transform)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "MPSOptions", "print_opts",
+    "EncodingSpec", "get_encoding", "function_basis", "encoding_range",
+    "EncodedDataset", "encode_dataset",
+    "MPS", "SingleMPS", "random_mps", "contract_batch", "expand_label_index",
+    "fit_mps", "TrainedMPS",
+    "classify", "classify_overlap", "get_training_summary", "sweep_summary",
+    "KL_div",
+    "TransformNorms", "transform_data", "transform_train_data",
+    "transform_test_data", "invert_test_transform",
+]

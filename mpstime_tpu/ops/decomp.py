@@ -1,0 +1,107 @@
+"""Truncated two-site splits for the DMRG sweep.
+
+Replaces ITensor's truncated SVD (reference decomposeBT,
+RealRealHighDimension.jl:146-203).  TPU-first design decisions:
+
+ * Static shapes: we always produce exactly ``keep`` (= chi_max) singular
+   directions; truncation (both the chi_max cap and the relative ``cutoff``
+   on squared singular values, matching ITensor semantics) is applied as a
+   mask that zeroes dropped directions.  Zeroed directions stay exactly zero
+   through subsequent contractions, so padding is self-masking.
+
+ * The default algorithm is an eigendecomposition of the *Gram matrix* on the
+   smaller side.  This is much faster than SVD on TPU and, crucially, never
+   divides by a singular value: for a left-split we return
+   ``US = M @ V`` and ``Vh = V^H``; for a right-split ``U`` and
+   ``SVh = U^H @ M``.  The truncation decision uses the Gram eigenvalues,
+   which *are* the squared singular values ITensor's cutoff is defined on.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _trunc_mask(w_desc: jnp.ndarray, keep: int, cutoff) -> jnp.ndarray:
+    """Truncation mask over descending squared singular values.
+
+    ITensor keeps the minimal rank r with sum_{k>r} p_k <= cutoff * sum(p)
+    (relative truncation error on squared singular values); additionally
+    r <= keep.  Returns a 0/1 mask of length len(w_desc)."""
+    w = jnp.maximum(w_desc.real, 0.0)
+    total = jnp.sum(w)
+    # suffix[i] = sum_{k>=i} w_k ; discard index i iff suffix[i] <= cutoff*total
+    suffix = total - (jnp.cumsum(w) - w)
+    keep_cut = suffix > cutoff * total
+    idx = jnp.arange(w.shape[0])
+    mask = keep_cut & (idx < keep) & (w > 0)
+    return mask.astype(w.dtype)
+
+
+def split_bond_left(M: jnp.ndarray, keep: int, cutoff,
+                    alg: str = "gram_eigh") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split M [R, C] -> (US [R, keep], Vh [keep, C]) with V column-orthonormal,
+    truncated+masked.  Used going left: U*S is absorbed into the new center
+    (reference RealRealHighDimension.jl:171-173)."""
+    R, C = M.shape
+    if alg == "svd":
+        U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
+        mask = _trunc_mask(S * S, keep, cutoff)
+        k = min(keep, S.shape[0])
+        US = (U[:, :k] * (S[:k] * mask[:k]))
+        Vh_m = Vh[:k] * mask[:k, None]
+        if k < keep:
+            US = jnp.pad(US, ((0, 0), (0, keep - k)))
+            Vh_m = jnp.pad(Vh_m, ((0, keep - k), (0, 0)))
+        return US, Vh_m
+
+    # Gram on the column side: G = M^H M  [C, C]; eigvecs -> V
+    G = M.conj().T @ M
+    w, V = jnp.linalg.eigh(G)               # ascending
+    w = w[::-1]
+    V = V[:, ::-1]
+    mask = _trunc_mask(w, keep, cutoff)
+    k = min(keep, C)
+    Vk = V[:, :k] * mask[:k]
+    US = M @ Vk                              # = U * S on kept directions
+    Vh = Vk.conj().T
+    if k < keep:
+        US = jnp.pad(US, ((0, 0), (0, keep - k)))
+        Vh = jnp.pad(Vh, ((0, keep - k), (0, 0)))
+    return US, Vh
+
+
+def split_bond_right(M: jnp.ndarray, keep: int, cutoff,
+                     alg: str = "gram_eigh") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split M [R, C] -> (U [R, keep], SVh [keep, C]) with U column-orthonormal,
+    truncated+masked.  Used going right: S*Vh is absorbed into the new center
+    (reference RealRealHighDimension.jl:189-191)."""
+    R, C = M.shape
+    if alg == "svd":
+        U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
+        mask = _trunc_mask(S * S, keep, cutoff)
+        k = min(keep, S.shape[0])
+        U_m = U[:, :k] * mask[:k]
+        SVh = (S[:k] * mask[:k])[:, None] * Vh[:k]
+        if k < keep:
+            U_m = jnp.pad(U_m, ((0, 0), (0, keep - k)))
+            SVh = jnp.pad(SVh, ((0, keep - k), (0, 0)))
+        return U_m, SVh
+
+    # Gram on the row side: G = M M^H  [R, R]; eigvecs -> U
+    G = M @ M.conj().T
+    w, U = jnp.linalg.eigh(G)
+    w = w[::-1]
+    U = U[:, ::-1]
+    mask = _trunc_mask(w, keep, cutoff)
+    k = min(keep, R)
+    Uk = U[:, :k] * mask[:k]
+    SVh = Uk.conj().T @ M
+    if k < keep:
+        Uk = jnp.pad(Uk, ((0, 0), (0, keep - k)))
+        SVh = jnp.pad(SVh, ((0, keep - k), (0, 0)))
+    return Uk, SVh

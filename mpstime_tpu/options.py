@@ -1,0 +1,191 @@
+"""Training options for MPSTime-TPU.
+
+TPU-native re-design of the reference's dual-struct options system
+(MPSTime.jl src/Structs/options.jl:11-143 ``MPSOptions`` / :154-235 ``Options``).
+We keep a single frozen dataclass of plain, serialisable Python types — the
+symbol<->object conversion layer the reference needs (options.jl:243-327) is
+unnecessary because encodings are looked up by name at use time.
+
+Defaults mirror the reference defaults (options.jl:106-143) exactly, with one
+TPU-first difference: ``dtype`` defaults follow the encoding (complex for
+Fourier/Stoudenmire/Sahand) at float64 precision only when JAX x64 is enabled;
+on TPU the natural choice is float32 and options accept any jnp dtype name.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+# Encodings that produce complex-valued feature vectors
+# (reference: basis_structs.jl `iscomplex` flags)
+_COMPLEX_ENCODINGS = frozenset({
+    "fourier", "stoudenmire", "sahand",
+})
+
+_REAL_ENCODINGS = frozenset({
+    "legendre", "legendre_no_norm", "legendre_norm", "uniform",
+    "sahand_legendre", "sahand_legendre_time_dependent", "sl", "sltd",
+    "custom",
+})
+
+
+def canonical_encoding_name(name: str) -> str:
+    """Normalise encoding names the same way the reference's ``model_encoding``
+    does (options.jl:243-279): lowercase, aliases collapsed."""
+    s = name.lower().strip()
+    aliases = {
+        "legendre": "legendre_no_norm",   # reference maps :Legendre -> legendre_no_norm
+        "legendre_no_norm": "legendre_no_norm",
+        "legendre_norm": "legendre_norm",
+        "stoudenmire": "stoudenmire",
+        "fourier": "fourier",
+        "sahand": "sahand",
+        "sl": "sahand_legendre",
+        "sahand_legendre": "sahand_legendre",
+        "sahand_legendre_time_independent": "sahand_legendre",
+        "sltd": "sahand_legendre_time_dependent",
+        "sahand_legendre_time_dependent": "sahand_legendre_time_dependent",
+        "uniform": "uniform",
+        "custom": "custom",
+    }
+    if s in aliases:
+        return aliases[s]
+    # split bases: "hist_split_<basis>" / "unif_split_<basis>"
+    for prefix, canon in (("hist_split_", "hist_split_"), ("histogram_split_", "hist_split_"),
+                          ("unif_split_", "unif_split_"), ("uniform_split_", "unif_split_")):
+        if s.startswith(prefix):
+            return canon + canonical_encoding_name(s[len(prefix):])
+    raise ValueError(
+        f"Unknown encoding {name!r}. Options: legendre, legendre_norm, fourier, "
+        f"stoudenmire, sahand, sahand_legendre (sl), sahand_legendre_time_dependent (sltd), "
+        f"uniform, custom, hist_split_<basis>, unif_split_<basis>")
+
+
+def encoding_is_complex(name: str) -> bool:
+    s = canonical_encoding_name(name)
+    # split bases inherit from their auxiliary basis
+    while s.startswith(("hist_split_", "unif_split_")):
+        s = s.split("split_", 1)[1]
+    return s in _COMPLEX_ENCODINGS
+
+
+@dataclass(frozen=True)
+class MPSOptions:
+    """Hyperparameters and options for :func:`fit_mps`.
+
+    Field semantics follow the reference (options.jl:11-39); see that file's
+    docstrings for extended descriptions.
+    """
+
+    # Logging
+    verbosity: int = 1
+    log_level: int = 3
+    track_cost: bool = False
+
+    # MPS training hyperparameters
+    nsweeps: int = 10
+    chi_max: int = 25
+    eta: float = 0.01
+    d: int = 5
+    cutoff: float = 1e-10
+    update_iters: int = 1
+    dtype: Optional[str] = None   # None -> inferred from encoding + x64 state
+    exit_early: bool = False
+
+    # Encoding
+    encoding: str = "legendre_no_norm"
+    projected_basis: bool = False
+    aux_basis_dim: int = 2
+    encode_classes_separately: bool = False
+
+    # Preprocessing & init
+    sigmoid_transform: bool = True
+    minmax: bool = True
+    data_bounds: Tuple[float, float] = (0.0, 1.0)
+    init_rng: int = 1234
+    chi_init: int = 4
+
+    # Loss / optimiser
+    loss_grad: str = "KLD"          # "KLD" | "MSE"
+    bbopt: str = "TSGO"             # "TSGO" | "GD"
+    rescale: Tuple[bool, bool] = (False, True)
+    train_classes_separately: bool = False
+
+    # SVD
+    svd_alg: str = "gram_eigh"      # "gram_eigh" | "svd" (jnp.linalg.svd)
+
+    # Debug
+    return_encoding_meta_info: bool = False
+
+    def __post_init__(self):
+        object.__setattr__(self, "encoding", canonical_encoding_name(self.encoding))
+        if self.loss_grad.upper() not in ("KLD", "MSE"):
+            raise ValueError(f"loss_grad must be 'KLD' or 'MSE', got {self.loss_grad!r}")
+        object.__setattr__(self, "loss_grad", self.loss_grad.upper())
+        bb = self.bbopt.upper()
+        if bb in ("GD", "CUSTOMGD"):
+            bb = "GD"
+        elif bb == "TSGO":
+            bb = "TSGO"
+        else:
+            raise ValueError(f"bbopt must be 'GD' or 'TSGO', got {self.bbopt!r}")
+        object.__setattr__(self, "bbopt", bb)
+        if isinstance(self.rescale, list):
+            object.__setattr__(self, "rescale", tuple(self.rescale))
+        if isinstance(self.data_bounds, list):
+            object.__setattr__(self, "data_bounds", tuple(self.data_bounds))
+
+    # ---- dtype resolution -------------------------------------------------
+    def resolved_dtype(self) -> np.dtype:
+        """Resolve dtype: explicit option wins, else complex iff the encoding is
+        complex, at the widest precision JAX currently allows."""
+        import jax
+
+        if self.dtype is not None:
+            return np.dtype(self.dtype)
+        x64 = jax.config.read("jax_enable_x64")
+        if encoding_is_complex(self.encoding):
+            return np.dtype(np.complex128 if x64 else np.complex64)
+        return np.dtype(np.float64 if x64 else np.float32)
+
+    def real_dtype(self) -> np.dtype:
+        dt = self.resolved_dtype()
+        return np.dtype(np.zeros(0, dt).real.dtype)
+
+    # ---- convenience ------------------------------------------------------
+    def replace(self, **kwargs) -> "MPSOptions":
+        return dataclasses.replace(self, **kwargs)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict())
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "MPSOptions":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    @classmethod
+    def from_json(cls, s: str) -> "MPSOptions":
+        return cls.from_dict(json.loads(s))
+
+
+def print_opts(opts: MPSOptions, long: bool = False, file=None) -> None:
+    """Print options as a table (reference: summary.jl:438-456)."""
+    if long:
+        names = [f.name for f in dataclasses.fields(opts)]
+    else:
+        names = ["chi_max", "d", "eta", "nsweeps", "encoding",
+                 "sigmoid_transform", "loss_grad"]
+    width = max(len(n) for n in names)
+    print("┌" + "─" * (width + 2) + "┬" + "─" * 30 + "┐", file=file)
+    for n in names:
+        print(f"│ {n:<{width}} │ {getattr(opts, n)!s:<28} │", file=file)
+    print("└" + "─" * (width + 2) + "┴" + "─" * 30 + "┘", file=file)

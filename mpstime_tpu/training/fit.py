@@ -1,0 +1,179 @@
+"""fit_mps — the training entry point (reference fitMPS,
+RealRealHighDimension.jl:383-890).
+
+Pipeline: preprocess (host) -> encode (device, batched) -> seeded random MPS
+-> nsweeps jitted full sweeps -> per-sweep stats -> TrainedMPS.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..encodings import (EncodedDataset, EncodingSpec, encode_dataset,
+                         get_encoding)
+from ..models.mps import MPS, random_mps
+from ..options import MPSOptions
+from ..utils.preprocessing import TransformNorms, transform_data
+from .stats import loss_acc_conf
+from .sweep import full_sweep
+
+
+@dataclass
+class TrainedMPS:
+    """Trained MPS + options + training-data record (reference ``TrainedMPS``,
+    options.jl:422-427).  Stores everything needed to re-encode new data."""
+    mps: MPS
+    opts: MPSOptions
+    norms: TransformNorms
+    train_data: EncodedDataset
+    custom_encoding: Optional[EncodingSpec] = None
+
+    @property
+    def labels(self) -> np.ndarray:
+        return self.train_data.labels
+
+    def encoding_spec(self) -> EncodingSpec:
+        if self.custom_encoding is not None:
+            return self.custom_encoding
+        return get_encoding(self.opts.encoding, project=self.opts.projected_basis)
+
+
+def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
+            X_test: Optional[np.ndarray] = None,
+            y_test: Optional[np.ndarray] = None,
+            opts: MPSOptions = None,
+            custom_encoding: Optional[EncodingSpec] = None
+            ) -> Tuple[TrainedMPS, Dict[str, list], EncodedDataset]:
+    """Train a label-indexed MPS (reference fitMPS :383).
+
+    X_train: [N, T] series-as-rows.  y_train defaults to all-zeros
+    (unsupervised, :416).  X_test/y_test are only used for evaluation logging.
+    Returns (trained, info, encoded_test_states); note the test states are
+    class-sorted (reference NOTE at :267).
+    """
+    if opts is None:
+        opts = MPSOptions()
+    X_train = np.asarray(X_train, dtype=np.float64)
+    N, T = X_train.shape
+    if y_train is None:
+        y_train = np.zeros(N, dtype=np.int64)
+    y_train = np.asarray(y_train)
+    if X_test is None:
+        X_test = np.zeros((0, T))
+        y_test = np.zeros(0, dtype=y_train.dtype)
+    X_test = np.asarray(X_test, dtype=np.float64)
+    y_test = np.asarray(y_test)
+
+    if custom_encoding is not None and opts.encoding != "custom":
+        raise ValueError("To use a custom encoding, set encoding='custom' in MPSOptions")
+    spec = custom_encoding if custom_encoding is not None \
+        else get_encoding(opts.encoding, project=opts.projected_basis)
+
+    dtype = opts.resolved_dtype()
+    if spec.is_complex and np.dtype(dtype).kind != "c":
+        raise ValueError("Using a complex valued encoding but the MPS dtype is real. "
+                         "Set a complex dtype in MPSOptions.")
+
+    labels = np.unique(y_train)
+    if np.setdiff1d(np.unique(y_test), labels).size:
+        raise ValueError("Test set has classes not present in the training set.")
+    num_classes = len(labels)
+    verb = opts.verbosity
+
+    # ---- preprocess + encode ---------------------------------------------
+    X_train_s, X_test_s, norms, _ = transform_data(X_train, X_test, opts)
+    train_ds = encode_dataset(X_train, X_train_s, y_train, opts, spec=spec,
+                              labels=labels, dtype=dtype)
+    test_ds = encode_dataset(X_test, X_test_s, y_test, opts, spec=spec,
+                             labels=labels, training_enc_args=train_ds.enc_args,
+                             dtype=dtype)
+
+    # ---- init MPS ---------------------------------------------------------
+    if verb > -1:
+        print(f"Generating initial weight MPS with bond dimension chi_init = "
+              f"{opts.chi_init} using random state {opts.init_rng}.")
+    mps = random_mps(opts.init_rng, T, opts.d, num_classes, opts.chi_init,
+                     opts.chi_max, dtype=dtype)
+
+    # ---- training tensors -------------------------------------------------
+    phis_c = jnp.conj(train_ds.X_enc).swapaxes(0, 1)          # [T, N, d]
+    y_idx = train_ds.y_idx
+    real_dt = np.dtype(opts.real_dtype())
+    y_onehot = jax.nn.one_hot(jnp.asarray(y_idx), num_classes, dtype=real_dt)
+    counts = train_ds.class_distribution.astype(np.float64)
+    if opts.train_classes_separately:
+        w = 1.0 / counts[y_idx]
+    else:
+        w = np.full(N, 1.0 / N)
+    class_weight = jnp.asarray(w, dtype=real_dt)
+
+    info: Dict[str, list] = {k: [] for k in
+                             ("train_loss", "train_acc", "train_KL_div",
+                              "test_loss", "test_acc", "test_KL_div",
+                              "test_conf", "time_taken")}
+    has_test = len(test_ds) > 0
+
+    def log_stats(elapsed: float) -> float:
+        tr_mse, tr_kld, tr_acc, _ = loss_acc_conf(mps, train_ds.X_enc, y_idx)
+        info["train_loss"].append(tr_mse)
+        info["train_acc"].append(tr_acc)
+        info["train_KL_div"].append(tr_kld)
+        info["time_taken"].append(elapsed)
+        if has_test:
+            te_mse, te_kld, te_acc, conf = loss_acc_conf(
+                mps, test_ds.X_enc, test_ds.y_idx)
+            info["test_loss"].append(te_mse)
+            info["test_acc"].append(te_acc)
+            info["test_KL_div"].append(te_kld)
+            info["test_conf"].append(conf)
+            if verb > -1:
+                print(f"Training KL Div. {tr_kld} | Training acc. {tr_acc}.")
+                print(f"Test KL Div. {te_kld} | Testing acc. {te_acc}.")
+        elif verb > -1:
+            print(f"Training KL Div. {tr_kld} | Training acc. {tr_acc}.")
+        return tr_acc
+
+    if verb > -1:
+        print(f"Using {opts.update_iters} iterations per update.")
+    if opts.log_level > 0:
+        log_stats(0.0)
+
+    # ---- sweeps -----------------------------------------------------------
+    cores, center = mps.cores, mps.center
+    for sweep in range(opts.nsweeps):
+        if verb > -1:
+            print(f"Starting sweep [{sweep + 1}/{opts.nsweeps}] "
+                  f"(optimiser {opts.bbopt}, loss {opts.loss_grad})")
+        t0 = time.perf_counter()
+        cores, center = full_sweep(
+            cores, center, phis_c, y_onehot, class_weight,
+            jnp.asarray(opts.eta, dtype=real_dt),
+            jnp.asarray(opts.cutoff, dtype=np.float64
+                        if real_dt == np.float64 else np.float32),
+            loss=opts.loss_grad, bbopt=opts.bbopt,
+            update_iters=opts.update_iters, rescale=opts.rescale,
+            svd_alg=opts.svd_alg)
+        jax.block_until_ready(center)
+        elapsed = time.perf_counter() - t0
+        mps = MPS(cores, center, T - 1)
+        if verb > -1:
+            print(f"Finished sweep {sweep + 1}. Time for sweep: {elapsed:.2f}s")
+        if opts.log_level > 0:
+            tr_acc = log_stats(elapsed)
+            if opts.exit_early and tr_acc == 1.0:
+                break
+
+    mps = mps.normalize()
+    if verb > -1:
+        print("\nMPS normalised!\n")
+    if opts.log_level > 0:
+        info_final = log_stats(float("nan"))
+
+    trained = TrainedMPS(mps, opts, norms, train_ds, custom_encoding)
+    return trained, info, test_ds

@@ -1,0 +1,104 @@
+"""Jitted DMRG-style two-site sweep.
+
+One full sweep (backward bond loop T-2..0, then forward 0..T-2, reference
+RealRealHighDimension.jl:726-804) compiles to a single XLA computation:
+``lax.fori_loop`` over bonds, with per-bond batched gradient einsums
+(ops/bond_update.py), a Gram-eigh truncated split (ops/decomp.py), and an
+incremental environment update (one [N,chi] slot per bond, replacing the
+reference's update_caches!, :107-144).  Environments are rebuilt between
+half-sweeps exactly like the reference (:770, :804) for numerical hygiene,
+and carry per-sample log-scales (see ops/env.py).
+
+All shapes are static (chi = chi_max padding); sample count N is the
+data-parallel axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.bond_update import apply_update
+from ..ops.decomp import split_bond_left, split_bond_right
+from ..ops.env import (build_left_envs, build_right_envs,
+                       env_step_left_scaled, env_step_right_scaled)
+
+
+@partial(jax.jit,
+         static_argnames=("loss", "bbopt", "update_iters", "rescale", "svd_alg"))
+def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
+               y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
+               eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
+               rescale: Tuple[bool, bool], svd_alg: str
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run one full (backward+forward) sweep.  center must be at site T-1 on
+    entry; it is back at T-1 on exit.
+
+    cores: [T, chi, d, chi]; center: [chi, d, chi, C];
+    phis_c: [T, N, d] conj'd encoded train states; y_onehot: [N, C];
+    class_weight: [N] per-sample loss weights.
+    """
+    T, chi, d, _ = cores.shape
+    C = center.shape[3]
+    N = phis_c.shape[1]
+    dtype = cores.dtype
+    rdtype = phis_c.real.dtype
+
+    upd = partial(apply_update, eta=eta, loss=loss, bbopt=bbopt,
+                  update_iters=update_iters, rescale=rescale)
+
+    # ---------------- backward half-sweep (center T-1 -> 0) ----------------
+    LE, LE_ls = build_left_envs(cores, phis_c)        # valid slots 0..T-1
+    RE = jnp.zeros((T + 1, N, chi), dtype=dtype).at[T, :, 0].set(1.0)
+    RE_ls = jnp.zeros((T + 1, N), dtype=rdtype)
+
+    def backward_body(jj, state):
+        cores, center, RE, RE_ls = state
+        j = T - 2 - jj                                 # left site of the bond
+        A = cores[j]                                   # [chi, d, chi]
+        BT = jnp.einsum("aim,mkbc->aikbc", A, center)  # [chi,d,d,chi,C]
+        _, BT = upd(BT, LE[j], RE[j + 2], phis_c[j].conj(),
+                    phis_c[j + 1].conj(), y_onehot, class_weight,
+                    LE_ls[j] + RE_ls[j + 2])
+        # split: rows (a,i,c) keep the label on the sweep side (:166-169)
+        M = BT.transpose(0, 1, 4, 2, 3).reshape(chi * d * C, d * chi)
+        US, Vh = split_bond_left(M, chi, cutoff, svd_alg)
+        center = US.reshape(chi, d, C, chi).transpose(0, 1, 3, 2)
+        V = Vh.reshape(chi, d, chi)
+        cores = cores.at[j + 1].set(V)
+        v2, ls2 = env_step_right_scaled(RE[j + 2], RE_ls[j + 2], V, phis_c[j + 1])
+        RE = RE.at[j + 1].set(v2)
+        RE_ls = RE_ls.at[j + 1].set(ls2)
+        return cores, center, RE, RE_ls
+
+    cores, center, RE, RE_ls = jax.lax.fori_loop(
+        0, T - 1, backward_body, (cores, center, RE, RE_ls))
+
+    # ---------------- forward half-sweep (center 0 -> T-1) -----------------
+    RE, RE_ls = build_right_envs(cores, phis_c)       # valid slots 1..T
+    LE2 = jnp.zeros((T + 1, N, chi), dtype=dtype).at[0, :, 0].set(1.0)
+    LE2_ls = jnp.zeros((T + 1, N), dtype=rdtype)
+
+    def forward_body(j, state):
+        cores, center, LE2, LE2_ls = state
+        B = cores[j + 1]
+        BT = jnp.einsum("aimc,mkb->aikbc", center, B)
+        _, BT = upd(BT, LE2[j], RE[j + 2], phis_c[j].conj(),
+                    phis_c[j + 1].conj(), y_onehot, class_weight,
+                    LE2_ls[j] + RE_ls[j + 2])
+        M = BT.reshape(chi * d, d * chi * C)
+        U, SVh = split_bond_right(M, chi, cutoff, svd_alg)
+        Unew = U.reshape(chi, d, chi)
+        center = SVh.reshape(chi, d, chi, C)
+        cores = cores.at[j].set(Unew)
+        v2, ls2 = env_step_left_scaled(LE2[j], LE2_ls[j], Unew, phis_c[j])
+        LE2 = LE2.at[j + 1].set(v2)
+        LE2_ls = LE2_ls.at[j + 1].set(ls2)
+        return cores, center, LE2, LE2_ls
+
+    cores, center, _, _ = jax.lax.fori_loop(0, T - 1, forward_body,
+                                            (cores, center, LE2, LE2_ls))
+    return cores, center
