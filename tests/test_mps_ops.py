@@ -1,0 +1,152 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpstime_tpu.models.mps import (MPS, random_mps, contract_batch,
+                                    contract_batch_scaled, expand_label_index,
+                                    single_contract_batch)
+from mpstime_tpu.ops.decomp import split_bond_left, split_bond_right, _trunc_mask
+from mpstime_tpu.ops.env import build_left_envs, build_right_envs
+
+
+class TestRandomMPS:
+    def test_canonical_and_normalized(self):
+        m = random_mps(1234, T=8, d=3, num_classes=2, chi_init=4, chi_max=6,
+                       dtype=np.float64)
+        assert m.cores.shape == (8, 6, 3, 6)
+        assert m.center.shape == (6, 3, 6, 2)
+        assert m.center_pos == 7
+        np.testing.assert_allclose(float(m.norm()), 1.0, atol=1e-12)
+        # left-orthogonality of every non-center site on its nonzero block
+        cores = np.asarray(m.cores)
+        dims = m.bond_dims()
+        for t in range(7):
+            A = cores[t][:dims[t], :, :dims[t + 1]]
+            G = np.einsum("aib,aic->bc", A, A)
+            np.testing.assert_allclose(G, np.eye(dims[t + 1]), atol=1e-10)
+
+    def test_seed_reproducible(self):
+        m1 = random_mps(7, 6, 3, 2, 4, 5, np.float64)
+        m2 = random_mps(7, 6, 3, 2, 4, 5, np.float64)
+        np.testing.assert_array_equal(np.asarray(m1.cores), np.asarray(m2.cores))
+
+    def test_total_probability(self):
+        # |psi|^2 summed over an orthonormal product basis = 1 when the
+        # encoding is orthonormal; here check norm consistency instead:
+        m = random_mps(1, 5, 2, 3, 4, 4, np.float64)
+        assert float(m.norm()) == pytest.approx(1.0)
+
+
+class TestContraction:
+    def test_matches_dense(self):
+        # contract a tiny MPS against explicit dense contraction
+        m = random_mps(3, 4, 2, 2, 3, 4, np.float64)
+        rng = np.random.default_rng(0)
+        phis = rng.standard_normal((5, 4, 2))
+        y = np.asarray(contract_batch(m, jnp.asarray(phis)))
+        cores = np.asarray(m.cores)
+        center = np.asarray(m.center)
+        for n in range(5):
+            v = np.zeros(4); v[0] = 1
+            for t in range(3):
+                v = np.einsum("a,aib,i->b", v, cores[t], phis[n, t])
+            out = np.einsum("a,aibc,i->bc", v, center, phis[n, 3])
+            expect = out[0]  # right boundary e0
+            np.testing.assert_allclose(y[n], expect, rtol=1e-10)
+
+    def test_scaled_consistent(self):
+        m = random_mps(3, 10, 3, 2, 4, 8, np.float64)
+        rng = np.random.default_rng(1)
+        phis = jnp.asarray(rng.standard_normal((4, 10, 3)))
+        y = np.asarray(contract_batch(m, phis))
+        ys, ls = contract_batch_scaled(m, phis)
+        np.testing.assert_allclose(
+            y, np.asarray(ys) * np.exp(np.asarray(ls))[:, None], rtol=1e-10)
+
+    def test_expand_label_index(self):
+        m = random_mps(9, 6, 3, 3, 4, 5, np.float64)
+        Ws = expand_label_index(m)
+        assert len(Ws) == 3
+        for w in Ws:
+            np.testing.assert_allclose(float(w.norm()), 1.0, atol=1e-12)
+
+
+class TestEnvs:
+    def test_left_right_consistency(self):
+        # full contraction via LE[t] . core . RE[t+1] must be position-independent
+        m = random_mps(5, 8, 3, 1, 4, 6, np.float64)
+        rng = np.random.default_rng(2)
+        phis_c = jnp.asarray(rng.standard_normal((8, 6, 3)))  # [T=8? no:T,N,d]
+        T = 8
+        m = random_mps(5, T, 3, 1, 4, 6, np.float64)
+        phis_c = jnp.asarray(rng.standard_normal((T, 6, 3)))
+        # treat center as normal core at T-1 for this check: use cores with
+        # center folded in (single class)
+        cores = m.cores.at[T - 1].set(m.center[:, :, :, 0])
+        LE, LE_ls = build_left_envs(cores, phis_c)
+        RE, RE_ls = build_right_envs(cores, phis_c)
+        # overlap = LE[t] . RE[t] for any t (with log scales)
+        vals = []
+        for t in [0, 3, T]:
+            ov = np.einsum("na,na->n", np.asarray(LE[t]), np.asarray(RE[t]))
+            vals.append(np.log(np.abs(ov)) + np.asarray(LE_ls[t] + RE_ls[t]))
+        np.testing.assert_allclose(vals[0], vals[1], rtol=1e-9)
+        np.testing.assert_allclose(vals[0], vals[2], rtol=1e-9)
+
+
+class TestDecomp:
+    @pytest.mark.parametrize("alg", ["gram_eigh", "svd"])
+    def test_split_left_reconstruction(self, alg):
+        rng = np.random.default_rng(0)
+        M = jnp.asarray(rng.standard_normal((24, 12)))
+        US, Vh = split_bond_left(M, 12, 0.0, alg)
+        np.testing.assert_allclose(np.asarray(US @ Vh), np.asarray(M), atol=1e-9)
+        # Vh rows orthonormal
+        np.testing.assert_allclose(np.asarray(Vh @ Vh.conj().T), np.eye(12),
+                                   atol=1e-9)
+
+    @pytest.mark.parametrize("alg", ["gram_eigh", "svd"])
+    def test_split_right_reconstruction(self, alg):
+        rng = np.random.default_rng(1)
+        M = jnp.asarray(rng.standard_normal((12, 30)))
+        U, SVh = split_bond_right(M, 12, 0.0, alg)
+        np.testing.assert_allclose(np.asarray(U @ SVh), np.asarray(M), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(U.conj().T @ U), np.eye(12),
+                                   atol=1e-9)
+
+    @pytest.mark.parametrize("alg", ["gram_eigh", "svd"])
+    def test_chi_truncation(self, alg):
+        rng = np.random.default_rng(2)
+        A = rng.standard_normal((20, 4)) @ rng.standard_normal((4, 16))
+        US, Vh = split_bond_left(jnp.asarray(A), 8, 1e-10, alg)
+        assert US.shape == (20, 8) and Vh.shape == (8, 16)
+        # rank-4 matrix: only 4 nonzero columns survive
+        nz = np.abs(np.asarray(US)).sum(0) > 1e-8
+        assert nz.sum() == 4
+        np.testing.assert_allclose(np.asarray(US @ Vh), A, atol=1e-9)
+
+    def test_cutoff_semantics(self):
+        # relative cutoff on squared singular values (ITensor semantics)
+        s = np.array([1.0, 0.5, 1e-4, 1e-5])
+        U = np.linalg.qr(np.random.default_rng(3).standard_normal((8, 4)))[0]
+        V = np.linalg.qr(np.random.default_rng(4).standard_normal((6, 4)))[0]
+        M = (U * s) @ V.T
+        # cutoff large enough to drop the two tiny values:
+        # (1e-8 + 1e-10)/(1.25...) ~ 8.1e-9 <= 1e-8 ? total=1.25+...;
+        cutoff = 1e-8
+        US, Vh = split_bond_left(jnp.asarray(M), 4, cutoff, "gram_eigh")
+        kept = (np.abs(np.asarray(US)).sum(0) > 1e-10).sum()
+        assert kept == 2
+        # tiny cutoff keeps all 4
+        US2, _ = split_bond_left(jnp.asarray(M), 4, 1e-14, "gram_eigh")
+        assert (np.abs(np.asarray(US2)).sum(0) > 1e-10).sum() == 4
+
+    def test_trunc_mask_exact(self):
+        w = jnp.asarray([0.6, 0.3, 0.09, 0.01])
+        # cutoff 0.05: suffix sums are [1, .4, .1, .01]; drop entries with
+        # suffix <= 0.05 -> keep first three
+        m = np.asarray(_trunc_mask(w, 4, 0.05))
+        np.testing.assert_array_equal(m, [1, 1, 1, 0])
+        m2 = np.asarray(_trunc_mask(w, 2, 0.05))
+        np.testing.assert_array_equal(m2, [1, 1, 0, 0])

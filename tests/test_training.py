@@ -1,0 +1,142 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mpstime_tpu as mt
+
+
+class TestEndToEnd:
+    def test_synthetic_sines(self, two_class_sines):
+        Xtr, ytr, Xte, yte = two_class_sines
+        opts = mt.MPSOptions(nsweeps=4, chi_max=12, d=4, verbosity=-1,
+                             dtype="float64")
+        trained, info, ts = mt.fit_mps(Xtr, ytr, Xte, yte, opts)
+        assert info["train_acc"][-1] >= 0.98
+        preds = mt.classify(trained, Xte)
+        assert np.mean(preds == yte) >= 0.9
+
+    @pytest.mark.slow
+    def test_ecg200_reference_defaults(self, ecg200):
+        # reference-default hyperparameters reach ~0.91 on ECG200 (paper-grade;
+        # cf. the reference's IPD golden constant 0.9582, test/classification.jl:26)
+        Xtr, ytr, Xte, yte = ecg200
+        opts = mt.MPSOptions(verbosity=-1, dtype="float64")
+        trained, info, ts = mt.fit_mps(Xtr, ytr, Xte, yte, opts)
+        assert info["train_acc"][-1] == 1.0
+        assert info["test_acc"][-1] >= 0.88
+        # the three classify routes agree (reference test/classification.jl:29-44)
+        preds = mt.classify(trained, Xte)
+        from mpstime_tpu.summary import classify_encoded
+        preds2 = classify_encoded(trained, ts.X_enc)
+        y_sorted = trained.labels[ts.y_idx]
+        assert np.mean(preds == yte) >= 0.88
+        assert np.mean(preds2 == y_sorted) == pytest.approx(
+            np.mean(preds == yte), abs=1e-12)
+
+    def test_loss_monotonic_descent(self, ecg200):
+        Xtr, ytr, *_ = ecg200
+        opts = mt.MPSOptions(nsweeps=4, chi_max=10, d=3, verbosity=-1,
+                             dtype="float64")
+        _, info, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        kl = info["train_KL_div"]
+        assert kl[1] < kl[0]  # big first-sweep drop
+        assert kl[-1] <= kl[1] + 1e-6
+
+    def test_exit_early(self, two_class_sines):
+        Xtr, ytr, *_ = two_class_sines
+        opts = mt.MPSOptions(nsweeps=10, chi_max=12, d=4, verbosity=-1,
+                             exit_early=True, dtype="float64")
+        _, info, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        # should bail before 10 sweeps once train acc hits 1
+        assert len(info["train_acc"]) < 12
+
+    def test_multiclass(self):
+        rng = np.random.default_rng(5)
+        T, n = 30, 30
+        t = np.linspace(0, 2 * np.pi, T)
+        Xs, ys = [], []
+        for c, f in enumerate([1.0, 3.0, 7.0]):
+            ph = rng.uniform(0, 2 * np.pi, (n, 1))
+            Xs.append(np.sin(f * t[None] + ph) + 0.05 * rng.standard_normal((n, T)))
+            ys.append(np.full(n, c))
+        X, y = np.concatenate(Xs), np.concatenate(ys)
+        perm = rng.permutation(len(y))
+        X, y = X[perm], y[perm]
+        opts = mt.MPSOptions(nsweeps=8, chi_max=20, d=5, eta=0.05,
+                             verbosity=-1, dtype="float64")
+        trained, info, _ = mt.fit_mps(X[:60], y[:60], X[60:], y[60:], opts)
+        assert trained.mps.num_classes == 3
+        assert info["train_acc"][-1] == 1.0
+        assert np.mean(mt.classify(trained, X[60:]) == y[60:]) >= 0.75
+
+    def test_nonconsecutive_labels(self, two_class_sines):
+        Xtr, ytr, Xte, yte = two_class_sines
+        ytr2 = np.where(ytr == 0, -3, 7)
+        yte2 = np.where(yte == 0, -3, 7)
+        opts = mt.MPSOptions(nsweeps=3, chi_max=10, d=4, verbosity=-1,
+                             dtype="float64")
+        trained, _, _ = mt.fit_mps(Xtr, ytr2, opts=opts)
+        preds = mt.classify(trained, Xte)
+        assert set(np.unique(preds)) <= {-3, 7}
+        assert np.mean(preds == yte2) >= 0.8
+
+    def test_complex_encoding_training(self, two_class_sines):
+        Xtr, ytr, Xte, yte = two_class_sines
+        opts = mt.MPSOptions(nsweeps=8, chi_max=16, d=6, eta=0.05,
+                             encoding="Fourier", verbosity=-1,
+                             dtype="complex128")
+        trained, info, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        assert np.dtype(np.asarray(trained.mps.cores).dtype).kind == "c"
+        assert np.mean(mt.classify(trained, Xte) == yte) >= 0.9
+
+    def test_train_classes_separately(self, two_class_sines):
+        Xtr, ytr, Xte, yte = two_class_sines
+        opts = mt.MPSOptions(nsweeps=4, chi_max=12, d=4, verbosity=-1,
+                             train_classes_separately=True, dtype="float64")
+        trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        assert np.mean(mt.classify(trained, Xte) == yte) >= 0.85
+
+    def test_mps_stays_normalized(self, two_class_sines):
+        Xtr, ytr, *_ = two_class_sines
+        opts = mt.MPSOptions(nsweeps=2, chi_max=10, d=3, verbosity=-1,
+                             dtype="float64")
+        trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        assert float(trained.mps.norm()) == pytest.approx(1.0, abs=1e-10)
+        # canonical: every non-center core left-orthogonal on nonzero block
+        cores = np.asarray(trained.mps.cores)
+        dims = trained.mps.bond_dims()
+        for t in range(trained.mps.T - 1):
+            A = cores[t][:dims[t], :, :dims[t + 1]]
+            G = np.einsum("aib,aic->bc", A, A)
+            np.testing.assert_allclose(G, np.eye(dims[t + 1]), atol=1e-8)
+
+    def test_chi_max_respected(self, ecg200):
+        Xtr, ytr, *_ = ecg200
+        opts = mt.MPSOptions(nsweeps=2, chi_max=7, d=4, verbosity=-1,
+                             dtype="float64")
+        trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        assert trained.mps.bond_dims().max() <= 7
+
+
+class TestSummary:
+    def test_training_summary(self, two_class_sines):
+        Xtr, ytr, Xte, yte = two_class_sines
+        opts = mt.MPSOptions(nsweeps=3, chi_max=10, d=4, verbosity=-1,
+                             dtype="float64")
+        trained, info, ts = mt.fit_mps(Xtr, ytr, Xte, yte, opts)
+        stats = mt.get_training_summary(trained, ts)
+        assert 0.8 <= stats["test_acc"] <= 1.0
+        assert stats["confmat"].sum() == len(yte)
+        # overlap matrix symmetric with unit diagonal
+        ov = stats["overlapmat"]
+        np.testing.assert_allclose(np.diag(ov), 1.0, atol=1e-8)
+        np.testing.assert_allclose(ov, ov.T, atol=1e-10)
+        mt.sweep_summary(info)
+
+    def test_kl_div(self, two_class_sines):
+        Xtr, ytr, Xte, yte = two_class_sines
+        opts = mt.MPSOptions(nsweeps=3, chi_max=10, d=4, verbosity=-1,
+                             dtype="float64")
+        trained, info, ts = mt.fit_mps(Xtr, ytr, Xte, yte, opts)
+        kd = mt.KL_div(trained, ts)
+        assert kd == pytest.approx(info["test_KL_div"][-1], rel=1e-6)
