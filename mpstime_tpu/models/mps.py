@@ -117,6 +117,12 @@ def random_mps(seed: int, T: int, d: int, num_classes: int, chi_init: int,
         site_tensors[t] = Q.reshape(chi_l, d, k)[:, :, :chi_r] if k >= chi_r \
             else np.pad(Q.reshape(chi_l, d, k), ((0, 0), (0, 0), (0, chi_r - k)))
         Rfull = R if k >= chi_r else np.pad(R, ((0, chi_r - k), (0, 0)))
+        # normalize the absorbed factor each step: the product of ~T R-factors
+        # overflows float32 otherwise, and only the final norm matters (the
+        # whole MPS is normalized below).
+        rnorm = np.linalg.norm(Rfull)
+        if rnorm > 0:
+            Rfull = Rfull / rnorm
         if t + 1 < T - 1:
             site_tensors[t + 1] = np.einsum("ab,bic->aic", Rfull[:chi_r, :],
                                             site_tensors[t + 1])

@@ -1,0 +1,61 @@
+"""Data-parallel (multi-device mesh) tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpstime_tpu.models.mps import random_mps
+from mpstime_tpu.parallel import make_mesh, replicate, shard_train_arrays
+from mpstime_tpu.training.sweep import full_sweep
+
+
+@pytest.fixture(scope="module")
+def tiny_problem():
+    T, chi, d, C, N = 8, 6, 3, 2, 32
+    mps = random_mps(0, T, d, C, 4, chi, np.float64)
+    rng = np.random.default_rng(0)
+    phis_c = jnp.asarray(rng.uniform(-0.9, 0.9, (T, N, d)))
+    y_idx = rng.integers(0, C, N)
+    y_idx.sort()
+    y_onehot = jnp.asarray(np.eye(C)[y_idx])
+    w = jnp.full((N,), 1.0 / N)
+    return mps, phis_c, y_onehot, w
+
+
+KW = dict(loss="KLD", bbopt="TSGO", update_iters=1, rescale=(False, True),
+          svd_alg="gram_eigh")
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_sweep_matches_single_device(tiny_problem):
+    mps, phis_c, y_onehot, w = tiny_problem
+    # single-device reference
+    c1, ce1 = full_sweep(mps.cores, mps.center, phis_c, y_onehot, w,
+                         0.01, 1e-10, **KW)
+
+    mesh = make_mesh(8)
+    sp, sy, sw = shard_train_arrays(mesh, phis_c, y_onehot, w)
+    rc, rce = replicate(mesh, mps.cores, mps.center)
+    c2, ce2 = full_sweep(rc, rce, sp, sy, sw, 0.01, 1e-10, **KW)
+
+    # the sharded-N computation is mathematically identical; FP reduction
+    # order differs, so compare with a tolerance
+    np.testing.assert_allclose(np.asarray(ce1), np.asarray(ce2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-8)
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out[0].shape == (100, 2)
