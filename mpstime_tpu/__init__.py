@@ -21,6 +21,9 @@ from .summary import (classify, classify_overlap, get_training_summary,
 from .utils.preprocessing import (TransformNorms, transform_data,
                                   transform_train_data, transform_test_data,
                                   invert_test_transform)
+from .imputation import (ImputationProblem, init_imputation_problem,
+                         mps_impute, MPS_impute, get_cdfs, kNN_impute)
+from .simulation import mcar, mar, mnar, trendy_sine, state_space
 
 __version__ = "0.1.0"
 
@@ -34,4 +37,7 @@ __all__ = [
     "KL_div",
     "TransformNorms", "transform_data", "transform_train_data",
     "transform_test_data", "invert_test_transform",
+    "ImputationProblem", "init_imputation_problem", "mps_impute",
+    "MPS_impute", "get_cdfs", "kNN_impute",
+    "mcar", "mar", "mnar", "trendy_sine", "state_space",
 ]

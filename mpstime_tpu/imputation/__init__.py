@@ -1,0 +1,12 @@
+from .problem import (ImputationProblem, init_imputation_problem,
+                      get_predictions, mps_impute, get_cdfs, kNN_impute)
+from .metrics import (mape, mse, mae, rmse, mase, compute_all_forecast_metrics)
+
+# reference-style alias
+MPS_impute = mps_impute
+
+__all__ = [
+    "ImputationProblem", "init_imputation_problem", "get_predictions",
+    "mps_impute", "MPS_impute", "get_cdfs", "kNN_impute",
+    "mape", "mse", "mae", "rmse", "mase", "compute_all_forecast_metrics",
+]

@@ -1,0 +1,490 @@
+"""Imputation problem setup and drivers (reference src/Imputation/imputation.jl).
+
+``init_imputation_problem`` slices the trained label-indexed MPS into per-class
+MPSs, precomputes the guess-grid encodings, and returns an
+:class:`ImputationProblem`; ``mps_impute`` imputes missing values of a test
+instance with the method of choice and computes fit statistics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..encodings import EncodedDataset, encode_dataset, get_encoding
+from ..models.mps import SingleMPS, expand_label_index
+from ..options import MPSOptions
+from ..training.fit import TrainedMPS
+from ..utils.preprocessing import (TransformNorms, invert_test_transform,
+                                   transform_test_data, transform_train_data)
+from .engine import ImputeResult, make_impute_kernel, reverse_problem
+from .metrics import compute_all_forecast_metrics, mae, mape
+
+
+@dataclass
+class ImputationProblem:
+    """Pre-computed state for imputation on a trained MPS
+    (reference ImputationProblem + EncodedDataRange, imputation.jl:2-20)."""
+    cores_full: List[jnp.ndarray]      # per class: [T, chi, d, chi], center folded
+    X_train: np.ndarray
+    y_train: np.ndarray
+    X_test: np.ndarray
+    y_test: np.ndarray
+    opts: MPSOptions
+    norms: TransformNorms
+    enc_args: Any
+    grid_x: np.ndarray                 # [G]
+    dx: float
+    grid_states: List[jnp.ndarray]     # per class: [G, d] or [T, G, d]
+    timedep: bool
+    labels: np.ndarray
+    custom_encoding: Any = None
+    _kernels: Dict = field(default_factory=dict, repr=False)
+
+    @property
+    def T(self) -> int:
+        return self.cores_full[0].shape[0]
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.cores_full)
+
+    def class_index(self, label) -> int:
+        idx = np.where(self.labels == label)[0]
+        if idx.size == 0:
+            raise ValueError(f"unknown class label {label!r}; have {self.labels}")
+        return int(idx[0])
+
+    def spec(self):
+        if self.custom_encoding is not None:
+            return self.custom_encoding
+        return get_encoding(self.opts.encoding, project=self.opts.projected_basis)
+
+    def class_enc_args(self, ci: int):
+        if self.opts.encode_classes_separately and isinstance(self.enc_args, list):
+            return self.enc_args[ci]
+        return self.enc_args
+
+    # ------------------------------------------------------------------
+    def _encode_at_fn(self, ci: int) -> Callable:
+        """jax-traceable encode of a scalar at site t (for the :mean estimator)."""
+        spec = self.spec()
+        args = self.class_enc_args(ci)
+        d = self.opts.d
+        T = self.T
+        dtype = self.cores_full[0].dtype
+
+        if spec.is_time_dependent:
+            def encode_at(x, t):
+                xx = jnp.zeros((1, T), jnp.result_type(x, jnp.float32)).at[0, t].set(x)
+                return spec.encode_batch(xx, d, args)[0, t].astype(dtype)
+        else:
+            def encode_at(x, t):
+                xx = jnp.reshape(x, (1, 1))
+                return spec.encode_batch(xx, d, args)[0, 0].astype(dtype)
+        return encode_at
+
+    def kernel(self, ci: int, method: str, impute_order: str = "forwards",
+               want_cdf: bool = False, get_err: bool = True,
+               max_jump: Optional[float] = None,
+               rejection_threshold=None, max_trials: int = 10):
+        if rejection_threshold in (None, "none", ":none"):
+            rejection_threshold = None
+        key = (ci, method, impute_order, want_cdf, get_err, max_jump,
+               rejection_threshold, max_trials)
+        if key in self._kernels:
+            return self._kernels[key]
+        cores = self.cores_full[ci]
+        gs = self.grid_states[ci]
+        if impute_order == "backwards":
+            cores = reverse_problem(cores)
+            if self.timedep:
+                gs = gs[::-1]
+        elif impute_order != "forwards":
+            raise ValueError("impute_order must be 'forwards' or 'backwards'")
+        T, chi, d, _ = cores.shape
+        kern = make_impute_kernel(
+            T, chi, d, len(self.grid_x), self.grid_x, self.dx, gs,
+            encode_at=self._encode_at_fn(ci), method=method,
+            timedep=self.timedep, want_cdf=want_cdf, get_err=get_err,
+            max_jump=max_jump, rejection_threshold=rejection_threshold,
+            max_trials=max_trials)
+        self._kernels[key] = (kern, cores)
+        return self._kernels[key]
+
+
+def init_imputation_problem(mps: TrainedMPS, X_test: np.ndarray,
+                            y_test: Optional[np.ndarray] = None,
+                            custom_encoding=None, *,
+                            dx: float = 1e-4,
+                            guess_range: Optional[Tuple[float, float]] = None,
+                            verbosity: int = 1,
+                            test_encoding: bool = True) -> ImputationProblem:
+    """Initialise an imputation problem from a trained MPS
+    (reference init_imputation_problem, imputation.jl:48-196)."""
+    X_test = np.asarray(X_test, dtype=np.float64)
+    if y_test is None:
+        y_test = np.zeros(X_test.shape[0], dtype=np.int64)
+    y_test = np.asarray(y_test)
+    opts = mps.opts
+    spec = custom_encoding if custom_encoding is not None else mps.encoding_spec()
+    if custom_encoding is not None and opts.encoding != "custom":
+        raise ValueError("To impute with a custom encoding, the MPS must have "
+                         "been trained with encoding='custom'")
+
+    train = mps.train_data
+    X_train, y_train = train.X_orig, train.labels[train.y_idx]
+
+    if test_encoding:
+        # verify the stored encoding args reproduce the training states
+        # (reference imputation.jl:165-187)
+        X_train_scaled, _ = transform_train_data(X_train, opts)
+        ds = encode_dataset(X_train, X_train_scaled, y_train, opts, spec=spec,
+                            labels=train.labels,
+                            training_enc_args=train.enc_args,
+                            dtype=opts.resolved_dtype())
+        if not np.allclose(np.asarray(ds.X_enc), np.asarray(train.X_enc),
+                           atol=1e-5):
+            raise RuntimeError(
+                "Could not reproduce the encoded training set from the "
+                "TrainedMPS. If using a custom encoding, double check it "
+                "matches the encoding the MPS was trained with.")
+
+    if guess_range is None:
+        guess_range = spec.range
+    a, b = guess_range
+    G = int(round((b - a) / dx)) + 1
+    grid_x = np.linspace(a, b, G)
+
+    mpss = expand_label_index(mps.mps)
+    cores_full = [m.cores.at[m.center_pos].set(m.center) for m in mpss]
+    T = mps.mps.T
+    dtype = mps.mps.dtype
+
+    if verbosity > 0:
+        print(f" - Dataset has {X_train.shape[0]} training samples and "
+              f"{X_test.shape[0]} testing samples.")
+        print(f" - {len(mpss)} class(es) were detected.")
+        print(f" - {'Time dependent' if spec.is_time_dependent else 'Time independent'} "
+              f"encoding - {spec.name} - detected.")
+        print(f" - d = {opts.d}, chi_max = {opts.chi_max}")
+
+    # precompute grid encodings (reference EncodedDataRange, imputation.jl:90-109)
+    timedep = spec.is_time_dependent
+    grid_states = []
+    n_cls = len(mpss)
+    for ci in range(n_cls):
+        args = train.enc_args[ci] if (opts.encode_classes_separately and
+                                      isinstance(train.enc_args, list)) \
+            else train.enc_args
+        if timedep:
+            Xg = np.tile(grid_x[:, None], (1, T))                 # [G, T]
+            enc = spec.encode_batch(jnp.asarray(Xg), opts.d, args)  # [G, T, d]
+            grid_states.append(jnp.asarray(enc, dtype=dtype).swapaxes(0, 1))
+        else:
+            enc = spec.encode_batch(jnp.asarray(grid_x[None, :]), opts.d, args)
+            grid_states.append(jnp.asarray(enc, dtype=dtype)[0])   # [G, d]
+        if not opts.encode_classes_separately:
+            grid_states = grid_states * n_cls
+            break
+
+    return ImputationProblem(
+        cores_full=cores_full, X_train=X_train, y_train=y_train,
+        X_test=X_test, y_test=y_test, opts=opts, norms=mps.norms,
+        enc_args=train.enc_args, grid_x=grid_x, dx=float(dx),
+        grid_states=grid_states, timedep=timedep, labels=train.labels,
+        custom_encoding=custom_encoding)
+
+
+# ---------------------------------------------------------------------------
+
+
+def kNN_impute(imp: ImputationProblem, class_label, instance: int,
+               missing_sites: Sequence[int], k: int = 1) -> List[np.ndarray]:
+    """k nearest neighbours in the training set by Euclidean distance on the
+    known sites (reference kNN_impute, imputation.jl:215-262)."""
+    missing_sites = np.asarray(missing_sites)
+    cl_inds = np.where(imp.y_test == class_label)[0]
+    target = imp.X_test[cl_inds[instance]]
+    known = np.setdiff1d(np.arange(imp.T), missing_sites)
+    c_inds = np.where(imp.y_train == class_label)[0]
+    Xc = imp.X_train[c_inds][:, known]
+    mses = np.mean((Xc - target[known]) ** 2, axis=1)
+    order = np.argsort(mses, kind="stable")[:k]
+    return [imp.X_train[c_inds[i]].copy() for i in order]
+
+
+def _sigmoid_domain_ok(v: np.ndarray, oob, norms, opts) -> bool:
+    """Check whether inverting ``v`` stays inside the sigmoid domain (0,1)
+    (the reference raises a DomainError there, imputation.jl:344-348)."""
+    from ..encodings import encoding_range
+    if not (opts.sigmoid_transform and norms.sigmoid_median is not None):
+        return True
+    a, b = encoding_range(opts.encoding)
+    y = (np.asarray(v, dtype=np.float64) - a) / (b - a)
+    if oob:
+        _, shift, scale = oob[0]
+        y = y * scale + shift
+    if opts.minmax and norms.minmax_min is not None:
+        lb, ub = opts.data_bounds
+        y = (y - lb) / (ub - lb)
+    f = y[np.isfinite(y)]
+    return bool(np.all(f > 0) and np.all(f < 1))
+
+
+def _invert_with_salvage(ts: np.ndarray, err: np.ndarray, oob, norms, opts,
+                         verbosity: int = 0):
+    """Invert error bars through the nonlinear transform, NaN-ing values too
+    large to invert (reference salvage loop, imputation.jl:343-384)."""
+    shifted = err + ts
+    if _sigmoid_domain_ok(shifted, oob, norms, opts):
+        return invert_test_transform(shifted, oob, norms, opts)
+
+    if verbosity > -1:
+        print("Warning: imputation error was too large to transform back into "
+              "unnormalised units; returning problematic error values as NaNs "
+              "(reference behavior, imputation.jl:343-384).")
+    bad = []
+    work = shifted.copy()
+    for _ in range(len(work)):
+        ei = int(np.nanargmax(np.abs(work - ts)))
+        bad.append(ei)
+        work[ei] = ts[ei]
+        if _sigmoid_domain_ok(work, oob, norms, opts):
+            break
+    inv = invert_test_transform(work, oob, norms, opts)
+    inv[np.asarray(bad, dtype=int)] = np.nan
+    return inv
+
+
+def get_predictions(imp: ImputationProblem, class_label, instance: int,
+                    missing_sites: Sequence[int], method: str = "median",
+                    impute_order: str = "forwards",
+                    invert_transform: bool = True, **kwargs):
+    """Impute one test instance; returns (ts_list, err_list, target)
+    (reference get_predictions, imputation.jl:264-410)."""
+    missing_sites = np.asarray(missing_sites, dtype=int)
+    ci = imp.class_index(class_label)
+    opts = imp.opts
+    cl_inds = np.where(imp.y_test == class_label)[0]
+    target_raw = imp.X_test[cl_inds[instance]].astype(np.float64)
+    T = imp.T
+
+    # scale the target; blank the missing region with the train mean first so
+    # it cannot leak (reference imputation.jl:290)
+    target_filled = target_raw.copy()
+    target_filled[missing_sites] = float(np.mean(imp.X_train))
+    target_full_scaled, _ = transform_test_data(target_raw, imp.norms, opts)
+    target_scaled, oob = transform_test_data(target_filled, imp.norms, opts)
+
+    method = method.lstrip(":")
+    if method in ("kNearestNeighbour", "knn", "kNN"):
+        ts = kNN_impute(imp, class_label, instance, missing_sites,
+                        k=kwargs.get("k", 1))
+        if not invert_transform:
+            ts = [transform_test_data(t, imp.norms, opts)[0] for t in ts]
+        return ts, [None] * len(ts), target_raw
+
+    if method == "flatBaseline":
+        t0 = target_raw.copy()
+        t0[missing_sites] = float(np.mean(imp.X_train))
+        ts = [t0]
+        if not invert_transform:
+            ts = [transform_test_data(t, imp.norms, opts)[0] for t in ts]
+        return ts, [None], target_raw
+
+    # encode the scaled (filled) target
+    from ..encodings import encode_series
+    phis = encode_series(target_scaled, opts, imp.enc_args, spec=imp.spec(),
+                         class_idx=ci if opts.encode_classes_separately else 0,
+                         dtype=imp.cores_full[0].dtype)
+    phis_c = jnp.conj(phis)                                     # [T, d]
+
+    known_mask = np.ones(T, dtype=bool)
+    known_mask[missing_sites] = False
+    known_x = target_scaled.copy()
+
+    m_sorted = np.sort(missing_sites)
+    if impute_order == "forwards":
+        prev_idx = m_sorted[0] - 1
+    else:
+        prev_idx = m_sorted[-1] + 1
+    x_prev0 = float(known_x[prev_idx]) if 0 <= prev_idx < T and \
+        known_mask[prev_idx] else float("nan")
+
+    mname = {"median": "median", "mean": "mean", "mode": "mode",
+             "ITS": "its", "its": "its"}.get(method)
+    if mname is None:
+        raise ValueError("Invalid method. Choose mean, mode, median, ITS, "
+                         "kNearestNeighbour or flatBaseline")
+
+    kern_kwargs = {}
+    if mname == "median":
+        kern_kwargs["get_err"] = kwargs.get("get_wmad", True)
+    if mname == "mean":
+        kern_kwargs["get_err"] = kwargs.get("get_std", True)
+    if mname == "mode":
+        kern_kwargs["max_jump"] = kwargs.get("max_jump")
+        kern_kwargs["get_err"] = False
+    if mname == "its":
+        kern_kwargs["rejection_threshold"] = kwargs.get("rejection_threshold")
+        kern_kwargs["max_trials"] = kwargs.get("max_trials", 10)
+        kern_kwargs["get_err"] = False
+
+    kern, cores = imp.kernel(ci, mname, impute_order, **kern_kwargs)
+
+    def run(key):
+        pc, km, kx = phis_c, known_mask, known_x
+        if impute_order == "backwards":
+            pc, km, kx = phis_c[::-1], known_mask[::-1], known_x[::-1]
+        res = kern(cores, pc, jnp.asarray(km), jnp.asarray(kx),
+                   x_prev0, key)
+        xs, errs = np.asarray(res.x_samps, np.float64), \
+            np.asarray(res.errs, np.float64)
+        if impute_order == "backwards":
+            xs, errs = xs[::-1].copy(), errs[::-1].copy()
+        return xs, errs
+
+    base_key = jax.random.PRNGKey(kwargs.get("rseed", 1))
+    if mname == "its":
+        n_traj = kwargs.get("num_trajectories", 1)
+        results = [run(jax.random.fold_in(base_key, i)) for i in range(n_traj)]
+    else:
+        results = [run(base_key)]
+
+    ts_list = [r[0] for r in results]
+    err_list = [r[1] for r in results]
+    has_err = mname in ("median", "mean") and kern_kwargs.get("get_err", True)
+
+    if invert_transform:
+        out_ts, out_err = [], []
+        for xs, errs in zip(ts_list, err_list):
+            inv = invert_test_transform(xs, oob, imp.norms, opts)
+            if has_err:
+                inv_err = _invert_with_salvage(xs, errs, oob, imp.norms, opts,
+                                               verbosity=0) - inv
+            else:
+                inv_err = None
+            out_ts.append(inv)
+            out_err.append(inv_err)
+        return out_ts, out_err, target_raw
+
+    err_out = [e if has_err else None for e in err_list]
+    return ts_list, err_out, target_full_scaled
+
+
+def mps_impute(imp: ImputationProblem, class_label, instance: int,
+               missing_sites: Sequence[int], method: str = "median", *,
+               invert_transform: bool = True, impute_order: str = "forwards",
+               NN_baseline: bool = True, n_baselines: int = 1,
+               plot_fits: bool = False, get_metrics: bool = True,
+               full_metrics: bool = False, print_metric_table: bool = False,
+               **kwargs):
+    """Impute missing values of one instance (reference MPS_impute,
+    imputation.jl:467-550).
+
+    Returns (ts, pred_err, target, stats, plots)."""
+    missing_sites = np.asarray(missing_sites, dtype=int)
+    ts, pred_err, target = get_predictions(
+        imp, class_label, instance, missing_sites, method,
+        impute_order=impute_order, invert_transform=invert_transform, **kwargs)
+
+    plots = []
+    if plot_fits:
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots(figsize=(10, 5))
+            for i, t in enumerate(ts):
+                if pred_err[i] is not None:
+                    ax.fill_between(np.arange(len(t)), t - np.nan_to_num(pred_err[i]),
+                                    t + np.nan_to_num(pred_err[i]), alpha=0.2)
+                ax.plot(t, ls=":", lw=2, label=f"MPS imputed {i+1}")
+            ax.plot(target, c="orange", lw=2, alpha=0.7, label="Ground Truth")
+            ax.set_xlabel("time")
+            ax.set_ylabel("x")
+            ax.set_title(f"Sample {instance}, class {class_label}, "
+                         f"{len(missing_sites)}-site imputation ({method})")
+            ax.legend()
+            plots = [fig]
+        except ImportError:
+            plots = []
+
+    stats: List[Dict[str, float]] = []
+    if get_metrics:
+        for t in ts:
+            if full_metrics:
+                stats.append(compute_all_forecast_metrics(
+                    t[missing_sites], target[missing_sites], print_metric_table))
+            else:
+                stats.append({"MAE": mae(t[missing_sites], target[missing_sites]),
+                              "MAPE": mape(t[missing_sites], target[missing_sites])})
+
+    if NN_baseline:
+        nn_ts, _, _ = get_predictions(imp, class_label, instance, missing_sites,
+                                      "kNearestNeighbour",
+                                      invert_transform=invert_transform,
+                                      k=n_baselines)
+        if plot_fits and plots:
+            ax = plots[0].axes[0]
+            for i, t in enumerate(nn_ts):
+                ax.plot(t, c="red", lw=2, alpha=0.7, ls=":",
+                        label=f"Nearest Train Data {i+1}")
+            ax.legend()
+        if get_metrics and stats:
+            if full_metrics:
+                nn_m = compute_all_forecast_metrics(
+                    nn_ts[0][missing_sites], target[missing_sites],
+                    print_metric_table)
+                for k, v in nn_m.items():
+                    stats[0][f"NN_{k}"] = v
+            else:
+                stats[0]["NN_MAE"] = mae(nn_ts[0][missing_sites],
+                                         target[missing_sites])
+                stats[0]["NN_MAPE"] = mape(nn_ts[0][missing_sites],
+                                           target[missing_sites])
+
+    return ts, pred_err, target, stats, plots
+
+
+def get_cdfs(imp: ImputationProblem, class_label, instance: int,
+             missing_sites: Sequence[int], **kwargs):
+    """Median-impute and return the per-site conditional CDFs
+    (reference get_cdfs, imputation.jl:581-622).
+
+    Returns (cdfs [n_missing, G], ts, pred_err, target_full_scaled)."""
+    missing_sites = np.asarray(missing_sites, dtype=int)
+    ci = imp.class_index(class_label)
+    opts = imp.opts
+    cl_inds = np.where(imp.y_test == class_label)[0]
+    target_raw = imp.X_test[cl_inds[instance]].astype(np.float64)
+    T = imp.T
+
+    target_filled = target_raw.copy()
+    target_filled[missing_sites] = float(np.mean(imp.X_test))
+    target_full_scaled, _ = transform_test_data(target_raw, imp.norms, opts)
+    target_scaled, oob = transform_test_data(target_filled, imp.norms, opts)
+
+    from ..encodings import encode_series
+    phis = encode_series(target_scaled, opts, imp.enc_args, spec=imp.spec(),
+                         class_idx=ci if opts.encode_classes_separately else 0,
+                         dtype=imp.cores_full[0].dtype)
+    known_mask = np.ones(T, dtype=bool)
+    known_mask[missing_sites] = False
+
+    m0 = np.sort(missing_sites)[0] - 1
+    x_prev0 = float(target_scaled[m0]) if m0 >= 0 and known_mask[m0] else float("nan")
+
+    kern, cores = imp.kernel(ci, "median", "forwards", want_cdf=True,
+                             get_err=kwargs.get("get_wmad", True))
+    res = kern(cores, jnp.conj(phis), jnp.asarray(known_mask),
+               jnp.asarray(target_scaled), x_prev0, jax.random.PRNGKey(0))
+    cdfs = np.asarray(res.cdfs, np.float64)[np.sort(missing_sites)]
+    xs = np.asarray(res.x_samps, np.float64)
+    errs = np.asarray(res.errs, np.float64)
+    return cdfs, [xs], [errs], target_full_scaled
