@@ -24,6 +24,12 @@ from .utils.preprocessing import (TransformNorms, transform_data,
 from .imputation import (ImputationProblem, init_imputation_problem,
                          mps_impute, MPS_impute, get_cdfs, kNN_impute)
 from .simulation import mcar, mar, mnar, trendy_sine, state_space
+from .analysis import (von_neumann_entropy, bipartite_spectrum,
+                       single_site_entropy, single_site_spectrum,
+                       see_variation, one_site_rdm, rho_correct)
+from .hyperopt import (tune, evaluate, MPSRandomSearch, MisclassificationRate,
+                       BalancedMisclassificationRate, ImputationLoss,
+                       eval_loss, make_stratified_cvfolds, make_windows)
 
 __version__ = "0.1.0"
 
@@ -40,4 +46,9 @@ __all__ = [
     "ImputationProblem", "init_imputation_problem", "mps_impute",
     "MPS_impute", "get_cdfs", "kNN_impute",
     "mcar", "mar", "mnar", "trendy_sine", "state_space",
+    "von_neumann_entropy", "bipartite_spectrum", "single_site_entropy",
+    "single_site_spectrum", "see_variation", "one_site_rdm", "rho_correct",
+    "tune", "evaluate", "MPSRandomSearch", "MisclassificationRate",
+    "BalancedMisclassificationRate", "ImputationLoss", "eval_loss",
+    "make_stratified_cvfolds", "make_windows",
 ]

@@ -1,0 +1,119 @@
+"""Tuning losses, CV folds, and imputation windows
+(reference src/Training/hyperparameters/hyperopt_utils.jl)."""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from ..simulation import mar
+from ..summary import classify
+from ..training.fit import TrainedMPS
+
+
+class TuningLoss:
+    def __repr__(self):
+        return type(self).__name__ + "()"
+
+
+class MisclassificationRate(TuningLoss):
+    pass
+
+
+class BalancedMisclassificationRate(TuningLoss):
+    pass
+
+
+class ImputationLoss(TuningLoss):
+    pass
+
+
+def make_stratified_cvfolds(Xs: np.ndarray, ys: np.ndarray, nfolds: int, *,
+                            rng=None, shuffle: bool = True) -> List[tuple]:
+    """Stratified k-fold train/validation index pairs (reference
+    make_stratified_cvfolds, hyperopt_utils.jl:101-105, via MLJ StratifiedCV):
+    within each class, (optionally shuffled) indices are dealt round-robin to
+    the folds; fold i's members are its validation set."""
+    ys = np.asarray(ys)
+    n = len(ys)
+    g = np.random.default_rng(rng)
+    fold_of = np.empty(n, dtype=np.int64)
+    for cls in np.unique(ys):
+        idx = np.where(ys == cls)[0]
+        if shuffle:
+            idx = g.permutation(idx)
+        fold_of[idx] = np.arange(len(idx)) % nfolds
+    folds = []
+    for f in range(nfolds):
+        val = np.where(fold_of == f)[0]
+        train = np.where(fold_of != f)[0]
+        if len(val) == 0:
+            raise ValueError(f"stratified CV fold {f} is empty; reduce nfolds")
+        folds.append((train, val))
+    return folds
+
+
+def make_windows(windows, pms, X: np.ndarray, rng=None) -> List[np.ndarray]:
+    """Resolve manual windows or percentage-missing specs into site-index
+    windows (reference make_windows, hyperopt_utils.jl:107-131)."""
+    if windows is not None:
+        if pms is not None:
+            raise ValueError("Cannot specify both windows and pms!")
+        if isinstance(windows, dict):
+            return [np.asarray(windows[k], dtype=int)
+                    for k in sorted(windows.keys())]
+        return [np.asarray(w, dtype=int) for w in windows]
+    if pms is not None:
+        T = X.shape[1]
+        g = np.random.default_rng(rng)
+        pms = [p / 100 if isinstance(p, (int, np.integer)) and p > 1 else p
+               for p in pms]
+        return [mar(np.arange(T, dtype=float), float(p), rng=g)[1] for p in pms]
+    raise ValueError("Must specify either windows or pms when measuring "
+                     "Imputation Loss!")
+
+
+def eval_loss(objective: TuningLoss, mps: TrainedMPS, X_val: np.ndarray,
+              y_val: np.ndarray, windows=None, *, method: str = "median",
+              verbosity: int = 0) -> np.ndarray:
+    """Evaluate a tuning loss on a validation set (reference eval_loss,
+    hyperopt_utils.jl:152-231).  Returns a vector (per window for
+    ImputationLoss; length 1 otherwise)."""
+    y_val = np.asarray(y_val)
+
+    if isinstance(objective, MisclassificationRate):
+        preds = classify(mps, X_val)
+        return np.array([1.0 - np.mean(preds == y_val)])
+
+    if isinstance(objective, BalancedMisclassificationRate):
+        preds = classify(mps, X_val)
+        classes = np.unique(np.concatenate([y_val, preds]))
+        recall_sum = 0.0
+        for cls in classes:
+            tp = np.sum((y_val == cls) & (preds == cls))
+            fn = np.sum((y_val == cls) & (preds != cls))
+            recall_sum += tp / (tp + fn + np.finfo(float).eps)
+        return np.array([1.0 - recall_sum / len(classes)])
+
+    if isinstance(objective, ImputationLoss):
+        from ..imputation import init_imputation_problem, mps_impute
+        if windows is None:
+            raise ValueError("ImputationLoss requires windows")
+        imp = init_imputation_problem(mps, X_val, y_val, verbosity=-5,
+                                      test_encoding=False)
+        # instance -> (class, class-relative index) (hyperopt_utils.jl:196-198)
+        scores = np.zeros((len(y_val), len(windows)))
+        counters = {c: 0 for c in np.unique(y_val)}
+        for inst in range(len(y_val)):
+            cls = y_val[inst]
+            rel = counters[cls]
+            counters[cls] += 1
+            for iw, sites in enumerate(windows):
+                _, _, _, stats, _ = mps_impute(
+                    imp, cls, rel, sites, method, NN_baseline=False,
+                    plot_fits=False, get_metrics=True)
+                scores[inst, iw] = stats[0]["MAE"]
+        return scores.mean(axis=0)
+
+    raise TypeError(f"unknown objective {objective!r}")

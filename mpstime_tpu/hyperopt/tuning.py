@@ -1,0 +1,247 @@
+"""Hyperparameter tuning — ``tune`` (reference
+src/Training/hyperparameters/tuning.jl).
+
+Parallelism note: the reference farms CV folds / trials to Distributed.jl
+worker processes (tuning.jl:112, random_search.jl:115).  Here trials/folds
+run through an optional thread executor (`n_workers`): JAX dispatch releases
+the GIL, so CPU folds overlap; on a TPU the device serializes compute and the
+wins come from overlapping host-side work.  Multi-chip fold-parallelism over
+a device mesh is the intended scale-out path.
+"""
+
+from __future__ import annotations
+
+import time
+import warnings
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..options import MPSOptions
+from ..training.fit import fit_mps
+from .losses import (BalancedMisclassificationRate, ImputationLoss,
+                     MisclassificationRate, TuningLoss, eval_loss,
+                     make_stratified_cvfolds, make_windows)
+from .random_search import MPSRandomSearch, grid_search
+
+
+def _parse_parameters(parameters: Dict[str, Any], opts0: MPSOptions,
+                      logspace_eta: bool):
+    """Parse the search-space spec into bounds/value-maps (reference
+    tune() parameter parsing, tuning.jl:403-478).
+
+    Formats per key: [values] | (lb, ub) | (lb, step, ub) | ().
+    Returns (fields, x0, lb, ub, is_disc, types, value_map) sorted by field."""
+    fields, x0, lb, ub, is_disc, types, value_map = [], [], [], [], [], [], []
+    for key, val in parameters.items():
+        if not hasattr(opts0, key):
+            raise ValueError(f"MPSOptions has no hyperparameter {key!r}")
+        startx = getattr(opts0, key)
+        if not isinstance(startx, (int, float, np.integer, np.floating)) or \
+                isinstance(startx, bool):
+            raise ValueError(f"Cannot tune {key!r}, only numeric types can be "
+                             "hyperoptimised.")
+        ptype = int if isinstance(startx, (int, np.integer)) else float
+
+        if logspace_eta and key == "eta":
+            if isinstance(val, (list, np.ndarray)) or len(val) == 3:
+                raise ValueError("logspace_eta doesn't make sense with this "
+                                 "method of specifying eta values")
+            if len(val) == 2:
+                if val[0] <= 0:
+                    raise ValueError("Lower and upper bounds on eta must be "
+                                     "positive!")
+                val = (np.log10(val[0]), np.log10(val[1]))
+
+        if isinstance(val, (list, np.ndarray)):
+            vm = sorted(float(v) for v in val)
+            value_map.append(vm)
+            is_disc.append(True)
+            lo, hi = 1.0, float(len(vm))
+        elif isinstance(val, tuple):
+            if len(val) == 3:
+                vm = list(np.arange(val[0], val[2] + val[1] / 2, val[1],
+                                    dtype=np.float64))
+                value_map.append(vm)
+                is_disc.append(True)
+                lo, hi = 1.0, float(len(vm))
+            elif len(val) == 2:
+                value_map.append([])
+                is_disc.append(ptype is int)
+                lo, hi = float(val[0]), float(val[1])
+            elif len(val) == 0:
+                value_map.append([])
+                is_disc.append(ptype is int)
+                lo = 1.0 if ptype is int else np.finfo(np.float64).eps
+                hi = float(2 ** 30) if ptype is int else np.finfo(np.float64).max
+            else:
+                raise ValueError("Unknown parameter format. Options are "
+                                 "key=[vals], key=(), key=(lb,ub), "
+                                 "key=(lb,step,ub)")
+        else:
+            raise ValueError("Unknown parameter format. Options are "
+                             "key=[vals], key=(), key=(lb,ub), key=(lb,step,ub)")
+
+        sx = float(startx)
+        if logspace_eta and key == "eta" and not value_map[-1]:
+            sx = np.log10(max(sx, 1e-300))
+        if sx < lo or sx > hi:
+            sx = lo
+        fields.append(key)
+        x0.append(sx)
+        lb.append(lo)
+        ub.append(hi)
+        types.append(ptype)
+
+    order = np.argsort(fields, kind="stable")
+    pick = lambda v: [v[i] for i in order]
+    return (pick(fields), np.array(pick(x0)), np.array(pick(lb)),
+            np.array(pick(ub)), np.array(pick(is_disc)), pick(types),
+            pick(value_map))
+
+
+def _safe_paramlist(optslist, fields, types, value_map, logspace_eta,
+                    verbose=False):
+    """Map raw optimiser values to legal hyperparameter values (reference
+    safe_paramlist, tuning.jl:25-56): value-map lookup, integer rounding,
+    logspace eta exponentiation."""
+    out = {}
+    for i, field in enumerate(fields):
+        v = float(optslist[i])
+        if value_map[i]:
+            v = value_map[i][int(round(v)) - 1]
+        t = types[i]
+        if t is int:
+            r = int(round(v))
+            if verbose and not np.isclose(v, r):
+                print(f"Integer parameter {field}={v} rounded to {r}!")
+            out[field] = r
+        elif logspace_eta and field == "eta" and not value_map[i]:
+            out[field] = float(10.0 ** v)
+        else:
+            out[field] = float(v)
+    return out
+
+
+def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
+         parameters: Optional[Dict[str, Any]] = None,
+         method: Optional[MPSRandomSearch] = None, *,
+         objective: TuningLoss = None,
+         opts0: Optional[MPSOptions] = None,
+         rng: Union[int, np.random.Generator] = 1,
+         foldmethod: Union[Callable, list] = make_stratified_cvfolds,
+         pms: Optional[Sequence[float]] = None,
+         windows=None,
+         verbosity: int = 1,
+         logspace_eta: bool = False,
+         maxiters: int = 250,
+         max_cache_hits: int = 100,
+         n_workers: int = 0,
+         impute_method: str = "median",
+         pre_string: str = "") -> Tuple[Dict[str, Any], Dict]:
+    """nfolds-fold hyperparameter tuning (reference tune, tuning.jl:354-512).
+
+    Returns (best_params dict, cache dict mapping hyperparameter tuples to
+    mean CV loss)."""
+    if parameters is None:
+        parameters = {}
+    if ys is None:
+        ys = np.zeros(Xs.shape[0], dtype=np.int64)
+    Xs = np.asarray(Xs, dtype=np.float64)
+    ys = np.asarray(ys)
+    if objective is None:
+        objective = ImputationLoss()
+    if method is None:
+        method = MPSRandomSearch()
+    if opts0 is None:
+        opts0 = MPSOptions(
+            verbosity=-5, log_level=-1,
+            sigmoid_transform=isinstance(objective, (MisclassificationRate,
+                                                     BalancedMisclassificationRate)))
+    if not parameters or nfolds == 0 or maxiters == 0:
+        return {}, {}
+
+    if isinstance(objective, ImputationLoss) and opts0.sigmoid_transform:
+        warnings.warn(pre_string + "Using sigmoid_transform preprocessing on "
+                      "an imputation-style problem generally leads to worse "
+                      "performance.")
+    g = rng if isinstance(rng, np.random.Generator) else np.random.default_rng(rng)
+
+    if isinstance(objective, ImputationLoss):
+        windows = make_windows(windows, pms, Xs, g)
+
+    fields, x0, lb, ub, is_disc, types, value_map = _parse_parameters(
+        dict(parameters), opts0, logspace_eta)
+
+    folds = foldmethod(Xs, ys, nfolds, rng=g) if callable(foldmethod) \
+        else foldmethod
+
+    cache: Dict[tuple, float] = {}
+    state = {"iters": 0, "hits": 0}
+    tstart = time.time()
+
+    def cvloss(fold_i: int, hparams: Dict[str, Any], opts: MPSOptions) -> float:
+        train_inds, val_inds = folds[fold_i]
+        X_tr, y_tr = Xs[train_inds], ys[train_inds]
+        X_val, y_val = Xs[val_inds], ys[val_inds]
+        t0 = time.time()
+        if verbosity >= 1:
+            print(f"{pre_string}iter {state['iters']}, cvfold {fold_i}: "
+                  f"training MPS with {hparams}...")
+        try:
+            mps, _, _ = fit_mps(X_tr, y_tr, opts=opts)
+            loss = float(np.mean(eval_loss(objective, mps, X_val, y_val,
+                                           windows, method=impute_method)))
+        except (FloatingPointError, np.linalg.LinAlgError) as e:
+            # reference retries with a slower SVD algorithm then gives up
+            # (tuning.jl:73-84)
+            if opts.svd_alg == "svd":
+                loss = float("inf")
+            else:
+                if verbosity >= 1:
+                    print(f"{pre_string}iter {state['iters']}, cvfold {fold_i}: "
+                          f"diverged, retrying with svd_alg='svd'")
+                return cvloss(fold_i, hparams, opts.replace(svd_alg="svd"))
+        if verbosity >= 1:
+            print(f"{pre_string}iter {state['iters']}, cvfold {fold_i}: "
+                  f"finished in {time.time() - t0:.2f}s (loss={loss:.6g})")
+        return loss
+
+    executor = ThreadPoolExecutor(n_workers) if n_workers > 0 else None
+
+    def tr_objective(optslist) -> float:
+        hparams = _safe_paramlist(optslist, fields, types, value_map,
+                                  logspace_eta, verbose=verbosity >= 3)
+        key = tuple(hparams[f] for f in fields)
+        if key in cache:
+            state["hits"] += 1
+            if verbosity >= 1 and state["hits"] <= 3:
+                print(f"{pre_string}iter {state['iters']}: cache hit at {hparams}")
+            return cache[key]
+        state["hits"] = 0
+        state["iters"] += 1
+        opts = opts0.replace(**hparams)
+        if executor is not None:
+            losses = list(executor.map(
+                lambda f: cvloss(f, hparams, opts), range(len(folds))))
+        else:
+            losses = [cvloss(f, hparams, opts) for f in range(len(folds))]
+        loss = float(np.mean(losses))
+        cache[key] = loss
+        if verbosity >= 1:
+            print(f"{pre_string}iter {state['iters']}, "
+                  f"t={time.time() - tstart:.2f}s: Mean CV Loss: {loss:.6g}")
+        return loss
+
+    if nfolds <= 1:
+        return _safe_paramlist(x0, fields, types, value_map, logspace_eta), {}
+
+    try:
+        sol = grid_search(g, tr_objective, method, lb, ub, is_disc, fields,
+                          maxiters)
+    finally:
+        if executor is not None:
+            executor.shutdown(wait=False)
+    best = _safe_paramlist(sol, fields, types, value_map, logspace_eta)
+    return best, cache

@@ -1,0 +1,192 @@
+"""Hyperopt tests (reference test/hyperopt.jl, test/meta_hyperopt.jl —
+adapted to small fast configurations)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import mpstime_tpu as mt
+from mpstime_tpu.hyperopt import make_grid, make_stratified_cvfolds, make_windows
+from mpstime_tpu.hyperopt.random_search import sort_big_trials_first
+from mpstime_tpu.hyperopt.tuning import _parse_parameters, _safe_paramlist
+
+
+class TestFolds:
+    def test_stratified(self):
+        ys = np.array([0] * 20 + [1] * 10)
+        Xs = np.zeros((30, 4))
+        folds = make_stratified_cvfolds(Xs, ys, 5, rng=0)
+        assert len(folds) == 5
+        all_val = np.concatenate([v for _, v in folds])
+        assert sorted(all_val) == list(range(30))      # partition
+        for train, val in folds:
+            assert set(train) | set(val) == set(range(30))
+            assert not set(train) & set(val)
+            # stratification: each fold has both classes in ratio ~2:1
+            assert np.sum(ys[val] == 0) == 4
+            assert np.sum(ys[val] == 1) == 2
+
+    def test_empty_fold_raises(self):
+        ys = np.array([0, 1])
+        with pytest.raises(ValueError):
+            make_stratified_cvfolds(np.zeros((2, 3)), ys, 5, rng=0)
+
+
+class TestWindows:
+    def test_from_pms(self):
+        X = np.zeros((5, 50))
+        ws = make_windows(None, [0.1, 0.5], X, rng=0)
+        assert len(ws) == 2
+        assert len(ws[0]) == 5 and len(ws[1]) == 25
+        np.testing.assert_array_equal(np.diff(ws[1]), 1)   # contiguous (MAR)
+
+    def test_manual_and_dict(self):
+        X = np.zeros((5, 50))
+        ws = make_windows([[1, 2, 3]], None, X)
+        np.testing.assert_array_equal(ws[0], [1, 2, 3])
+        wd = make_windows({"b": [4, 5], "a": [1, 2]}, None, X)
+        np.testing.assert_array_equal(wd[0], [1, 2])       # sorted by key
+
+    def test_both_raises(self):
+        with pytest.raises(ValueError):
+            make_windows([[1]], [0.5], np.zeros((2, 10)))
+
+    def test_neither_raises(self):
+        with pytest.raises(ValueError):
+            make_windows(None, None, np.zeros((2, 10)))
+
+
+class TestGrid:
+    def test_latin_hypercube(self):
+        g = np.random.default_rng(0)
+        trials = make_grid(g, "LatinHypercube", [0.0, 1.0], [1.0, 5.0],
+                           [False, True], 8)
+        assert len(trials) == 8
+        arr = np.stack(trials)
+        assert (arr[:, 0] >= 0).all() and (arr[:, 0] <= 1).all()
+        # discrete dim: integer levels within bounds, balanced coverage
+        assert set(arr[:, 1]) <= {1.0, 2.0, 3.0, 4.0, 5.0}
+        # continuous dim stratified: one sample per 1/8 stratum
+        assert len(np.unique((arr[:, 0] * 8).astype(int))) == 8
+
+    def test_uniform_random_dedup(self):
+        g = np.random.default_rng(0)
+        trials = make_grid(g, "UniformRandom", [1], [3], [True], 3)
+        arrs = [tuple(t) for t in trials]
+        assert len(set(arrs)) == len(arrs)
+
+    def test_exhaustive(self):
+        g = np.random.default_rng(0)
+        trials = make_grid(g, "Exhaustive", [1, 1], [2, 3], [True, True], 99)
+        assert len(trials) == 6
+
+    def test_exhaustive_continuous_raises(self):
+        with pytest.raises(ValueError):
+            make_grid(np.random.default_rng(0), "Exhaustive", [0.0], [1.0],
+                      [False], 5)
+
+    def test_big_first_sort(self):
+        trials = [np.array([5.0, 2.0]), np.array([30.0, 8.0]),
+                  np.array([10.0, 4.0])]
+        out = sort_big_trials_first(trials, ["chi_max", "d"])
+        assert out[0][0] == 30.0 and out[-1][0] == 5.0
+
+    def test_invalid_sampling(self):
+        with pytest.raises(ValueError):
+            mt.MPSRandomSearch("Bogus")
+
+
+class TestParamParsing:
+    def test_formats(self):
+        opts0 = mt.MPSOptions()
+        fields, x0, lb, ub, is_disc, types, vmap = _parse_parameters(
+            {"chi_max": (10, 30), "d": [3, 5, 7], "eta": (1e-3, 1e-1),
+             "nsweeps": (2, 2, 10)}, opts0, logspace_eta=False)
+        assert fields == ["chi_max", "d", "eta", "nsweeps"]
+        i = fields.index("d")
+        assert is_disc[i] and vmap[i] == [3.0, 5.0, 7.0]
+        assert lb[i] == 1 and ub[i] == 3
+        i = fields.index("nsweeps")
+        assert vmap[i] == [2.0, 4.0, 6.0, 8.0, 10.0]
+        i = fields.index("eta")
+        assert not is_disc[i]
+
+    def test_safe_paramlist_rounding(self):
+        out = _safe_paramlist([2.4, 0.05], ["chi_max", "eta"], [int, float],
+                              [[], []], False)
+        assert out == {"chi_max": 2, "eta": 0.05}
+
+    def test_value_map_lookup(self):
+        out = _safe_paramlist([2.2], ["d"], [int], [[3.0, 5.0, 7.0]], False)
+        assert out == {"d": 5}
+
+    def test_logspace_eta(self):
+        out = _safe_paramlist([-2.0], ["eta"], [float], [[]], True)
+        assert out == {"eta": pytest.approx(0.01)}
+
+    def test_non_numeric_raises(self):
+        with pytest.raises(ValueError):
+            _parse_parameters({"encoding": (1, 2)}, mt.MPSOptions(), False)
+
+    def test_unknown_field_raises(self):
+        with pytest.raises(ValueError):
+            _parse_parameters({"zeta": (1, 2)}, mt.MPSOptions(), False)
+
+
+@pytest.mark.slow
+class TestTuneEndToEnd:
+    def test_classification_tune(self, two_class_sines):
+        Xtr, ytr, *_ = two_class_sines
+        best, cache = mt.tune(
+            Xtr, ytr, nfolds=2,
+            parameters={"chi_max": (8, 14), "d": [3, 4]},
+            method=mt.MPSRandomSearch("LatinHypercube"),
+            objective=mt.MisclassificationRate(),
+            opts0=mt.MPSOptions(verbosity=-5, log_level=-1, nsweeps=3,
+                                dtype="float64"),
+            maxiters=3, verbosity=0, rng=1)
+        assert set(best) == {"chi_max", "d"}
+        assert 8 <= best["chi_max"] <= 14
+        assert best["d"] in (3, 4)
+        assert len(cache) == 3
+        best_key = tuple(best[f] for f in ["chi_max", "d"])
+        assert cache[best_key] == min(cache.values())
+
+    def test_tune_empty_params(self, two_class_sines):
+        Xtr, ytr, *_ = two_class_sines
+        best, cache = mt.tune(Xtr, ytr, 2, {}, maxiters=5)
+        assert best == {} and cache == {}
+
+    def test_evaluate_classification(self, two_class_sines):
+        Xtr, ytr, *_ = two_class_sines
+        res = mt.evaluate(
+            Xtr, ytr, nfolds=2,
+            tuning_parameters={"chi_max": [8, 12]},
+            objective=mt.MisclassificationRate(),
+            opts0=mt.MPSOptions(verbosity=-5, log_level=-1, nsweeps=3,
+                                dtype="float64"),
+            n_cvfolds=2, tuning_maxiters=2, verbosity=-1)
+        assert len(res) == 2
+        for r in res:
+            assert 0.0 <= r["loss"] <= 1.0
+            assert r["opts"].chi_max in (8, 12)
+            # fold indices partition the data
+            assert len(np.intersect1d(r["train_inds"], r["test_inds"])) == 0
+
+    def test_evaluate_write_resume(self, two_class_sines, tmp_path):
+        Xtr, ytr, *_ = two_class_sines
+        kw = dict(
+            tuning_parameters={"chi_max": [8, 12]},
+            objective=mt.MisclassificationRate(),
+            opts0=mt.MPSOptions(verbosity=-5, log_level=-1, nsweeps=2,
+                                dtype="float64"),
+            n_cvfolds=2, tuning_maxiters=1, verbosity=-1, write=True,
+            writedir=str(tmp_path), simname="resume_test")
+        res1 = mt.evaluate(Xtr, ytr, nfolds=2, fold_inds=[0],
+                           delete_tmps=False, **kw)
+        assert os.path.isfile(tmp_path / "resume_test_tmp" / "f0.pkl")
+        res2 = mt.evaluate(Xtr, ytr, nfolds=2, **kw)
+        assert res2[0]["fold"] == 0 and res2[1]["fold"] == 1
+        # fold 0 was loaded from the checkpoint
+        assert res2[0]["loss"] == res1[0]["loss"]
