@@ -30,6 +30,7 @@ from .analysis import (von_neumann_entropy, bipartite_spectrum,
 from .hyperopt import (tune, evaluate, MPSRandomSearch, MisclassificationRate,
                        BalancedMisclassificationRate, ImputationLoss,
                        eval_loss, make_stratified_cvfolds, make_windows)
+from .models.serialize import save_mps, load_mps, trained_mps_equal
 
 __version__ = "0.1.0"
 
@@ -51,4 +52,5 @@ __all__ = [
     "tune", "evaluate", "MPSRandomSearch", "MisclassificationRate",
     "BalancedMisclassificationRate", "ImputationLoss", "eval_loss",
     "make_stratified_cvfolds", "make_windows",
+    "save_mps", "load_mps", "trained_mps_equal",
 ]
