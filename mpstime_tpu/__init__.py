@@ -31,6 +31,8 @@ from .hyperopt import (tune, evaluate, MPSRandomSearch, MisclassificationRate,
                        BalancedMisclassificationRate, ImputationLoss,
                        eval_loss, make_stratified_cvfolds, make_windows)
 from .models.serialize import save_mps, load_mps, trained_mps_equal
+from .models.classifier import MPSClassifier
+from .vis import plot_encoding, plot_conf_mat, plot_training_summary
 
 __version__ = "0.1.0"
 
@@ -53,4 +55,5 @@ __all__ = [
     "BalancedMisclassificationRate", "ImputationLoss", "eval_loss",
     "make_stratified_cvfolds", "make_windows",
     "save_mps", "load_mps", "trained_mps_equal",
+    "MPSClassifier", "plot_encoding", "plot_conf_mat", "plot_training_summary",
 ]
