@@ -43,7 +43,7 @@ def main():
     y_onehot = jnp.asarray(np.eye(C, dtype=np.float32)[ds.y_idx])
     w = jnp.full((N,), 1.0 / N, jnp.float32)
     kw = dict(loss="KLD", bbopt="TSGO", update_iters=1,
-              rescale=(False, True), svd_alg="gram_eigh")
+              rescale=(False, True), svd_alg=opts.resolved_svd_alg())
 
     cores, center = mps.cores, mps.center
     eta = jnp.float32(opts.eta)

@@ -116,8 +116,12 @@ class MPSOptions:
     rescale: Tuple[bool, bool] = (False, True)
     train_classes_separately: bool = False
 
-    # SVD
-    svd_alg: str = "gram_eigh"      # "gram_eigh" | "svd" (jnp.linalg.svd)
+    # SVD / truncated-split algorithm:
+    #   "auto"       -> "randomized" on accelerators, "gram_eigh" on CPU
+    #   "randomized" -> sketched power iteration + Rayleigh-Ritz (TPU fast path)
+    #   "gram_eigh"  -> exact eigendecomposition of the small-side Gram matrix
+    #   "svd"        -> jnp.linalg.svd (reference-precision fallback)
+    svd_alg: str = "auto"
 
     # Debug
     return_encoding_meta_info: bool = False
@@ -156,6 +160,12 @@ class MPSOptions:
     def real_dtype(self) -> np.dtype:
         dt = self.resolved_dtype()
         return np.dtype(np.zeros(0, dt).real.dtype)
+
+    def resolved_svd_alg(self) -> str:
+        if self.svd_alg != "auto":
+            return self.svd_alg
+        import jax
+        return "gram_eigh" if jax.default_backend() == "cpu" else "randomized"
 
     # ---- convenience ------------------------------------------------------
     def replace(self, **kwargs) -> "MPSOptions":

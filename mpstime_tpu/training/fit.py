@@ -158,7 +158,7 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
                         if real_dt == np.float64 else np.float32),
             loss=opts.loss_grad, bbopt=opts.bbopt,
             update_iters=opts.update_iters, rescale=opts.rescale,
-            svd_alg=opts.svd_alg)
+            svd_alg=opts.resolved_svd_alg())
         jax.block_until_ready(center)
         elapsed = time.perf_counter() - t0
         mps = MPS(cores, center, T - 1)

@@ -142,6 +142,38 @@ class TestDecomp:
         US2, _ = split_bond_left(jnp.asarray(M), 4, 1e-14, "gram_eigh")
         assert (np.abs(np.asarray(US2)).sum(0) > 1e-10).sum() == 4
 
+    def test_randomized_split_near_optimal(self):
+        # sketched power-iteration split: near-optimal truncation error,
+        # orthonormal factors, exact zero on masked directions
+        rng = np.random.default_rng(5)
+        A = rng.standard_normal((640, 30)) @ rng.standard_normal((30, 320)) \
+            + 1e-3 * rng.standard_normal((640, 320))
+        from mpstime_tpu.ops.decomp import (randomized_split_left,
+                                            randomized_split_right)
+        US, Vh = randomized_split_left(jnp.asarray(A), 64, 1e-12)
+        err = np.linalg.norm(np.asarray(US @ Vh) - A) / np.linalg.norm(A)
+        U, S, V = np.linalg.svd(A, full_matrices=False)
+        opt = np.linalg.norm(S[64:]) / np.linalg.norm(S)
+        assert err <= 2 * opt + 1e-8
+        # kept rows of Vh orthonormal
+        G = np.asarray(Vh @ Vh.conj().T)
+        kept = np.abs(np.asarray(Vh)).sum(1) > 1e-9
+        np.testing.assert_allclose(G[np.ix_(kept, kept)],
+                                   np.eye(kept.sum()), atol=1e-6)
+
+        Ut, SVh = randomized_split_right(jnp.asarray(A.T), 64, 1e-12)
+        err_r = np.linalg.norm(np.asarray(Ut @ SVh) - A.T) / np.linalg.norm(A)
+        assert err_r <= 2 * opt + 1e-8
+
+    def test_randomized_fallback_small(self):
+        # when the sketch wouldn't be smaller than the matrix, falls back to
+        # the exact gram_eigh path
+        rng = np.random.default_rng(6)
+        M = jnp.asarray(rng.standard_normal((24, 12)))
+        US, Vh = split_bond_left(M, 12, 0.0, "randomized")
+        np.testing.assert_allclose(np.asarray(US @ Vh), np.asarray(M),
+                                   atol=1e-9)
+
     def test_trunc_mask_exact(self):
         w = jnp.asarray([0.6, 0.3, 0.09, 0.01])
         # cutoff 0.05: suffix sums are [1, .4, .1, .01]; drop entries with
