@@ -22,7 +22,8 @@ from .utils.preprocessing import (TransformNorms, transform_data,
                                   transform_train_data, transform_test_data,
                                   invert_test_transform)
 from .imputation import (ImputationProblem, init_imputation_problem,
-                         mps_impute, MPS_impute, get_cdfs, kNN_impute)
+                         mps_impute, MPS_impute, get_cdfs, kNN_impute,
+                         sample_trajectories)
 from .simulation import mcar, mar, mnar, trendy_sine, state_space
 from .analysis import (von_neumann_entropy, bipartite_spectrum,
                        single_site_entropy, single_site_spectrum,
@@ -47,7 +48,7 @@ __all__ = [
     "TransformNorms", "transform_data", "transform_train_data",
     "transform_test_data", "invert_test_transform",
     "ImputationProblem", "init_imputation_problem", "mps_impute",
-    "MPS_impute", "get_cdfs", "kNN_impute",
+    "MPS_impute", "get_cdfs", "kNN_impute", "sample_trajectories",
     "mcar", "mar", "mnar", "trendy_sine", "state_space",
     "von_neumann_entropy", "bipartite_spectrum", "single_site_entropy",
     "single_site_spectrum", "see_variation", "one_site_rdm", "rho_correct",

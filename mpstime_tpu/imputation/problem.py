@@ -452,6 +452,37 @@ def mps_impute(imp: ImputationProblem, class_label, instance: int,
     return ts, pred_err, target, stats, plots
 
 
+def sample_trajectories(trained, class_label=None, n: int = 1, *,
+                        rseed: int = 1, dx: float = 1e-3,
+                        rejection_threshold=None, max_trials: int = 10,
+                        invert_transform: bool = True) -> np.ndarray:
+    """Sample whole synthetic series from a trained MPS's learned joint
+    distribution: inverse-transform sampling with every site missing
+    (the unconditional limit of the imputation engine).
+
+    Returns [n, T] trajectories in data units (or scaled units when
+    ``invert_transform=False``)."""
+    from ..training.fit import TrainedMPS
+    if not isinstance(trained, TrainedMPS):
+        raise TypeError("sample_trajectories expects a TrainedMPS")
+    if class_label is None:
+        class_label = trained.labels[0]
+    T = trained.mps.T
+    # one dummy test instance of the requested class; all sites missing
+    dummy = np.tile(np.mean(trained.train_data.X_orig, axis=0), (1, 1))
+    imp = init_imputation_problem(
+        trained, dummy, np.asarray([class_label]), dx=dx, verbosity=-1,
+        test_encoding=False)
+    out = []
+    for i in range(n):
+        ts, _, _ = get_predictions(
+            imp, class_label, 0, np.arange(T), "ITS",
+            invert_transform=invert_transform, rseed=rseed + i,
+            rejection_threshold=rejection_threshold, max_trials=max_trials)
+        out.append(ts[0])
+    return np.stack(out)
+
+
 def get_cdfs(imp: ImputationProblem, class_label, instance: int,
              missing_sites: Sequence[int], **kwargs):
     """Median-impute and return the per-site conditional CDFs

@@ -48,7 +48,8 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
             X_test: Optional[np.ndarray] = None,
             y_test: Optional[np.ndarray] = None,
             opts: MPSOptions = None,
-            custom_encoding: Optional[EncodingSpec] = None
+            custom_encoding: Optional[EncodingSpec] = None,
+            mesh=None
             ) -> Tuple[TrainedMPS, Dict[str, list], EncodedDataset]:
     """Train a label-indexed MPS (reference fitMPS :383).
 
@@ -56,6 +57,11 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
     (unsupervised, :416).  X_test/y_test are only used for evaluation logging.
     Returns (trained, info, encoded_test_states); note the test states are
     class-sorted (reference NOTE at :267).
+
+    ``mesh``: a 1-D ``jax.sharding.Mesh`` (see :func:`mpstime_tpu.parallel.
+    make_mesh`) to shard the sample axis across devices — the MPS is
+    replicated and GSPMD inserts one gradient all-reduce per bond update.
+    The sample count is padded to a mesh multiple with zero-weight copies.
     """
     if opts is None:
         opts = MPSOptions()
@@ -113,6 +119,22 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
         w = np.full(N, 1.0 / N)
     class_weight = jnp.asarray(w, dtype=real_dt)
 
+    if mesh is not None:
+        from ..parallel import replicate, shard_train_arrays
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        pad = (-N) % n_dev
+        if pad:
+            # zero-weight copies of the first sample keep every shard's
+            # contractions finite while contributing nothing to loss/grad
+            phis_c = jnp.concatenate(
+                [phis_c, jnp.repeat(phis_c[:, :1], pad, axis=1)], axis=1)
+            y_onehot = jnp.concatenate(
+                [y_onehot, jnp.repeat(y_onehot[:1], pad, axis=0)], axis=0)
+            class_weight = jnp.concatenate(
+                [class_weight, jnp.zeros((pad,), real_dt)], axis=0)
+        phis_c, y_onehot, class_weight = shard_train_arrays(
+            mesh, phis_c, y_onehot, class_weight)
+
     info: Dict[str, list] = {k: [] for k in
                              ("train_loss", "train_acc", "train_KL_div",
                               "test_loss", "test_acc", "test_KL_div",
@@ -146,6 +168,9 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
 
     # ---- sweeps -----------------------------------------------------------
     cores, center = mps.cores, mps.center
+    if mesh is not None:
+        from ..parallel import replicate
+        cores, center = replicate(mesh, cores, center)
     for sweep in range(opts.nsweeps):
         if verb > -1:
             print(f"Starting sweep [{sweep + 1}/{opts.nsweeps}] "

@@ -141,6 +141,30 @@ class TestImputationMethods:
         np.testing.assert_allclose(cdfs[:, 0], 0.0, atol=1e-9)
 
 
+class TestSampling:
+    def test_trajectories_match_training_distribution(self):
+        # trained on phase-randomised sines: samples should be in-range and
+        # share the dominant frequency
+        rng = np.random.default_rng(0)
+        T, n = 40, 60
+        t = np.linspace(0, 4 * np.pi, T)
+        X = np.sin(t[None] + rng.uniform(0, 2 * np.pi, (n, 1))) \
+            + 0.05 * rng.standard_normal((n, T))
+        opts = mt.MPSOptions(nsweeps=4, chi_max=12, d=4, verbosity=-1,
+                             dtype="float64", log_level=0)
+        trained, _, _ = mt.fit_mps(X, np.zeros(n, int), opts=opts)
+        traj = mt.sample_trajectories(trained, n=3, rseed=7)
+        assert traj.shape == (3, T)
+        assert np.isfinite(traj).all()
+        assert traj.min() >= X.min() - 0.3 and traj.max() <= X.max() + 0.3
+        f_tr = np.abs(np.fft.rfft(X, axis=1))[:, 1:].mean(0).argmax()
+        f_s = np.abs(np.fft.rfft(traj, axis=1))[:, 1:].mean(0).argmax()
+        assert f_tr == f_s
+        # reproducible under the same seed
+        traj2 = mt.sample_trajectories(trained, n=3, rseed=7)
+        np.testing.assert_allclose(traj, traj2, atol=1e-12)
+
+
 class TestProblemSetup:
     def test_invalid_class(self, imp):
         with pytest.raises(ValueError):

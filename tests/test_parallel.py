@@ -48,6 +48,28 @@ def test_sharded_sweep_matches_single_device(tiny_problem):
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-8)
 
 
+def test_fit_mps_with_mesh(tiny_problem):
+    # end-to-end fit with the sample axis sharded over 8 devices; N=48 is
+    # not a multiple of 8 after the class split, exercising the zero-weight
+    # padding path too
+    import mpstime_tpu as mt
+    rng = np.random.default_rng(0)
+    T, n = 20, 30   # 30 samples -> pad to 32 on the mesh
+    t = np.linspace(0, 2 * np.pi, T)
+    X = np.concatenate([np.sin(t[None] + rng.uniform(0, 6, (n // 2, 1))),
+                        np.sin(5 * t[None] + rng.uniform(0, 6, (n // 2, 1)))])
+    y = np.repeat([0, 1], n // 2)
+    opts = mt.MPSOptions(nsweeps=3, chi_max=8, d=3, verbosity=-1,
+                         dtype="float64", log_level=0)
+    mesh = make_mesh(8)
+    trained_m, _, _ = mt.fit_mps(X, y, opts=opts, mesh=mesh)
+    trained_s, _, _ = mt.fit_mps(X, y, opts=opts)
+    # sharded and single-device training agree up to FP reduction order
+    np.testing.assert_allclose(np.asarray(trained_m.mps.center),
+                               np.asarray(trained_s.mps.center), atol=1e-8)
+    assert np.mean(mt.classify(trained_m, X) == y) >= 0.9
+
+
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
