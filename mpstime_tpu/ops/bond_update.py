@@ -99,29 +99,75 @@ def mse_loss_grad(BT: jnp.ndarray, le, re, phi_l, phi_r,
     return loss, grad.reshape(BT.shape)
 
 
+def mixed_loss_grad(BT: jnp.ndarray, le, re, phi_l, phi_r,
+                    y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
+                    env_ls: jnp.ndarray, alpha: float = 5.0
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mixed loss = KLD + alpha * MSE (the reference's :Mixed loss,
+    loss_functions.jl:622-668, legacy-engine only there; alpha=5 default)."""
+    l1, g1 = kld_loss_grad(BT, le, re, phi_l, phi_r, y_onehot, class_weight,
+                           env_ls)
+    l2, g2 = mse_loss_grad(BT, le, re, phi_l, phi_r, y_onehot, class_weight,
+                           env_ls)
+    return l1 + alpha * l2, g1 + alpha * g2
+
+
+_LOSS_GRADS = {"KLD": kld_loss_grad, "MSE": mse_loss_grad,
+               "MIXED": mixed_loss_grad}
+
+
 def apply_update(BT: jnp.ndarray, le, re, phi_l, phi_r, y_onehot, class_weight,
                  env_ls, *, eta, loss: str = "KLD", bbopt: str = "TSGO",
                  update_iters: int = 1, rescale: Tuple[bool, bool] = (False, True)
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Optimise one bond tensor (reference apply_update, loss_functions.jl:88-188).
 
+    Optimisers: "GD" (fixed-step), "TSGO" (normalized-gradient step,
+    loss_functions.jl:79), "CGD" (Polak-Ribiere nonlinear conjugate gradient
+    with normalized step — the role of the reference's Optim/OptimKit CGD,
+    which uses a line search instead of a fixed step).
+
     Returns (loss_before_last_step, BT_new)."""
-    loss_grad = kld_loss_grad if loss == "KLD" else mse_loss_grad
+    loss_grad = _LOSS_GRADS[loss]
 
     if rescale[0]:
         BT = BT / jnp.linalg.norm(BT)
 
-    def step(carry, _):
-        BT, _ = carry
-        l, g = loss_grad(BT, le, re, phi_l, phi_r, y_onehot, class_weight, env_ls)
-        if bbopt == "TSGO":
-            # TSGO: BT -= eta * grad / ||grad||   (loss_functions.jl:79)
-            g = g / jnp.linalg.norm(g)
-        BT = BT - jnp.asarray(eta, dtype=BT.dtype) * g
-        return (BT, l), None
+    eta_c = jnp.asarray(eta)
 
-    zero = jnp.zeros((), jnp.result_type(BT.real))
-    (BT, last_loss), _ = jax.lax.scan(step, (BT, zero), None, length=update_iters)
+    if bbopt == "CGD":
+        def step(carry, _):
+            BT, g_prev, p_prev, _ = carry
+            l, g = loss_grad(BT, le, re, phi_l, phi_r, y_onehot, class_weight,
+                             env_ls)
+            denom = jnp.maximum(jnp.real(jnp.vdot(g_prev, g_prev)),
+                                jnp.finfo(g.real.dtype).tiny)
+            beta = jnp.maximum(jnp.real(jnp.vdot(g, g - g_prev)) / denom, 0.0)
+            has_prev = jnp.real(jnp.vdot(g_prev, g_prev)) > 0
+            p = -g + jnp.where(has_prev, beta, 0.0).astype(g.dtype) * p_prev
+            pn = p / jnp.maximum(jnp.linalg.norm(p),
+                                 jnp.finfo(g.real.dtype).tiny)
+            BT = BT + eta_c.astype(BT.dtype) * pn
+            return (BT, g, p, l), None
+
+        zero = jnp.zeros((), jnp.result_type(BT.real))
+        (BT, _, _, last_loss), _ = jax.lax.scan(
+            step, (BT, jnp.zeros_like(BT), jnp.zeros_like(BT), zero),
+            None, length=update_iters)
+    else:
+        def step(carry, _):
+            BT, _ = carry
+            l, g = loss_grad(BT, le, re, phi_l, phi_r, y_onehot, class_weight,
+                             env_ls)
+            if bbopt == "TSGO":
+                # TSGO: BT -= eta * grad / ||grad||   (loss_functions.jl:79)
+                g = g / jnp.linalg.norm(g)
+            BT = BT - eta_c.astype(BT.dtype) * g
+            return (BT, l), None
+
+        zero = jnp.zeros((), jnp.result_type(BT.real))
+        (BT, last_loss), _ = jax.lax.scan(step, (BT, zero), None,
+                                          length=update_iters)
 
     if rescale[1]:
         BT = BT / jnp.linalg.norm(BT)

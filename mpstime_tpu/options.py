@@ -128,16 +128,20 @@ class MPSOptions:
 
     def __post_init__(self):
         object.__setattr__(self, "encoding", canonical_encoding_name(self.encoding))
-        if self.loss_grad.upper() not in ("KLD", "MSE"):
-            raise ValueError(f"loss_grad must be 'KLD' or 'MSE', got {self.loss_grad!r}")
+        if self.loss_grad.upper() not in ("KLD", "MSE", "MIXED"):
+            raise ValueError(f"loss_grad must be 'KLD', 'MSE' or 'Mixed', "
+                             f"got {self.loss_grad!r}")
         object.__setattr__(self, "loss_grad", self.loss_grad.upper())
         bb = self.bbopt.upper()
         if bb in ("GD", "CUSTOMGD"):
             bb = "GD"
-        elif bb == "TSGO":
-            bb = "TSGO"
+        elif bb in ("TSGO", "CGD"):
+            pass
+        elif bb in ("OPTIM", "OPTIMKIT"):
+            bb = "CGD"   # the reference's Optim/OptimKit solvers are CGD-based
         else:
-            raise ValueError(f"bbopt must be 'GD' or 'TSGO', got {self.bbopt!r}")
+            raise ValueError(f"bbopt must be 'GD', 'TSGO' or 'CGD', "
+                             f"got {self.bbopt!r}")
         object.__setattr__(self, "bbopt", bb)
         if isinstance(self.rescale, list):
             object.__setattr__(self, "rescale", tuple(self.rescale))

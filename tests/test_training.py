@@ -97,6 +97,38 @@ class TestEndToEnd:
         trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
         assert np.mean(mt.classify(trained, Xte) == yte) >= 0.85
 
+    @pytest.mark.parametrize("lg,bb,ui,eta,thresh", [
+        ("Mixed", "TSGO", 1, 0.05, 0.95),
+        ("KLD", "CGD", 3, 0.05, 0.95),
+        ("MSE", "CGD", 5, 0.1, 0.7),
+    ])
+    def test_loss_optimiser_variants(self, lg, bb, ui, eta, thresh):
+        # Mixed loss (reference loss_functions.jl:622-668) and the CGD
+        # optimiser (role of the reference's Optim/OptimKit solvers) on a
+        # short, well-separated problem
+        rng = np.random.default_rng(42)
+        T, n_per = 20, 40
+        t = np.linspace(0, 2 * np.pi, T)
+
+        def make(f, n):
+            return np.sin(f * t[None] + rng.uniform(0, 2 * np.pi, (n, 1))) \
+                + 0.05 * rng.standard_normal((n, T))
+
+        X = np.concatenate([make(1.0, n_per), make(5.0, n_per)])
+        y = np.repeat([0, 1], n_per)
+        perm = rng.permutation(2 * n_per)
+        X, y = X[perm], y[perm]
+        opts = mt.MPSOptions(nsweeps=5, chi_max=12, d=4, loss_grad=lg,
+                             bbopt=bb, eta=eta, update_iters=ui,
+                             verbosity=-1, dtype="float64", log_level=0)
+        tr, _, _ = mt.fit_mps(X[:48], y[:48], opts=opts)
+        assert np.mean(mt.classify(tr, X[48:]) == y[48:]) >= thresh
+
+    def test_optim_alias(self):
+        # reference :Optim/:OptimKit map to CGD-style solvers
+        assert mt.MPSOptions(bbopt="Optim").bbopt == "CGD"
+        assert mt.MPSOptions(loss_grad="Mixed").loss_grad == "MIXED"
+
     def test_mps_stays_normalized(self, two_class_sines):
         Xtr, ytr, *_ = two_class_sines
         opts = mt.MPSOptions(nsweeps=2, chi_max=10, d=3, verbosity=-1,
