@@ -1,12 +1,16 @@
 """Benchmark: DMRG training sweep wall-clock on TPU.
 
-Workload: ECG200-shaped classification (T=96 sites, N=100 train samples,
-C=2 classes, d=5 Legendre) at chi_max=64 — the BASELINE.md north-star config.
+Primary workload: ECG200 classification (T=96 sites, N=100 train samples,
+C=2, d=5 Legendre) at chi_max=64 — the BASELINE.md north-star config.
+Also reported: chi=32 on the same data, and an IPD-shaped synthetic workload
+(T=24, N=67 — the shape of the reference's published sweep anchor; the real
+IPD data is not vendorable offline).
+
 Reference anchor: the Julia implementation's published sweep wall-clock is
-0.66-1.16 s/sweep (mean 0.80 s) on CPU for an IPD-sized run
-(src/Training/RealRealHighDimension.jl:367-379); this is the only recoverable
-wall-clock number, so vs_baseline = 0.80 / our_sweep_time (>1 means faster).
-Note our workload is *harder* than the anchor's (96 sites vs 24).
+0.66-1.16 s/sweep (mean 0.80 s) on CPU for the IPD-sized run
+(src/Training/RealRealHighDimension.jl:367-379) — the only recoverable
+wall-clock number, so vs_baseline = 0.80 / our chi=64 ECG200 sweep time
+(>1 means faster, on a ~20x larger workload than the anchor's).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -17,75 +21,86 @@ import time
 import numpy as np
 
 
-def main():
+def _steady_sweep_time(X, y, chi, d, nsweeps_warm=3, reps=5):
     import jax
     import jax.numpy as jnp
 
-    from mpstime_tpu.models.mps import random_mps
-    from mpstime_tpu.training.sweep import full_sweep
-
-    d_npz = np.load("tests/data/ecg200.npz")
-    X, y = d_npz["X_train"], d_npz["y_train"]
-
     import mpstime_tpu as mt
     from mpstime_tpu.encodings import encode_dataset
+    from mpstime_tpu.models.mps import random_mps
+    from mpstime_tpu.training.sweep import full_sweep
     from mpstime_tpu.utils.preprocessing import transform_data
 
-    CHI = 64
-    opts = mt.MPSOptions(chi_max=CHI, d=5, verbosity=-1, dtype="float32")
-    Xs, _, norms, _ = transform_data(X, np.zeros((0, X.shape[1])), opts)
+    opts = mt.MPSOptions(chi_max=chi, d=d, verbosity=-1, dtype="float32")
+    Xs, _, _, _ = transform_data(X, np.zeros((0, X.shape[1])), opts)
     ds = encode_dataset(X, Xs, y, opts)
     T, N = X.shape[1], X.shape[0]
     C = ds.num_classes
-
-    mps = random_mps(opts.init_rng, T, opts.d, C, opts.chi_init, CHI, np.float32)
+    mps = random_mps(opts.init_rng, T, d, C, opts.chi_init, chi, np.float32)
     phis_c = jnp.conj(ds.X_enc).swapaxes(0, 1)
     y_onehot = jnp.asarray(np.eye(C, dtype=np.float32)[ds.y_idx])
     w = jnp.full((N,), 1.0 / N, jnp.float32)
     kw = dict(loss="KLD", bbopt="TSGO", update_iters=1,
               rescale=(False, True), svd_alg=opts.resolved_svd_alg())
-
-    cores, center = mps.cores, mps.center
     eta = jnp.float32(opts.eta)
     cutoff = jnp.float32(opts.cutoff)
 
     def sync(x):
-        # block_until_ready is a no-op on some remote platforms; a host
-        # transfer of a scalar is a reliable barrier
+        # block_until_ready is a no-op on some remote platforms; transfer a
+        # scalar as a reliable barrier
         return float(jnp.linalg.norm(x))
 
-    # warmup/compile + 2 real sweeps to reach steady-state bond dims
-    for _ in range(3):
+    cores, center = mps.cores, mps.center
+    for _ in range(nsweeps_warm):
         cores, center = full_sweep(cores, center, phis_c, y_onehot, w,
                                    eta, cutoff, **kw)
     sync(center)
-
     times = []
-    for _ in range(5):
+    for _ in range(reps):
         t0 = time.perf_counter()
         cores, center = full_sweep(cores, center, phis_c, y_onehot, w,
                                    eta, cutoff, **kw)
         sync(center)
         times.append(time.perf_counter() - t0)
 
-    t_sweep = float(np.median(times))
-    baseline = 0.80  # s/sweep, Julia reference anchor (see module docstring)
-
-    # quick accuracy sanity on the training set after the bench sweeps
     from mpstime_tpu.models.mps import MPS
     from mpstime_tpu.training.stats import loss_acc_conf
-    m = MPS(cores, center, T - 1)
-    _, _, train_acc, _ = loss_acc_conf(m, ds.X_enc, ds.y_idx)
+    _, _, acc, _ = loss_acc_conf(MPS(cores, center, T - 1), ds.X_enc, ds.y_idx)
+    return float(np.median(times)), float(acc)
 
+
+def main():
+    import jax
+
+    d_npz = np.load("tests/data/ecg200.npz")
+    X, y = d_npz["X_train"], d_npz["y_train"]
+
+    t64, acc64 = _steady_sweep_time(X, y, chi=64, d=5)
+    t32, _ = _steady_sweep_time(X, y, chi=32, d=5)
+
+    # IPD-shaped synthetic anchor workload (T=24, N=67, 2 classes)
+    rng = np.random.default_rng(0)
+    T_ipd, N_ipd = 24, 67
+    t_ax = np.linspace(0, 2 * np.pi, T_ipd)
+    Xi = np.concatenate([
+        np.sin(t_ax[None] + rng.uniform(0, 6, (34, 1))),
+        np.sin(3 * t_ax[None] + rng.uniform(0, 6, (33, 1)))])
+    Xi += 0.1 * rng.standard_normal(Xi.shape)
+    yi = np.repeat([0, 1], [34, 33])
+    t_ipd, _ = _steady_sweep_time(Xi, yi, chi=25, d=5)
+
+    baseline = 0.80  # s/sweep, Julia reference anchor (module docstring)
     print(json.dumps({
         "metric": "ecg200_sweep_time_chi64",
-        "value": round(t_sweep, 5),
+        "value": round(t64, 5),
         "unit": "s/sweep",
-        "vs_baseline": round(baseline / t_sweep, 2),
-        "sweep_times": [round(t, 4) for t in times],
-        "train_acc_after_8_sweeps": round(float(train_acc), 4),
+        "vs_baseline": round(baseline / t64, 2),
+        "ecg200_sweep_time_chi32": round(t32, 5),
+        "ipd_shape_sweep_time_chi25": round(t_ipd, 5),
+        "ipd_shape_vs_baseline": round(baseline / t_ipd, 2),
+        "train_acc_after_8_sweeps_chi64": round(acc64, 4),
         "device": str(jax.devices()[0]),
-        "shapes": {"T": T, "N": N, "chi": CHI, "d": opts.d, "C": C},
+        "shapes": {"T": 96, "N": 100, "chi": 64, "d": 5},
     }))
 
 

@@ -97,23 +97,25 @@ def eval_loss(objective: TuningLoss, mps: TrainedMPS, X_val: np.ndarray,
         return np.array([1.0 - recall_sum / len(classes)])
 
     if isinstance(objective, ImputationLoss):
-        from ..imputation import init_imputation_problem, mps_impute
+        from ..imputation import init_imputation_problem
+        from ..imputation.problem import impute_batch
         if windows is None:
             raise ValueError("ImputationLoss requires windows")
         imp = init_imputation_problem(mps, X_val, y_val, verbosity=-5,
                                       test_encoding=False)
-        # instance -> (class, class-relative index) (hyperopt_utils.jl:196-198)
-        scores = np.zeros((len(y_val), len(windows)))
-        counters = {c: 0 for c in np.unique(y_val)}
-        for inst in range(len(y_val)):
-            cls = y_val[inst]
-            rel = counters[cls]
-            counters[cls] += 1
+        # all instances of a class share a window's missing pattern -> one
+        # vmapped kernel call per (class, window) (the reference loops
+        # MPS_impute per instance, hyperopt_utils.jl:215-227)
+        total = np.zeros(len(windows))
+        for cls in np.unique(y_val):
+            n_c = int(np.sum(y_val == cls))
+            rel = np.arange(n_c)
             for iw, sites in enumerate(windows):
-                _, _, _, stats, _ = mps_impute(
-                    imp, cls, rel, sites, method, NN_baseline=False,
-                    plot_fits=False, get_metrics=True)
-                scores[inst, iw] = stats[0]["MAE"]
-        return scores.mean(axis=0)
+                ts, targets = impute_batch(imp, cls, rel, sites, method)
+                sites = np.asarray(sites, dtype=int)
+                mae_per = np.mean(np.abs(ts[:, sites] - targets[:, sites]),
+                                  axis=1)
+                total[iw] += mae_per.sum()
+        return total / len(y_val)
 
     raise TypeError(f"unknown objective {objective!r}")

@@ -452,6 +452,74 @@ def mps_impute(imp: ImputationProblem, class_label, instance: int,
     return ts, pred_err, target, stats, plots
 
 
+def impute_batch(imp: ImputationProblem, class_label,
+                 instances: Sequence[int], missing_sites: Sequence[int],
+                 method: str = "median", *, rseed: int = 1,
+                 invert_transform: bool = True, **kwargs):
+    """Impute the SAME missing pattern across many instances of one class in
+    a single vmapped kernel call (the hyperopt ImputationLoss hot path —
+    the reference loops MPS_impute per instance, hyperopt_utils.jl:215-227).
+
+    Returns (ts [B, T] imputed series, targets [B, T] ground truth)."""
+    missing_sites = np.asarray(missing_sites, dtype=int)
+    instances = np.asarray(instances, dtype=int)
+    ci = imp.class_index(class_label)
+    opts = imp.opts
+    T = imp.T
+    cl_inds = np.where(imp.y_test == class_label)[0]
+    targets_raw = imp.X_test[cl_inds[instances]].astype(np.float64)   # [B, T]
+    B = targets_raw.shape[0]
+
+    filled = targets_raw.copy()
+    filled[:, missing_sites] = float(np.mean(imp.X_train))
+    scaled, oob = transform_test_data(filled, imp.norms, opts)
+
+    spec = imp.spec()
+    enc_args = imp.class_enc_args(ci) if (opts.encode_classes_separately and
+                                          isinstance(imp.enc_args, list)) \
+        else imp.enc_args
+    phis = spec.encode_batch(jnp.asarray(scaled), opts.d, enc_args)
+    phis_c = jnp.conj(jnp.asarray(phis, dtype=imp.cores_full[0].dtype))
+
+    known_mask = np.ones(T, dtype=bool)
+    known_mask[missing_sites] = False
+    m0 = np.sort(missing_sites)[0] - 1
+    if m0 >= 0 and known_mask[m0]:
+        x_prev0 = scaled[:, m0]
+    else:
+        x_prev0 = np.full(B, np.nan)
+
+    mname = {"median": "median", "mean": "mean", "mode": "mode",
+             "ITS": "its", "its": "its"}[method.lstrip(":")]
+    kern_kwargs = {"get_err": False}
+    if mname == "mode":
+        kern_kwargs["max_jump"] = kwargs.get("max_jump")
+    if mname == "its":
+        kern_kwargs["rejection_threshold"] = kwargs.get("rejection_threshold")
+        kern_kwargs["max_trials"] = kwargs.get("max_trials", 10)
+
+    key = (ci, mname, "batch") + tuple(sorted(kern_kwargs.items(),
+                                              key=lambda kv: kv[0]))
+    if key not in imp._kernels:
+        kern, cores = imp.kernel(ci, mname, "forwards", **kern_kwargs)
+        imp._kernels[key] = (jax.vmap(kern, in_axes=(None, 0, None, 0, 0, 0)),
+                             cores)
+    vkern, cores = imp._kernels[key]
+
+    keys = jax.random.split(jax.random.PRNGKey(rseed), B)
+    res = vkern(cores, phis_c, jnp.asarray(known_mask), jnp.asarray(scaled),
+                jnp.asarray(x_prev0), keys)
+    xs = np.asarray(res.x_samps, np.float64)                          # [B, T]
+    if not invert_transform:
+        return xs, transform_test_data(targets_raw, imp.norms, opts)[0]
+    oob_by_row = {i: [] for i in range(B)}
+    for (i, sh, sc) in oob:
+        oob_by_row[i].append((0, sh, sc))
+    out = np.stack([invert_test_transform(xs[i], oob_by_row[i], imp.norms,
+                                          opts) for i in range(B)])
+    return out, targets_raw
+
+
 def sample_trajectories(trained, class_label=None, n: int = 1, *,
                         rseed: int = 1, dx: float = 1e-3,
                         rejection_threshold=None, max_trials: int = 10,

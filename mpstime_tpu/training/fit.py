@@ -49,7 +49,7 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
             y_test: Optional[np.ndarray] = None,
             opts: MPSOptions = None,
             custom_encoding: Optional[EncodingSpec] = None,
-            mesh=None
+            mesh=None, test_run: bool = False
             ) -> Tuple[TrainedMPS, Dict[str, list], EncodedDataset]:
     """Train a label-indexed MPS (reference fitMPS :383).
 
@@ -99,6 +99,18 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
     test_ds = encode_dataset(X_test, X_test_s, y_test, opts, spec=spec,
                              labels=labels, training_enc_args=train_ds.enc_args,
                              dtype=dtype)
+
+    if test_run:
+        # basis-preview mode (reference fitMPS test_run,
+        # RealRealHighDimension.jl:500-543): encode, plot the basis, skip
+        # training
+        from ..vis import plot_encoding
+        fig = plot_encoding(spec, opts.d, train_ds.X_scaled, y_train,
+                            opts=opts)
+        if verb > -1:
+            print("Encoding completed! Returning initial states without "
+                  "training.")
+        return train_ds, test_ds, fig
 
     # ---- init MPS ---------------------------------------------------------
     if verb > -1:
