@@ -12,7 +12,10 @@ sharding over device meshes.
 
 from .options import MPSOptions, print_opts
 from .encodings import (EncodingSpec, get_encoding, function_basis,
-                        encoding_range, EncodedDataset, encode_dataset)
+                        encoding_range, EncodedDataset, encode_dataset,
+                        stoudenmire, fourier, legendre, legendre_no_norm,
+                        sahand, uniform, sahand_legendre, histogram_split,
+                        uniform_split)
 from .models.mps import MPS, SingleMPS, random_mps, contract_batch, \
     expand_label_index
 from .training.fit import fit_mps, TrainedMPS
@@ -31,6 +34,7 @@ from .analysis import (von_neumann_entropy, bipartite_spectrum,
 from .hyperopt import (tune, evaluate, MPSRandomSearch, MisclassificationRate,
                        BalancedMisclassificationRate, ImputationLoss,
                        eval_loss, make_stratified_cvfolds, make_windows)
+from .hyperopt.losses import is_omp_threading
 from .models.serialize import save_mps, load_mps, trained_mps_equal
 from .models.classifier import MPSClassifier
 from .vis import plot_encoding, plot_conf_mat, plot_training_summary
@@ -41,6 +45,9 @@ __all__ = [
     "MPSOptions", "print_opts",
     "EncodingSpec", "get_encoding", "function_basis", "encoding_range",
     "EncodedDataset", "encode_dataset",
+    "stoudenmire", "fourier", "legendre", "legendre_no_norm", "sahand",
+    "uniform", "sahand_legendre", "histogram_split", "uniform_split",
+    "is_omp_threading",
     "MPS", "SingleMPS", "random_mps", "contract_batch", "expand_label_index",
     "fit_mps", "TrainedMPS",
     "classify", "classify_overlap", "get_training_summary", "sweep_summary",

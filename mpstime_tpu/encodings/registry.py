@@ -202,6 +202,47 @@ def function_basis(basis: Callable, is_complex: bool, range: Tuple[float, float]
                         range, init, encode_batch)
 
 
+# convenience constructors mirroring the reference's exported basis builders
+# (basis_structs.jl:101-283)
+
+def stoudenmire() -> EncodingSpec:
+    return get_encoding("stoudenmire")
+
+
+def fourier(project: bool = False) -> EncodingSpec:
+    return get_encoding("fourier", project=project)
+
+
+def legendre(norm: bool = False, project: bool = False) -> EncodingSpec:
+    return get_encoding("legendre_norm" if norm else "legendre_no_norm",
+                        project=project)
+
+
+def legendre_no_norm(project: bool = False) -> EncodingSpec:
+    return get_encoding("legendre_no_norm", project=project)
+
+
+def sahand() -> EncodingSpec:
+    return get_encoding("sahand")
+
+
+def uniform() -> EncodingSpec:
+    return get_encoding("uniform")
+
+
+def sahand_legendre(time_dependent: bool = True) -> EncodingSpec:
+    return get_encoding("sahand_legendre_time_dependent" if time_dependent
+                        else "sahand_legendre")
+
+
+def histogram_split(aux: str = "uniform") -> EncodingSpec:
+    return get_encoding(f"hist_split_{aux}")
+
+
+def uniform_split(aux: str = "uniform") -> EncodingSpec:
+    return get_encoding(f"unif_split_{aux}")
+
+
 def encoding_range(name: str) -> Tuple[float, float]:
     """Domain of the (canonical) encoding without constructing data-driven state."""
     s = canonical_encoding_name(name)

@@ -29,6 +29,14 @@ class ImputationLoss(TuningLoss):
     pass
 
 
+def is_omp_threading() -> bool:
+    """Whether OMP threading is pinned to one thread (reference
+    is_omp_threading, hyperopt_utils.jl:44-46; here informational only —
+    the XLA runtime owns threading)."""
+    import os
+    return os.environ.get("OMP_NUM_THREADS") == "1"
+
+
 def make_stratified_cvfolds(Xs: np.ndarray, ys: np.ndarray, nfolds: int, *,
                             rng=None, shuffle: bool = True) -> List[tuple]:
     """Stratified k-fold train/validation index pairs (reference

@@ -2,6 +2,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import mpstime_tpu as mt_top
 from mpstime_tpu import MPSOptions, encode_dataset, get_encoding, function_basis
 from mpstime_tpu.encodings import bases, encode_series
 
@@ -83,6 +84,24 @@ class TestUniform:
     def test_values(self):
         out = np.asarray(bases.uniform_encode(jnp.asarray([0.3, 0.9]), 5))
         np.testing.assert_allclose(out, 0.2)
+
+
+class TestConstructors:
+    def test_reference_export_parity(self):
+        # every exported basis constructor of the reference
+        # (src/MPSTime.jl:126-135) has an equivalent here
+        assert mt_top.stoudenmire().name == "Stoudenmire"
+        assert mt_top.fourier().is_complex
+        assert mt_top.legendre().name == "Legendre"
+        assert mt_top.legendre(norm=True).name == "Legendre_Norm"
+        assert mt_top.legendre_no_norm().name == "Legendre"
+        assert mt_top.sahand().range == (0.0, 1.0)
+        assert mt_top.uniform().name == "Uniform"
+        assert mt_top.sahand_legendre().is_time_dependent
+        assert not mt_top.sahand_legendre(False).is_time_dependent
+        assert mt_top.histogram_split("fourier").is_complex
+        assert mt_top.uniform_split("legendre").name.startswith("Unif Split")
+        assert mt_top.fourier(project=True).is_data_driven
 
 
 class TestPipeline:
