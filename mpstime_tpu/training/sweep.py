@@ -51,53 +51,58 @@ def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
                   update_iters=update_iters, rescale=rescale)
 
     # ---------------- backward half-sweep (center T-1 -> 0) ----------------
-    LE, LE_ls = build_left_envs(cores, phis_c)        # valid slots 0..T-1
+    with jax.named_scope("mps/build_left_envs"):
+        LE, LE_ls = build_left_envs(cores, phis_c)    # valid slots 0..T-1
     RE = jnp.zeros((T + 1, N, chi), dtype=dtype).at[T, :, 0].set(1.0)
     RE_ls = jnp.zeros((T + 1, N), dtype=rdtype)
 
     def backward_body(jj, state):
-        cores, center, RE, RE_ls = state
-        j = T - 2 - jj                                 # left site of the bond
-        A = cores[j]                                   # [chi, d, chi]
-        BT = jnp.einsum("aim,mkbc->aikbc", A, center)  # [chi,d,d,chi,C]
-        _, BT = upd(BT, LE[j], RE[j + 2], phis_c[j].conj(),
-                    phis_c[j + 1].conj(), y_onehot, class_weight,
-                    LE_ls[j] + RE_ls[j + 2])
-        # split: rows (a,i,c) keep the label on the sweep side (:166-169)
-        M = BT.transpose(0, 1, 4, 2, 3).reshape(chi * d * C, d * chi)
-        US, Vh = split_bond_left(M, chi, cutoff, svd_alg)
-        center = US.reshape(chi, d, C, chi).transpose(0, 1, 3, 2)
-        V = Vh.reshape(chi, d, chi)
-        cores = cores.at[j + 1].set(V)
-        v2, ls2 = env_step_right_scaled(RE[j + 2], RE_ls[j + 2], V, phis_c[j + 1])
-        RE = RE.at[j + 1].set(v2)
-        RE_ls = RE_ls.at[j + 1].set(ls2)
-        return cores, center, RE, RE_ls
+        with jax.named_scope("mps/backward_bond"):
+            cores, center, RE, RE_ls = state
+            j = T - 2 - jj                             # left site of the bond
+            A = cores[j]                               # [chi, d, chi]
+            BT = jnp.einsum("aim,mkbc->aikbc", A, center)  # [chi,d,d,chi,C]
+            _, BT = upd(BT, LE[j], RE[j + 2], phis_c[j].conj(),
+                        phis_c[j + 1].conj(), y_onehot, class_weight,
+                        LE_ls[j] + RE_ls[j + 2])
+            # split: rows (a,i,c) keep the label on the sweep side (:166-169)
+            M = BT.transpose(0, 1, 4, 2, 3).reshape(chi * d * C, d * chi)
+            US, Vh = split_bond_left(M, chi, cutoff, svd_alg)
+            center = US.reshape(chi, d, C, chi).transpose(0, 1, 3, 2)
+            V = Vh.reshape(chi, d, chi)
+            cores = cores.at[j + 1].set(V)
+            v2, ls2 = env_step_right_scaled(RE[j + 2], RE_ls[j + 2], V,
+                                            phis_c[j + 1])
+            RE = RE.at[j + 1].set(v2)
+            RE_ls = RE_ls.at[j + 1].set(ls2)
+            return cores, center, RE, RE_ls
 
     cores, center, RE, RE_ls = jax.lax.fori_loop(
         0, T - 1, backward_body, (cores, center, RE, RE_ls))
 
     # ---------------- forward half-sweep (center 0 -> T-1) -----------------
-    RE, RE_ls = build_right_envs(cores, phis_c)       # valid slots 1..T
+    with jax.named_scope("mps/build_right_envs"):
+        RE, RE_ls = build_right_envs(cores, phis_c)   # valid slots 1..T
     LE2 = jnp.zeros((T + 1, N, chi), dtype=dtype).at[0, :, 0].set(1.0)
     LE2_ls = jnp.zeros((T + 1, N), dtype=rdtype)
 
     def forward_body(j, state):
-        cores, center, LE2, LE2_ls = state
-        B = cores[j + 1]
-        BT = jnp.einsum("aimc,mkb->aikbc", center, B)
-        _, BT = upd(BT, LE2[j], RE[j + 2], phis_c[j].conj(),
-                    phis_c[j + 1].conj(), y_onehot, class_weight,
-                    LE2_ls[j] + RE_ls[j + 2])
-        M = BT.reshape(chi * d, d * chi * C)
-        U, SVh = split_bond_right(M, chi, cutoff, svd_alg)
-        Unew = U.reshape(chi, d, chi)
-        center = SVh.reshape(chi, d, chi, C)
-        cores = cores.at[j].set(Unew)
-        v2, ls2 = env_step_left_scaled(LE2[j], LE2_ls[j], Unew, phis_c[j])
-        LE2 = LE2.at[j + 1].set(v2)
-        LE2_ls = LE2_ls.at[j + 1].set(ls2)
-        return cores, center, LE2, LE2_ls
+        with jax.named_scope("mps/forward_bond"):
+            cores, center, LE2, LE2_ls = state
+            B = cores[j + 1]
+            BT = jnp.einsum("aimc,mkb->aikbc", center, B)
+            _, BT = upd(BT, LE2[j], RE[j + 2], phis_c[j].conj(),
+                        phis_c[j + 1].conj(), y_onehot, class_weight,
+                        LE2_ls[j] + RE_ls[j + 2])
+            M = BT.reshape(chi * d, d * chi * C)
+            U, SVh = split_bond_right(M, chi, cutoff, svd_alg)
+            Unew = U.reshape(chi, d, chi)
+            center = SVh.reshape(chi, d, chi, C)
+            cores = cores.at[j].set(Unew)
+            v2, ls2 = env_step_left_scaled(LE2[j], LE2_ls[j], Unew, phis_c[j])
+            LE2 = LE2.at[j + 1].set(v2)
+            LE2_ls = LE2_ls.at[j + 1].set(ls2)
+            return cores, center, LE2, LE2_ls
 
     cores, center, _, _ = jax.lax.fori_loop(0, T - 1, forward_body,
                                             (cores, center, LE2, LE2_ls))
