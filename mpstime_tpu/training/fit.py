@@ -21,7 +21,7 @@ from ..models.mps import MPS, random_mps
 from ..options import MPSOptions
 from ..utils.preprocessing import TransformNorms, transform_data
 from .stats import loss_acc_conf
-from .sweep import full_sweep
+from .sweep import full_sweep, full_sweeps
 
 
 @dataclass
@@ -183,28 +183,41 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
     if mesh is not None:
         from ..parallel import replicate
         cores, center = replicate(mesh, cores, center)
-    for sweep in range(opts.nsweeps):
-        if verb > -1:
-            print(f"Starting sweep [{sweep + 1}/{opts.nsweeps}] "
-                  f"(optimiser {opts.bbopt}, loss {opts.loss_grad})")
+    sweep_kw = dict(loss=opts.loss_grad, bbopt=opts.bbopt,
+                    update_iters=opts.update_iters, rescale=opts.rescale,
+                    svd_alg=opts.resolved_svd_alg())
+    eta_a = jnp.asarray(opts.eta, dtype=real_dt)
+    cutoff_a = jnp.asarray(opts.cutoff, dtype=np.float64
+                           if real_dt == np.float64 else np.float32)
+    # No per-sweep host work needed?  Fuse all sweeps into ONE device call
+    # (per-call dispatch is pure overhead; see training/sweep.py full_sweeps).
+    fuse_sweeps = opts.log_level <= 0 and not opts.exit_early and verb <= -1
+    if fuse_sweeps and opts.nsweeps > 0:
         t0 = time.perf_counter()
-        cores, center = full_sweep(
-            cores, center, phis_c, y_onehot, class_weight,
-            jnp.asarray(opts.eta, dtype=real_dt),
-            jnp.asarray(opts.cutoff, dtype=np.float64
-                        if real_dt == np.float64 else np.float32),
-            loss=opts.loss_grad, bbopt=opts.bbopt,
-            update_iters=opts.update_iters, rescale=opts.rescale,
-            svd_alg=opts.resolved_svd_alg())
+        cores, center = full_sweeps(cores, center, phis_c, y_onehot,
+                                    class_weight, eta_a, cutoff_a,
+                                    nsweeps=opts.nsweeps, **sweep_kw)
         jax.block_until_ready(center)
-        elapsed = time.perf_counter() - t0
         mps = MPS(cores, center, T - 1)
-        if verb > -1:
-            print(f"Finished sweep {sweep + 1}. Time for sweep: {elapsed:.2f}s")
-        if opts.log_level > 0:
-            tr_acc = log_stats(elapsed)
-            if opts.exit_early and tr_acc == 1.0:
-                break
+    else:
+        for sweep in range(opts.nsweeps):
+            if verb > -1:
+                print(f"Starting sweep [{sweep + 1}/{opts.nsweeps}] "
+                      f"(optimiser {opts.bbopt}, loss {opts.loss_grad})")
+            t0 = time.perf_counter()
+            cores, center = full_sweep(
+                cores, center, phis_c, y_onehot, class_weight,
+                eta_a, cutoff_a, **sweep_kw)
+            jax.block_until_ready(center)
+            elapsed = time.perf_counter() - t0
+            mps = MPS(cores, center, T - 1)
+            if verb > -1:
+                print(f"Finished sweep {sweep + 1}. Time for sweep: "
+                      f"{elapsed:.2f}s")
+            if opts.log_level > 0:
+                tr_acc = log_stats(elapsed)
+                if opts.exit_early and tr_acc == 1.0:
+                    break
 
     mps = mps.normalize()
     if verb > -1:

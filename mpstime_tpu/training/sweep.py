@@ -27,13 +27,11 @@ from ..ops.env import (build_left_envs, build_right_envs,
                        env_step_left_scaled, env_step_right_scaled)
 
 
-@partial(jax.jit,
-         static_argnames=("loss", "bbopt", "update_iters", "rescale", "svd_alg"))
-def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
-               y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
-               eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
-               rescale: Tuple[bool, bool], svd_alg: str
-               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
+                y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
+                eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
+                rescale: Tuple[bool, bool], svd_alg: str
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run one full (backward+forward) sweep.  center must be at site T-1 on
     entry; it is back at T-1 on exit.
 
@@ -107,3 +105,32 @@ def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
     cores, center, _, _ = jax.lax.fori_loop(0, T - 1, forward_body,
                                             (cores, center, LE2, LE2_ls))
     return cores, center
+
+
+full_sweep = partial(jax.jit, static_argnames=(
+    "loss", "bbopt", "update_iters", "rescale", "svd_alg"))(_sweep_once)
+
+
+@partial(jax.jit, static_argnames=("nsweeps", "loss", "bbopt", "update_iters",
+                                   "rescale", "svd_alg"))
+def full_sweeps(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
+                y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
+                eta, cutoff, *, nsweeps: int, loss: str, bbopt: str,
+                update_iters: int, rescale: Tuple[bool, bool], svd_alg: str
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``nsweeps`` full sweeps in ONE compiled call.
+
+    Host dispatch to the device costs 10-30 ms per call (remote TPU service);
+    an on-device sweep at ECG200/chi=64 scale is ~80 ms, so per-sweep
+    dispatch is pure overhead whenever per-sweep host-side logging is off
+    (hyperopt always trains with log_level=-1).  The sweep body is traced
+    once; XLA sees a fori_loop over identical iterations."""
+
+    def body(_, state):
+        cores, center = state
+        return _sweep_once(cores, center, phis_c, y_onehot, class_weight,
+                           eta, cutoff, loss=loss, bbopt=bbopt,
+                           update_iters=update_iters, rescale=rescale,
+                           svd_alg=svd_alg)
+
+    return jax.lax.fori_loop(0, nsweeps, body, (cores, center))
