@@ -21,14 +21,19 @@ import time
 import numpy as np
 
 
-def _steady_sweep_time(X, y, chi, d, nsweeps_warm=3, reps=5):
+def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=3):
+    """Median s/sweep of the production training path: all sweeps fused into
+    one compiled device call (training/sweep.py full_sweeps — what fit_mps
+    uses whenever per-sweep host logging is off, e.g. all of hyperopt).
+    Also returns the single-sweep-per-call time (includes per-call host
+    dispatch, ~10-30 ms on the remote TPU service)."""
     import jax
     import jax.numpy as jnp
 
     import mpstime_tpu as mt
     from mpstime_tpu.encodings import encode_dataset
     from mpstime_tpu.models.mps import random_mps
-    from mpstime_tpu.training.sweep import full_sweep
+    from mpstime_tpu.training.sweep import full_sweep, full_sweeps
     from mpstime_tpu.utils.preprocessing import transform_data
 
     opts = mt.MPSOptions(chi_max=chi, d=d, verbosity=-1, dtype="float32")
@@ -50,23 +55,37 @@ def _steady_sweep_time(X, y, chi, d, nsweeps_warm=3, reps=5):
         # scalar as a reliable barrier
         return float(jnp.linalg.norm(x))
 
-    cores, center = mps.cores, mps.center
-    for _ in range(nsweeps_warm):
-        cores, center = full_sweep(cores, center, phis_c, y_onehot, w,
-                                   eta, cutoff, **kw)
+    # fused path (warm + timed)
+    cores, center = full_sweeps(mps.cores, mps.center, phis_c, y_onehot, w,
+                                eta, cutoff, nsweeps=nsweeps_block, **kw)
     sync(center)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        cores, center = full_sweep(cores, center, phis_c, y_onehot, w,
-                                   eta, cutoff, **kw)
+        cores, center = full_sweeps(mps.cores, mps.center, phis_c, y_onehot,
+                                    w, eta, cutoff, nsweeps=nsweeps_block,
+                                    **kw)
         sync(center)
         times.append(time.perf_counter() - t0)
+    t_fused = float(np.median(times)) / nsweeps_block
+
+    # per-call path (one sweep per dispatch)
+    cores1, center1 = full_sweep(cores, center, phis_c, y_onehot, w,
+                                 eta, cutoff, **kw)
+    sync(center1)
+    times1 = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        cores1, center1 = full_sweep(cores1, center1, phis_c, y_onehot, w,
+                                     eta, cutoff, **kw)
+        sync(center1)
+        times1.append(time.perf_counter() - t0)
+    t_percall = float(np.median(times1))
 
     from mpstime_tpu.models.mps import MPS
     from mpstime_tpu.training.stats import loss_acc_conf
     _, _, acc, _ = loss_acc_conf(MPS(cores, center, T - 1), ds.X_enc, ds.y_idx)
-    return float(np.median(times)), float(acc)
+    return t_fused, t_percall, float(acc)
 
 
 def main():
@@ -75,8 +94,8 @@ def main():
     d_npz = np.load("tests/data/ecg200.npz")
     X, y = d_npz["X_train"], d_npz["y_train"]
 
-    t64, acc64 = _steady_sweep_time(X, y, chi=64, d=5)
-    t32, _ = _steady_sweep_time(X, y, chi=32, d=5)
+    t64, t64_percall, acc64 = _steady_sweep_time(X, y, chi=64, d=5)
+    t32, _, _ = _steady_sweep_time(X, y, chi=32, d=5)
 
     # IPD-shaped synthetic anchor workload (T=24, N=67, 2 classes)
     rng = np.random.default_rng(0)
@@ -87,7 +106,7 @@ def main():
         np.sin(3 * t_ax[None] + rng.uniform(0, 6, (33, 1)))])
     Xi += 0.1 * rng.standard_normal(Xi.shape)
     yi = np.repeat([0, 1], [34, 33])
-    t_ipd, _ = _steady_sweep_time(Xi, yi, chi=25, d=5)
+    t_ipd, _, _ = _steady_sweep_time(Xi, yi, chi=25, d=5)
 
     baseline = 0.80  # s/sweep, Julia reference anchor (module docstring)
     print(json.dumps({
@@ -95,6 +114,7 @@ def main():
         "value": round(t64, 5),
         "unit": "s/sweep",
         "vs_baseline": round(baseline / t64, 2),
+        "ecg200_sweep_time_chi64_percall": round(t64_percall, 5),
         "ecg200_sweep_time_chi32": round(t32, 5),
         "ipd_shape_sweep_time_chi25": round(t_ipd, 5),
         "ipd_shape_vs_baseline": round(baseline / t_ipd, 2),

@@ -124,6 +124,157 @@ def randomized_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2
     return Ut, SVh
 
 
+def lean_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Randomized split without the Rayleigh-Ritz eigh.
+
+    Key observation: the Ritz rotation never changes the *span* of the
+    sketched subspace — it only orders directions within it so the top
+    ``keep`` survive truncation.  With sketch width == keep there is nothing
+    to order: Q [C, keep] itself is the kept isometry (MPS gauge freedom
+    absorbs the intra-span mixing), so the per-bond eigh disappears and the
+    split is q+1 MXU matmul passes + one QR — ~3x faster per sweep than the
+    Ritz path on TPU (the [k,k] eigh was ~2/3 of each bond's critical path).
+
+    q is capped at 2: in float32 the power iteration raises singular-value
+    ratios to the (2q+1)-th power, and beyond q=2 trailing in-span
+    directions underflow, collapsing the effective bond rank (measured:
+    q=3+ loses training accuracy, q<=2 matches the Ritz path).
+
+    The reference ``cutoff`` (relative truncation of squared singular
+    values, decomposeBT RealRealHighDimension.jl:166-187) is applied through
+    column energies ||M Q_i||^2: exact for dead directions (rank < keep,
+    which must stay exactly zero to preserve the padding invariant), and for
+    live ones a Ritz-value proxy that only differs on directions within
+    cutoff of zero."""
+    R, C = M.shape
+    k = min(keep, C)
+    Psi = _fixed_sketch((R, k), M.dtype)
+    Y = M.conj().T @ Psi
+    for _ in range(q):
+        Y = M.conj().T @ (M @ Y)
+    # per-column normalization keeps the QR input away from f32 under/overflow
+    # (power iteration raises the dynamic range to the 2q+1 power)
+    Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
+                        jnp.finfo(Y.real.dtype).tiny)
+    Q, _ = jnp.linalg.qr(Y)                       # [C, k]
+    B = M @ Q                                     # [R, k] = U S (mixed)
+    w = jnp.sum(jnp.abs(B) ** 2, axis=0)          # column energies
+    order = jnp.argsort(-w)
+    w_desc = w[order]
+    mask = _trunc_mask(w_desc, keep, cutoff)
+    keep_col = jnp.zeros((k,), w.dtype).at[order].set(mask)
+    US = B * keep_col
+    Vh = Q.conj().T * keep_col[:, None]
+    if keep > k:
+        US = jnp.pad(US, ((0, 0), (0, keep - k)))
+        Vh = jnp.pad(Vh, ((0, keep - k), (0, 0)))
+    return US, Vh
+
+
+def lean_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mirror of :func:`lean_split_left` on the row side."""
+    R, C = M.shape
+    k = min(keep, R)
+    Psi = _fixed_sketch((C, k), M.dtype)
+    Y = M @ Psi
+    for _ in range(q):
+        Y = M @ (M.conj().T @ Y)
+    Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
+                        jnp.finfo(Y.real.dtype).tiny)
+    Q, _ = jnp.linalg.qr(Y)                       # [R, k]
+    B = Q.conj().T @ M                            # [k, C] = S Vh (mixed)
+    w = jnp.sum(jnp.abs(B) ** 2, axis=1)
+    order = jnp.argsort(-w)
+    w_desc = w[order]
+    mask = _trunc_mask(w_desc, keep, cutoff)
+    keep_col = jnp.zeros((k,), w.dtype).at[order].set(mask)
+    U = Q * keep_col
+    SVh = B * keep_col[:, None]
+    if keep > k:
+        U = jnp.pad(U, ((0, 0), (0, keep - k)))
+        SVh = jnp.pad(SVh, ((0, keep - k), (0, 0)))
+    return U, SVh
+
+
+def warm_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
+                    q: int = 1
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Warm-started eigh-free split (column side).
+
+    Like :func:`lean_split_left` but the sketch is the *previous sweep's*
+    subspace V0 [C, keep] for this bond instead of a cold random matrix:
+    one power step per sweep then accumulates across sweeps, so the kept
+    subspace converges to the dominant one as the DMRG sweeps iterate —
+    the sweeping itself supplies the missing power iterations.  This closes
+    the quality gap cold lean splits show at small chi (slowly decaying
+    spectra) while still avoiding the per-bond Rayleigh-Ritz eigh that
+    dominates the Ritz path's critical time.
+
+    Returns (US, Vh, V_next) where V_next [C, keep] is the unmasked
+    orthonormal basis to cache for the next sweep."""
+    C = M.shape[1]
+    k = min(keep, C)
+    Y = V0[:, :k]
+    for _ in range(q):
+        Y = M.conj().T @ (M @ Y)
+    Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
+                        jnp.finfo(Y.real.dtype).tiny)
+    Q, _ = jnp.linalg.qr(Y)                       # [C, k]
+    B = M @ Q
+    w = jnp.sum(jnp.abs(B) ** 2, axis=0)
+    order = jnp.argsort(-w)
+    mask = _trunc_mask(w[order], keep, cutoff)
+    keep_col = jnp.zeros((k,), w.dtype).at[order].set(mask)
+    US = B * keep_col
+    Vh = Q.conj().T * keep_col[:, None]
+    if keep > k:
+        US = jnp.pad(US, ((0, 0), (0, keep - k)))
+        Vh = jnp.pad(Vh, ((0, keep - k), (0, 0)))
+        Q = jnp.pad(Q, ((0, 0), (0, keep - k)))
+    return US, Vh, Q
+
+
+def warm_split_right(M: jnp.ndarray, U0: jnp.ndarray, keep: int, cutoff,
+                     q: int = 1
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Mirror of :func:`warm_split_left` on the row side; U0 [R, keep]."""
+    R = M.shape[0]
+    k = min(keep, R)
+    Y = U0[:, :k]
+    for _ in range(q):
+        Y = M @ (M.conj().T @ Y)
+    Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
+                        jnp.finfo(Y.real.dtype).tiny)
+    Q, _ = jnp.linalg.qr(Y)                       # [R, k]
+    B = Q.conj().T @ M
+    w = jnp.sum(jnp.abs(B) ** 2, axis=1)
+    order = jnp.argsort(-w)
+    mask = _trunc_mask(w[order], keep, cutoff)
+    keep_col = jnp.zeros((k,), w.dtype).at[order].set(mask)
+    U = Q * keep_col
+    SVh = B * keep_col[:, None]
+    if keep > k:
+        U = jnp.pad(U, ((0, 0), (0, keep - k)))
+        SVh = jnp.pad(SVh, ((0, keep - k), (0, 0)))
+        Q = jnp.pad(Q, ((0, 0), (0, keep - k)))
+    return U, SVh, Q
+
+
+def warm_sketch_init(n: int, keep: int, dtype) -> jnp.ndarray:
+    """Orthonormal cold-start subspace [n, min(keep, n)] (padded to keep)."""
+    k = min(keep, n)
+    rng = np.random.default_rng(20240817)
+    Psi = rng.standard_normal((n, k))
+    if np.dtype(dtype).kind == "c":
+        Psi = Psi + 1j * rng.standard_normal((n, k))
+    Q, _ = np.linalg.qr(Psi.astype(dtype))
+    if keep > k:
+        Q = np.pad(Q, ((0, 0), (0, keep - k)))
+    return jnp.asarray(Q.astype(dtype))
+
+
 def split_bond_left(M: jnp.ndarray, keep: int, cutoff,
                     alg: str = "gram_eigh") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Split M [R, C] -> (US [R, keep], Vh [keep, C]) with V column-orthonormal,
@@ -132,6 +283,8 @@ def split_bond_left(M: jnp.ndarray, keep: int, cutoff,
     R, C = M.shape
     if alg == "randomized":
         return randomized_split_left(M, keep, cutoff)
+    if alg == "randomized_lean":
+        return lean_split_left(M, keep, cutoff)
     if alg == "svd":
         U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
         mask = _trunc_mask(S * S, keep, cutoff)
@@ -167,6 +320,8 @@ def split_bond_right(M: jnp.ndarray, keep: int, cutoff,
     R, C = M.shape
     if alg == "randomized":
         return randomized_split_right(M, keep, cutoff)
+    if alg == "randomized_lean":
+        return lean_split_right(M, keep, cutoff)
     if alg == "svd":
         U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
         mask = _trunc_mask(S * S, keep, cutoff)

@@ -117,10 +117,16 @@ class MPSOptions:
     train_classes_separately: bool = False
 
     # SVD / truncated-split algorithm:
-    #   "auto"       -> "randomized" on accelerators, "gram_eigh" on CPU
-    #   "randomized" -> sketched power iteration + Rayleigh-Ritz (TPU fast path)
-    #   "gram_eigh"  -> exact eigendecomposition of the small-side Gram matrix
-    #   "svd"        -> jnp.linalg.svd (reference-precision fallback)
+    #   "auto"            -> accelerators: "randomized_warm" ("randomized"
+    #                        for Fourier encodings); CPU: "gram_eigh"
+    #   "randomized_warm" -> eigh-free split warm-started from the previous
+    #                        sweep's per-bond subspace (fastest TPU path;
+    #                        ops/decomp.py warm_split_*)
+    #   "randomized"      -> sketched power iteration + Rayleigh-Ritz
+    #   "randomized_lean" -> cold eigh-free split (fast, lower quality at
+    #                        small chi; see ops/decomp.py)
+    #   "gram_eigh"       -> exact eigendecomposition of the small-side Gram
+    #   "svd"             -> jnp.linalg.svd (reference-precision fallback)
     svd_alg: str = "auto"
 
     # Debug
@@ -169,7 +175,15 @@ class MPSOptions:
         if self.svd_alg != "auto":
             return self.svd_alg
         import jax
-        return "gram_eigh" if jax.default_backend() == "cpu" else "randomized"
+        if jax.default_backend() == "cpu":
+            return "gram_eigh"
+        # Warm-started eigh-free splits match or beat the Rayleigh-Ritz path
+        # on every measured config EXCEPT Fourier, whose +-frequency-paired
+        # (nearly degenerate) bond spectra make subspace tracking churn at
+        # the truncation edge; Fourier keeps the Ritz rotation.
+        if self.encoding.lower().startswith("fourier"):
+            return "randomized"
+        return "randomized_warm"
 
     # ---- convenience ------------------------------------------------------
     def replace(self, **kwargs) -> "MPSOptions":

@@ -21,7 +21,7 @@ from ..models.mps import MPS, random_mps
 from ..options import MPSOptions
 from ..utils.preprocessing import TransformNorms, transform_data
 from .stats import loss_acc_conf
-from .sweep import full_sweep, full_sweeps
+from .sweep import full_sweep, full_sweep_warm, full_sweeps, init_subspaces
 
 
 @dataclass
@@ -200,14 +200,22 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
         jax.block_until_ready(center)
         mps = MPS(cores, center, T - 1)
     else:
+        warm = sweep_kw["svd_alg"] == "randomized_warm"
+        subspaces = (init_subspaces(T, opts.chi_max, opts.d, dtype)
+                     if warm else None)
         for sweep in range(opts.nsweeps):
             if verb > -1:
                 print(f"Starting sweep [{sweep + 1}/{opts.nsweeps}] "
                       f"(optimiser {opts.bbopt}, loss {opts.loss_grad})")
             t0 = time.perf_counter()
-            cores, center = full_sweep(
-                cores, center, phis_c, y_onehot, class_weight,
-                eta_a, cutoff_a, **sweep_kw)
+            if warm:
+                cores, center, subspaces = full_sweep_warm(
+                    cores, center, subspaces, phis_c, y_onehot, class_weight,
+                    eta_a, cutoff_a, **sweep_kw)
+            else:
+                cores, center = full_sweep(
+                    cores, center, phis_c, y_onehot, class_weight,
+                    eta_a, cutoff_a, **sweep_kw)
             jax.block_until_ready(center)
             elapsed = time.perf_counter() - t0
             mps = MPS(cores, center, T - 1)

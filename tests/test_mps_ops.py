@@ -182,3 +182,65 @@ class TestDecomp:
         np.testing.assert_array_equal(m, [1, 1, 1, 0])
         m2 = np.asarray(_trunc_mask(w, 2, 0.05))
         np.testing.assert_array_equal(m2, [1, 1, 0, 0])
+
+    def test_warm_split_isometry_and_reconstruction(self):
+        # warm-started eigh-free split: orthonormal kept directions, masked
+        # zeros on dead directions, and subspace convergence over repeated
+        # calls (the across-sweep accumulation property)
+        from mpstime_tpu.ops.decomp import (warm_sketch_init, warm_split_left,
+                                            warm_split_right)
+        rng = np.random.default_rng(7)
+        A = rng.standard_normal((640, 30)) @ rng.standard_normal((30, 320)) \
+            + 1e-3 * rng.standard_normal((640, 320))
+        A = jnp.asarray(A)
+        V0 = warm_sketch_init(320, 64, np.float64)
+        errs = []
+        U, S, _ = np.linalg.svd(np.asarray(A), full_matrices=False)
+        opt = np.linalg.norm(S[64:]) / np.linalg.norm(S)
+        for _ in range(4):
+            US, Vh, V0 = warm_split_left(A, V0, 64, 1e-12)
+            errs.append(np.linalg.norm(np.asarray(US @ Vh) - np.asarray(A))
+                        / np.linalg.norm(np.asarray(A)))
+        assert errs[-1] <= 1.5 * opt + 1e-8          # converged subspace
+        kept = np.abs(np.asarray(Vh)).sum(1) > 1e-9
+        G = np.asarray(Vh @ Vh.conj().T)
+        np.testing.assert_allclose(G[np.ix_(kept, kept)],
+                                   np.eye(kept.sum()), atol=1e-8)
+
+        U0 = warm_sketch_init(640, 64, np.float64)
+        for _ in range(4):
+            Ut, SVh, U0 = warm_split_right(A, U0, 64, 1e-12)
+        err_r = np.linalg.norm(np.asarray(Ut @ SVh) - np.asarray(A)) \
+            / np.linalg.norm(np.asarray(A))
+        assert err_r <= 1.5 * opt + 1e-8
+
+    def test_warm_split_rank_deficient_masks_zeros(self):
+        # dead directions (true rank < keep) must come out exactly zero to
+        # preserve the padding invariant
+        from mpstime_tpu.ops.decomp import warm_sketch_init, warm_split_left
+        rng = np.random.default_rng(8)
+        A = jnp.asarray(rng.standard_normal((120, 8)) @
+                        rng.standard_normal((8, 60)))
+        V0 = warm_sketch_init(60, 20, np.float64)
+        US, Vh, V0 = warm_split_left(A, V0, 20, 1e-12)
+        live = np.abs(np.asarray(Vh)).sum(1) > 1e-9
+        assert live.sum() == 8
+        np.testing.assert_array_equal(np.asarray(US)[:, ~live[:20]] * 0,
+                                      np.asarray(US)[:, ~live[:20]])
+
+    def test_lean_split_matches_span_quality(self):
+        # cold eigh-free split: valid isometry + reconstruction within a
+        # modest factor of optimal on a fast-decaying spectrum
+        from mpstime_tpu.ops.decomp import lean_split_left
+        rng = np.random.default_rng(9)
+        U0, _ = np.linalg.qr(rng.standard_normal((640, 320)))
+        V0q, _ = np.linalg.qr(rng.standard_normal((320, 320)))
+        s = np.exp(-0.05 * np.arange(320))
+        A = jnp.asarray((U0[:, :320] * s) @ V0q.T)
+        US, Vh = lean_split_left(A, 64, 1e-12)
+        err = np.linalg.norm(np.asarray(US @ Vh) - np.asarray(A)) \
+            / np.linalg.norm(np.asarray(A))
+        opt = np.linalg.norm(s[64:]) / np.linalg.norm(s)
+        assert err <= 2.0 * opt
+        G = np.asarray(Vh @ Vh.conj().T)
+        np.testing.assert_allclose(G, np.eye(64), atol=1e-8)

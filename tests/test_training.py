@@ -173,3 +173,44 @@ class TestSummary:
         trained, info, ts = mt.fit_mps(Xtr, ytr, Xte, yte, opts)
         kd = mt.KL_div(trained, ts)
         assert kd == pytest.approx(info["test_KL_div"][-1], rel=1e-6)
+
+
+class TestWarmSplitTraining:
+    """svd_alg='randomized_warm': eigh-free splits warm-started across sweeps
+    (the TPU default at chi_max >= 32 for non-Fourier encodings)."""
+
+    def test_warm_trains_to_full_accuracy(self, ecg200):
+        Xtr, ytr, Xte, yte = ecg200
+        opts = mt.MPSOptions(nsweeps=8, chi_max=32, d=5, verbosity=-1,
+                             log_level=-1, dtype="float32",
+                             svd_alg="randomized_warm")
+        trained, _, _ = mt.fit_mps(Xtr, ytr, Xte, yte, opts)
+        assert np.mean(mt.classify(trained, Xtr) == ytr) == 1.0
+        assert np.mean(mt.classify(trained, Xte) == yte) >= 0.84
+
+    def test_warm_per_sweep_path_matches_fused(self, ecg200):
+        # the logging path (one full_sweep_warm per sweep, threading the
+        # subspace caches on the host) must produce the same model as the
+        # fused full_sweeps path
+        Xtr, ytr, Xte, yte = ecg200
+        kw = dict(nsweeps=3, chi_max=16, d=4, verbosity=-1, dtype="float32",
+                  svd_alg="randomized_warm")
+        t_fused, _, _ = mt.fit_mps(Xtr, ytr, opts=mt.MPSOptions(
+            log_level=-1, **kw))
+        t_logged, _, _ = mt.fit_mps(Xtr, ytr, opts=mt.MPSOptions(
+            log_level=3, **kw))
+        np.testing.assert_allclose(np.asarray(t_fused.mps.cores),
+                                   np.asarray(t_logged.mps.cores),
+                                   rtol=1e-4, atol=1e-5)
+        preds_a = mt.classify(t_fused, Xte)
+        preds_b = mt.classify(t_logged, Xte)
+        assert np.mean(preds_a == preds_b) == 1.0
+
+    def test_auto_alg_resolution(self):
+        import jax
+        o = mt.MPSOptions(chi_max=64)
+        assert o.resolved_svd_alg() == (
+            "gram_eigh" if jax.default_backend() == "cpu"
+            else "randomized_warm")
+        assert mt.MPSOptions(svd_alg="randomized").resolved_svd_alg() == \
+            "randomized"
