@@ -1,22 +1,37 @@
 """Jitted DMRG-style two-site sweep.
 
 One full sweep (backward bond loop T-2..0, then forward 0..T-2, reference
-RealRealHighDimension.jl:726-804) compiles to a single XLA computation:
-``lax.fori_loop`` over bonds, with per-bond batched gradient einsums
-(ops/bond_update.py), a truncated split (ops/decomp.py), and an
-incremental environment update (one [N,chi] slot per bond, replacing the
-reference's update_caches!, :107-144).  Environments are rebuilt between
-half-sweeps exactly like the reference (:770, :804) for numerical hygiene,
-and carry per-sample log-scales (see ops/env.py).
+RealRealHighDimension.jl:726-804) compiles to a single XLA computation,
+with per-bond batched gradient einsums (ops/bond_update.py), a truncated
+split (ops/decomp.py), and incremental environment updates (replacing the
+reference's construct_caches/update_caches!, :45-144).  Environments carry
+per-sample log-scales (see ops/env.py).
+
+TPU-critical structure decisions (measured on v5e, ECG200 chi=64):
+
+ * Each half-sweep is a ``lax.scan``, NOT a fori_loop doing dynamic
+   update-slices into carried buffers.  Within a half-sweep every read
+   touches only the *pre-half-sweep* cores (backward reads site j while
+   writing j+1 with j descending; forward reads j+1 while writing j with j
+   ascending), so cores slices stream in as scan ``xs`` and new cores come
+   out as stacked ``ys``.  The read-modify-write hazard of the fori+DUS
+   form made XLA copy the full multi-MB buffers every bond (~73 us of a
+   77 us bond); the scan form eliminates those copies.
+
+ * Environment stacks are scan outputs too: the running [N, chi]
+   environment is the scan carry, and its per-bond snapshots (ys) ARE the
+   opposite-direction stack the next half-sweep consumes — which also makes
+   the reference's between-half-sweep cache rebuilds (:770, :804)
+   unnecessary: each half-sweep's emissions are already exact environments
+   of the just-written cores, rooted at the boundary.
 
 All shapes are static (chi = chi_max padding); sample count N is the
 data-parallel axis.
 
 ``svd_alg="randomized_warm"`` threads per-bond subspace caches through the
-sweep state: each bond's split warm-starts from the basis it found last
-sweep (one power step per sweep, accumulating across sweeps), which removes
-the per-bond Rayleigh-Ritz eigh from the critical path — the dominant cost
-at chi >= 32 on TPU.
+sweep (scan xs in, ys out): each bond's split warm-starts from the basis it
+found last sweep (one power step per sweep, accumulating across sweeps),
+which removes the per-bond Rayleigh-Ritz eigh from the critical path.
 """
 
 from __future__ import annotations
@@ -30,8 +45,8 @@ import jax.numpy as jnp
 from ..ops.bond_update import apply_update
 from ..ops.decomp import (split_bond_left, split_bond_right, warm_sketch_init,
                           warm_split_left, warm_split_right)
-from ..ops.env import (build_left_envs, build_right_envs,
-                       env_step_left_scaled, env_step_right_scaled)
+from ..ops.env import (boundary_env, build_left_envs, env_step_left_scaled,
+                       env_step_right_scaled)
 
 
 def init_subspaces(T: int, chi: int, d: int, dtype):
@@ -46,19 +61,23 @@ def init_subspaces(T: int, chi: int, d: int, dtype):
     return VB, UF
 
 
-def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
-                y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
-                eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
-                rescale: Tuple[bool, bool], svd_alg: str, subspaces=None):
-    """Run one full (backward+forward) sweep.  center must be at site T-1 on
-    entry; it is back at T-1 on exit.
+def init_left_env_state(cores: jnp.ndarray, phis_c: jnp.ndarray):
+    """(LE [T, N, chi], LE_ls [T, N]) for the first backward pass:
+    LE[t] = contraction of sites 0..t-1 (LE[0] = boundary)."""
+    LE, LE_ls = build_left_envs(cores, phis_c)
+    return LE[:-1], LE_ls[:-1]
 
-    cores: [T, chi, d, chi]; center: [chi, d, chi, C];
-    phis_c: [T, N, d] conj'd encoded train states; y_onehot: [N, C];
-    class_weight: [N] per-sample loss weights.
 
-    Returns (cores, center) — or (cores, center, subspaces) when
-    ``svd_alg="randomized_warm"`` (subspaces from :func:`init_subspaces`).
+def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
+                class_weight, eta, cutoff, *, loss: str, bbopt: str,
+                update_iters: int, rescale: Tuple[bool, bool], svd_alg: str):
+    """One full sweep; center at site T-1 on entry and exit.
+
+    LE [T, N, chi] / LE_ls [T, N]: left environments of the current cores
+    (slot t = sites 0..t-1).  Returns (cores, center, LE', LE_ls', VB', UF')
+    where LE' is produced by the forward half-sweep and is exactly what the
+    next call needs.  VB/UF are the warm-split subspace caches (None unless
+    svd_alg == "randomized_warm").
     """
     T, chi, d, _ = cores.shape
     C = center.shape[3]
@@ -66,77 +85,122 @@ def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
     dtype = cores.dtype
     rdtype = phis_c.real.dtype
     warm = svd_alg == "randomized_warm"
-    if warm and subspaces is None:
-        subspaces = init_subspaces(T, chi, d, dtype)
-    VB, UF = subspaces if warm else (None, None)
 
     upd = partial(apply_update, eta=eta, loss=loss, bbopt=bbopt,
                   update_iters=update_iters, rescale=rescale)
+    e0 = boundary_env(N, chi, dtype)
+    ls0 = jnp.zeros((N,), dtype=rdtype)
 
     # ---------------- backward half-sweep (center T-1 -> 0) ----------------
-    with jax.named_scope("mps/build_left_envs"):
-        LE, LE_ls = build_left_envs(cores, phis_c)    # valid slots 0..T-1
-    RE = jnp.zeros((T + 1, N, chi), dtype=dtype).at[T, :, 0].set(1.0)
-    RE_ls = jnp.zeros((T + 1, N), dtype=rdtype)
+    # scan order jj = 0..T-2 maps to bond j = T-2-jj.
+    xs_b = dict(
+        A=jnp.flip(cores[:T - 1], 0),          # cores[j]
+        phi_l=jnp.flip(phis_c[:T - 1], 0),     # phis_c[j]
+        phi_r=jnp.flip(phis_c[1:T], 0),        # phis_c[j+1]
+        le=jnp.flip(LE[:T - 1], 0),            # LE[j]
+        le_ls=jnp.flip(LE_ls[:T - 1], 0),
+    )
+    if warm:
+        xs_b["vb"] = jnp.flip(VB, 0)
 
-    def backward_body(jj, state):
+    def backward_step(carry, x):
         with jax.named_scope("mps/backward_bond"):
-            cores, center, RE, RE_ls, VB = state
-            j = T - 2 - jj                             # left site of the bond
-            A = cores[j]                               # [chi, d, chi]
-            BT = jnp.einsum("aim,mkbc->aikbc", A, center)  # [chi,d,d,chi,C]
-            _, BT = upd(BT, LE[j], RE[j + 2], phis_c[j].conj(),
-                        phis_c[j + 1].conj(), y_onehot, class_weight,
-                        LE_ls[j] + RE_ls[j + 2])
+            center, re_v, re_ls = carry
+            BT = jnp.einsum("aim,mkbc->aikbc", x["A"], center)
+            _, BT = upd(BT, x["le"], re_v, x["phi_l"].conj(),
+                        x["phi_r"].conj(), y_onehot, class_weight,
+                        x["le_ls"] + re_ls)
             # split: rows (a,i,c) keep the label on the sweep side (:166-169)
             M = BT.transpose(0, 1, 4, 2, 3).reshape(chi * d * C, d * chi)
             if warm:
-                US, Vh, Qv = warm_split_left(M, VB[j], chi, cutoff)
-                VB = VB.at[j].set(Qv)
+                US, Vh, Qv = warm_split_left(M, x["vb"], chi, cutoff)
             else:
                 US, Vh = split_bond_left(M, chi, cutoff, svd_alg)
+                Qv = None
             center = US.reshape(chi, d, C, chi).transpose(0, 1, 3, 2)
             V = Vh.reshape(chi, d, chi)
-            cores = cores.at[j + 1].set(V)
-            v2, ls2 = env_step_right_scaled(RE[j + 2], RE_ls[j + 2], V,
-                                            phis_c[j + 1])
-            RE = RE.at[j + 1].set(v2)
-            RE_ls = RE_ls.at[j + 1].set(ls2)
-            return cores, center, RE, RE_ls, VB
+            v2, ls2 = env_step_right_scaled(re_v, re_ls, V, x["phi_r"])
+            ys = dict(V=V, re=v2, re_ls=ls2)
+            if warm:
+                ys["qv"] = Qv
+            return (center, v2, ls2), ys
 
-    cores, center, RE, RE_ls, VB = jax.lax.fori_loop(
-        0, T - 1, backward_body, (cores, center, RE, RE_ls, VB))
+    (center, _, _), ys_b = jax.lax.scan(backward_step, (center, e0, ls0),
+                                        xs_b)
+    # new cores[1..T-1] (emitted for j = T-2..0 -> slots T-1..1)
+    cores_mid = jnp.concatenate([cores[:1], jnp.flip(ys_b["V"], 0)], 0)
+    if warm:
+        VB = jnp.flip(ys_b["qv"], 0)
+    # RE stack for the forward pass: emissions are RE[j+1] (sites j+1..T-1 of
+    # the post-backward cores); forward bond j reads RE[j+2] for j=0..T-2,
+    # i.e. slots 2..T-1 plus the boundary at slot T.
+    re_slots = jnp.flip(ys_b["re"], 0)          # slots 1..T-1
+    re_ls_slots = jnp.flip(ys_b["re_ls"], 0)
+    xs_re = jnp.concatenate([re_slots[1:], e0[None]], 0)
+    xs_re_ls = jnp.concatenate([re_ls_slots[1:], ls0[None]], 0)
 
     # ---------------- forward half-sweep (center 0 -> T-1) -----------------
-    with jax.named_scope("mps/build_right_envs"):
-        RE, RE_ls = build_right_envs(cores, phis_c)   # valid slots 1..T
-    LE2 = jnp.zeros((T + 1, N, chi), dtype=dtype).at[0, :, 0].set(1.0)
-    LE2_ls = jnp.zeros((T + 1, N), dtype=rdtype)
+    xs_f = dict(
+        B=cores_mid[1:T],                      # cores[j+1]
+        phi_l=phis_c[:T - 1],
+        phi_r=phis_c[1:T],
+        re=xs_re,                              # RE[j+2]
+        re_ls=xs_re_ls,
+    )
+    if warm:
+        xs_f["uf"] = UF
 
-    def forward_body(j, state):
+    def forward_step(carry, x):
         with jax.named_scope("mps/forward_bond"):
-            cores, center, LE2, LE2_ls, UF = state
-            B = cores[j + 1]
-            BT = jnp.einsum("aimc,mkb->aikbc", center, B)
-            _, BT = upd(BT, LE2[j], RE[j + 2], phis_c[j].conj(),
-                        phis_c[j + 1].conj(), y_onehot, class_weight,
-                        LE2_ls[j] + RE_ls[j + 2])
+            center, le_v, le_ls = carry
+            BT = jnp.einsum("aimc,mkb->aikbc", center, x["B"])
+            _, BT = upd(BT, le_v, x["re"], x["phi_l"].conj(),
+                        x["phi_r"].conj(), y_onehot, class_weight,
+                        le_ls + x["re_ls"])
             M = BT.reshape(chi * d, d * chi * C)
             if warm:
-                U, SVh, Qu = warm_split_right(M, UF[j], chi, cutoff)
-                UF = UF.at[j].set(Qu)
+                U, SVh, Qu = warm_split_right(M, x["uf"], chi, cutoff)
             else:
                 U, SVh = split_bond_right(M, chi, cutoff, svd_alg)
+                Qu = None
             Unew = U.reshape(chi, d, chi)
             center = SVh.reshape(chi, d, chi, C)
-            cores = cores.at[j].set(Unew)
-            v2, ls2 = env_step_left_scaled(LE2[j], LE2_ls[j], Unew, phis_c[j])
-            LE2 = LE2.at[j + 1].set(v2)
-            LE2_ls = LE2_ls.at[j + 1].set(ls2)
-            return cores, center, LE2, LE2_ls, UF
+            v2, ls2 = env_step_left_scaled(le_v, le_ls, Unew, x["phi_l"])
+            ys = dict(U=Unew, le=v2, le_ls=ls2)
+            if warm:
+                ys["qu"] = Qu
+            return (center, v2, ls2), ys
 
-    cores, center, _, _, UF = jax.lax.fori_loop(
-        0, T - 1, forward_body, (cores, center, LE2, LE2_ls, UF))
+    (center, _, _), ys_f = jax.lax.scan(forward_step, (center, e0, ls0),
+                                        xs_f)
+    cores_out = jnp.concatenate([ys_f["U"], cores_mid[T - 1:]], 0)
+    if warm:
+        UF = ys_f["qu"]
+    # LE stack for the next backward pass: slot 0 = boundary, slots 1..T-1
+    # from the forward emissions (exact environments of cores_out).
+    LE_out = jnp.concatenate([e0[None], ys_f["le"]], 0)
+    LE_ls_out = jnp.concatenate([ls0[None], ys_f["le_ls"]], 0)
+    return cores_out, center, LE_out, LE_ls_out, VB, UF
+
+
+def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
+                y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
+                eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
+                rescale: Tuple[bool, bool], svd_alg: str, subspaces=None):
+    """Single self-contained sweep (builds the left environments itself).
+
+    Returns (cores, center) — or (cores, center, subspaces) when
+    ``svd_alg="randomized_warm"``."""
+    T, chi, d, _ = cores.shape
+    warm = svd_alg == "randomized_warm"
+    if warm and subspaces is None:
+        subspaces = init_subspaces(T, chi, d, cores.dtype)
+    VB, UF = subspaces if warm else (None, None)
+    LE, LE_ls = init_left_env_state(cores, phis_c)
+    cores, center, _, _, VB, UF = _sweep_core(
+        cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot, class_weight,
+        eta, cutoff, loss=loss, bbopt=bbopt, update_iters=update_iters,
+        rescale=rescale, svd_alg=svd_alg)
     if warm:
         return cores, center, (VB, UF)
     return cores, center
@@ -152,7 +216,8 @@ def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
     """One full sweep per device call (cores, center) -> (cores, center).
 
     With svd_alg="randomized_warm" the subspace caches are cold-started
-    every call; use :func:`full_sweeps` to accumulate them across sweeps."""
+    every call; use :func:`full_sweeps` (or full_sweep_warm) to accumulate
+    them across sweeps."""
     out = _sweep_once(cores, center, phis_c, y_onehot, class_weight,
                       eta, cutoff, loss=loss, bbopt=bbopt,
                       update_iters=update_iters, rescale=rescale,
@@ -184,34 +249,36 @@ def full_sweeps(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``nsweeps`` full sweeps in ONE compiled call.
 
-    Host dispatch to the device costs 10-30 ms per call (remote TPU service);
-    an on-device sweep at ECG200/chi=64 scale is ~50 ms, so per-sweep
-    dispatch is pure overhead whenever per-sweep host-side logging is off
-    (hyperopt always trains with log_level=-1).  The sweep body is traced
-    once; XLA sees a fori_loop over identical iterations.
-
-    With svd_alg="randomized_warm" the per-bond subspace caches persist
-    across the fused sweeps (this is what makes the warm path converge)."""
+    Host dispatch to the device costs 10-30 ms per call (remote TPU service),
+    so per-sweep dispatch is pure overhead whenever per-sweep host-side
+    logging is off (hyperopt always trains with log_level=-1).  The sweep
+    body is traced once; XLA sees a fori_loop over identical iterations.
+    Left-environment state and (for svd_alg="randomized_warm") the per-bond
+    subspace caches persist across the fused sweeps."""
     T, chi, d, _ = cores.shape
     warm = svd_alg == "randomized_warm"
     kw = dict(loss=loss, bbopt=bbopt, update_iters=update_iters,
               rescale=rescale, svd_alg=svd_alg)
-
+    LE, LE_ls = init_left_env_state(cores, phis_c)
     if warm:
-        subspaces = init_subspaces(T, chi, d, cores.dtype)
-
-        def body(_, state):
-            cores, center, subspaces = state
-            return _sweep_once(cores, center, phis_c, y_onehot, class_weight,
-                               eta, cutoff, subspaces=subspaces, **kw)
-
-        cores, center, _ = jax.lax.fori_loop(
-            0, nsweeps, body, (cores, center, subspaces))
-        return cores, center
+        VB, UF = init_subspaces(T, chi, d, cores.dtype)
+    else:
+        VB, UF = None, None
 
     def body(_, state):
-        cores, center = state
-        return _sweep_once(cores, center, phis_c, y_onehot, class_weight,
-                           eta, cutoff, **kw)
+        if warm:
+            cores, center, LE, LE_ls, VB, UF = state
+        else:
+            cores, center, LE, LE_ls = state
+            VB = UF = None
+        out = _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
+                          class_weight, eta, cutoff, **kw)
+        cores, center, LE, LE_ls, VB, UF = out
+        if warm:
+            return cores, center, LE, LE_ls, VB, UF
+        return cores, center, LE, LE_ls
 
-    return jax.lax.fori_loop(0, nsweeps, body, (cores, center))
+    state0 = ((cores, center, LE, LE_ls, VB, UF) if warm
+              else (cores, center, LE, LE_ls))
+    out = jax.lax.fori_loop(0, nsweeps, body, state0)
+    return out[0], out[1]
