@@ -199,7 +199,7 @@ def lean_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2
 
 
 def warm_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
-                    q: int = 1
+                    q: int = 1, refresh: bool = True
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Warm-started eigh-free split (column side).
 
@@ -216,12 +216,17 @@ def warm_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
     orthonormal basis to cache for the next sweep."""
     C = M.shape[1]
     k = min(keep, C)
-    Y = V0[:, :k]
-    for _ in range(q):
-        Y = M.conj().T @ (M @ Y)
-    Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
-                        jnp.finfo(Y.real.dtype).tiny)
-    Q, _ = jnp.linalg.qr(Y)                       # [C, k]
+    if refresh:
+        Y = V0[:, :k]
+        for _ in range(q):
+            Y = M.conj().T @ (M @ Y)
+        Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
+                            jnp.finfo(Y.real.dtype).tiny)
+        Q, _ = jnp.linalg.qr(Y)                   # [C, k]
+    else:
+        # frozen sweep: split directly against the cached orthonormal basis
+        # (no power step, no QR); the cadence is set by the caller
+        Q = V0[:, :k]
     B = M @ Q
     w = jnp.sum(jnp.abs(B) ** 2, axis=0)
     order = jnp.argsort(-w)
@@ -237,17 +242,20 @@ def warm_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
 
 
 def warm_split_right(M: jnp.ndarray, U0: jnp.ndarray, keep: int, cutoff,
-                     q: int = 1
+                     q: int = 1, refresh: bool = True
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Mirror of :func:`warm_split_left` on the row side; U0 [R, keep]."""
     R = M.shape[0]
     k = min(keep, R)
-    Y = U0[:, :k]
-    for _ in range(q):
-        Y = M @ (M.conj().T @ Y)
-    Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
-                        jnp.finfo(Y.real.dtype).tiny)
-    Q, _ = jnp.linalg.qr(Y)                       # [R, k]
+    if refresh:
+        Y = U0[:, :k]
+        for _ in range(q):
+            Y = M @ (M.conj().T @ Y)
+        Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
+                            jnp.finfo(Y.real.dtype).tiny)
+        Q, _ = jnp.linalg.qr(Y)                   # [R, k]
+    else:
+        Q = U0[:, :k]
     B = Q.conj().T @ M
     w = jnp.sum(jnp.abs(B) ** 2, axis=1)
     order = jnp.argsort(-w)

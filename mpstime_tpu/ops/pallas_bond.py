@@ -1,0 +1,384 @@
+"""Pallas TPU mega-kernels for the DMRG bond step.
+
+The scan-based sweep (training/sweep.py) is op-*latency* bound on TPU: a
+bond step is ~25 small XLA ops of a few microseconds' issue cost each,
+while its actual MXU time is <1 us (measured: 66 us/bond skeleton at
+ECG200 chi=64 on v5e).  These kernels collapse everything except the thin
+QR into two ``pallas_call``s per bond, all operands resident in VMEM:
+
+  K1 (pre-QR):   form the two-site bond tensor, KLD gradient over the
+                 whole batch, TSGO update + renormalization, and the
+                 warm-subspace power step  ->  (BT_new, Y)
+  QR (XLA):      thin QR of Y — the one op Pallas can't express cheaply
+  K2 (post-QR):  Rayleigh quotients + ITensor-style cutoff mask (computed
+                 with an O(k^2) pairwise suffix rule instead of a sort),
+                 the split factors in their final core layouts, and the
+                 scaled environment step  ->  (center, V/U, env, logscale)
+
+Mosaic constraints shape the implementation: vector reshapes that merge or
+split the minor (lane) dimension are unsupported, so
+ * Kronecker batch factors L[n,(a,i)] = le[n,a]*phi[n,i] are built as
+   (le @ E_a) * (phi @ E_i) with iota-generated 0/1 selection matrices —
+   two MXU matmuls, no reshape;
+ * the bond tensor crosses the kernels as [C, chi*d, d, chi] and every
+   contraction over the (k,b) column group is statically unrolled over the
+   tiny physical index k (d is 3..8), so all slices are leading-dim.
+
+Covers the default hot path: real float32, KLD loss, TSGO optimiser,
+update_iters=1, rescale=(False, True), svd_alg="randomized_warm"
+(training/sweep.py falls back to the XLA path otherwise).
+
+Class-axis layout: the center travels as [C, chi_l, d, chi_r].
+
+Reference semantics: loss/gradient loss_functions.jl:302-379, TSGO :59-86,
+truncation decomposeBT RealRealHighDimension.jl:146-203 (cutoff = relative
+tail-sum of squared singular values).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False   # flipped by tests / CPU runs via set_interpret()
+
+
+def set_interpret(flag: bool) -> None:
+    """Run the kernels in interpreter mode (CPU testing)."""
+    global _INTERPRET
+    _INTERPRET = bool(flag)
+
+
+def _vmem():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _smem_scalar():
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _sel_left(chi: int, d: int, dtype):
+    """E_a [chi, chi*d]: E_a[a, a*d+i] = 1  (row index is the major factor)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (chi, chi * d), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (chi, chi * d), 1)
+    return (cols // d == rows).astype(dtype)
+
+
+def _sel_right(chi: int, d: int, dtype):
+    """E_i [d, chi*d]: E_i[i, a*d+i] = 1  (row index is the minor factor)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (d, chi * d), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (d, chi * d), 1)
+    return (cols % d == rows).astype(dtype)
+
+
+def _kron_batch_major(major, minor):
+    """[N, P] x [N, Q] -> [N, P*Q] with the first factor major:
+    out[n, p*Q+q] = major[n,p] * minor[n,q] — via selection-matrix matmuls."""
+    f32 = jnp.float32
+    P = major.shape[1]
+    Q = minor.shape[1]
+    EA = _sel_left(P, Q, f32)
+    EI = _sel_right(P, Q, f32)
+    return (jnp.dot(major, EA, preferred_element_type=f32)
+            * jnp.dot(minor, EI, preferred_element_type=f32))
+
+
+# --------------------------------------------------------------------------
+# K1: bond tensor + KLD gradient + TSGO step + power step
+# --------------------------------------------------------------------------
+
+def _k1_kernel(eta_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
+               phir_ref, y1h_ref, w_ref, v0_ref, bt_ref, y_ref, *,
+               C: int, chi: int, d: int, forward: bool,
+               emit_y: bool = True):
+    """Bond-tensor blocks BT[c, (a,i), k, b], batched KLD gradient, TSGO
+    update with post-normalization, and the warm power step.
+
+    backward: left=A [chi,d,chi], right=center [C, chi, d, chi]
+              (center[c, m, k, b], left bond m), Y spans the (k,b) side.
+    forward:  left=center [C, chi, d, chi] (center[c, a, i, m]),
+              right=B [chi,d,chi], Y spans the (a,i) side."""
+    f32 = jnp.float32
+    eta = eta_ref[0, 0]
+
+    le = le_ref[:]                    # [N, chi]
+    re = re_ref[:]                    # [N, chi]
+    phil = phil_ref[:]                # [N, d]
+    phir = phir_ref[:]                # [N, d]
+    y1h = y1h_ref[:]                  # [N, C]
+    w = w_ref[:]                      # [N, 1]
+    V0 = v0_ref[:]                    # [d*chi or chi*d, chi] (k-blocked rows)
+
+    L = _kron_batch_major(le, phil)   # [N, chi*d] cols (a, i)
+
+    if not forward:
+        A2 = left_ref[:].reshape(chi * d, chi)        # leading-dim merge
+    else:
+        # center[c] viewed [(a,i), m] — leading-dim merge per class
+        pass
+
+    # ---- BT blocks + per-class scaled yhat --------------------------------
+    BT = [[None] * d for _ in range(C)]
+    yhat = []
+    for c in range(C):
+        acc = None
+        if forward:
+            Cc2 = left_ref[c].reshape(chi * d, chi)
+        for k in range(d):
+            if forward:
+                Bk = right_ref[:, k, :]               # [chi, chi]
+                BT_ck = jnp.dot(Cc2, Bk, preferred_element_type=f32)
+            else:
+                Cck = right_ref[c, :, k, :]           # [chi, chi]
+                BT_ck = jnp.dot(A2, Cck, preferred_element_type=f32)
+            BT[c][k] = BT_ck                          # [chi*d, chi]
+            t_ck = jnp.dot(L, BT_ck, preferred_element_type=f32)  # [N, chi]
+            R_k = phir[:, k:k + 1] * re               # [N, chi]
+            part = jnp.sum(t_ck * R_k, axis=1, keepdims=True)     # [N, 1]
+            acc = part if acc is None else acc + part
+        yhat.append(acc)
+
+    y_true = sum(yhat[c] * y1h[:, c:c + 1] for c in range(C))     # [N, 1]
+    u = w / y_true
+
+    # ---- gradient + TSGO + renormalize ------------------------------------
+    G = [[None] * d for _ in range(C)]
+    g2 = jnp.zeros((), f32)
+    for c in range(C):
+        wc = y1h[:, c:c + 1] * u                      # [N, 1]
+        for k in range(d):
+            R_k = phir[:, k:k + 1] * re
+            G_ck = -jnp.dot(L.T, R_k * wc, preferred_element_type=f32)
+            G[c][k] = G_ck
+            g2 = g2 + jnp.sum(G_ck * G_ck)
+    gn = jax.lax.rsqrt(jnp.maximum(g2, jnp.finfo(f32).tiny))
+
+    b2 = jnp.zeros((), f32)
+    for c in range(C):
+        for k in range(d):
+            BT[c][k] = BT[c][k] - (eta * gn) * G[c][k]
+            b2 = b2 + jnp.sum(BT[c][k] * BT[c][k])
+    bn = jax.lax.rsqrt(jnp.maximum(b2, jnp.finfo(f32).tiny))
+    for c in range(C):
+        for k in range(d):
+            BT[c][k] = BT[c][k] * bn
+            bt_ref[c, :, k, :] = BT[c][k]
+
+    # ---- warm power step ---------------------------------------------------
+    # backward: Y[(k,b), :] += BT_ck^T (sum_k' BT_ck' V0_k')   per class
+    # forward:  Y[(a,i), :] += sum_k BT_ck (BT_ck^T U0)        per class
+    if not emit_y:
+        y_ref[:] = V0     # frozen sweep: pass the cached basis through
+        return
+    if not forward:
+        for c in range(C):
+            MV = None                                  # [chi*d, chi]
+            for k in range(d):
+                V0k = V0[k * chi:(k + 1) * chi, :]     # [chi, chi]
+                term = jnp.dot(BT[c][k], V0k, preferred_element_type=f32)
+                MV = term if MV is None else MV + term
+            for k in range(d):
+                yk = jnp.dot(BT[c][k].T, MV, preferred_element_type=f32)
+                if c == 0:
+                    y_ref[k * chi:(k + 1) * chi, :] = yk
+                else:
+                    y_ref[k * chi:(k + 1) * chi, :] = (
+                        y_ref[k * chi:(k + 1) * chi, :] + yk)
+        Y = y_ref[:]
+    else:
+        Y = jnp.zeros((chi * d, chi), f32)
+        for c in range(C):
+            for k in range(d):
+                MtU = jnp.dot(BT[c][k].T, V0, preferred_element_type=f32)
+                Y = Y + jnp.dot(BT[c][k], MtU, preferred_element_type=f32)
+    nrm = jnp.sqrt(jnp.sum(Y * Y, axis=0, keepdims=True))
+    y_ref[:] = Y / jnp.maximum(nrm, jnp.finfo(f32).tiny)
+
+
+def _k1_call(eta, left, right, le, re, phil, phir, y1h, w, V0, *,
+             C, chi, d, forward, emit_y=True):
+    f32 = jnp.float32
+    out_shape = (
+        jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
+        jax.ShapeDtypeStruct((chi * d, chi), f32),
+    )
+    kern = functools.partial(_k1_kernel, C=C, chi=chi, d=d, forward=forward,
+                             emit_y=emit_y)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[_smem_scalar()] + [_vmem()] * 9,
+        out_specs=(_vmem(), _vmem()),
+        interpret=_INTERPRET,
+    )(eta, left, right, le, re, phil, phir, y1h, w, V0)
+
+
+# --------------------------------------------------------------------------
+# K2: Rayleigh quotients + cutoff mask + split factors + env step
+# --------------------------------------------------------------------------
+
+def _k2_kernel(cutoff_ref, bt_ref, q_ref, env_ref, envls_ref, phi_ref,
+               center_ref, core_ref, env2_ref, envls2_ref, *,
+               C: int, chi: int, d: int, forward: bool):
+    """Project the updated bond tensor onto the orthonormal subspace Q,
+    apply the ITensor-style relative cutoff, emit split factors in final
+    core layouts, and advance the environment through the new isometry.
+
+    backward: Q [d*chi, chi] right-subspace (k-blocked rows);
+              center[c] = US [chi, d, keep], core = V [keep, d, chi],
+              env advance = right step with (re, phi_r).
+    forward:  Q [chi*d, chi] left-subspace; center[c] = SVh [keep, d, chi],
+              core = U [chi, d, keep], env advance = left step with
+              (le, phi_l)."""
+    f32 = jnp.float32
+    cutoff = cutoff_ref[0, 0]
+    Q = q_ref[:]
+    env = env_ref[:]                                # [N, chi]
+    phi = phi_ref[:]                                # [N, d]
+
+    # ---- project + energies (wv kept as a [1, chi] row) --------------------
+    if not forward:
+        B = [None] * C                              # US_c [chi*d, keep]
+        wv = jnp.zeros((1, chi), f32)
+        for c in range(C):
+            acc = None
+            for k in range(d):
+                Qk = Q[k * chi:(k + 1) * chi, :]    # [chi, keep]
+                term = jnp.dot(bt_ref[c, :, k, :], Qk,
+                               preferred_element_type=f32)
+                acc = term if acc is None else acc + term
+            B[c] = acc
+            wv = wv + jnp.sum(acc * acc, axis=0, keepdims=True)
+    else:
+        B = [[None] * d for _ in range(C)]          # SVh_ck [keep, chi]
+        wv_c = jnp.zeros((chi, 1), f32)             # per-direction rowsums
+        for c in range(C):
+            for k in range(d):
+                B_ck = jnp.dot(Q.T, bt_ref[c, :, k, :],
+                               preferred_element_type=f32)
+                B[c][k] = B_ck
+                wv_c = wv_c + jnp.dot(B_ck * B_ck, jnp.ones((chi, 1), f32),
+                                      preferred_element_type=f32)
+        eye0 = (jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 1)
+                ).astype(f32)
+        wv = jnp.dot(jnp.ones((1, chi), f32), eye0 * wv_c,
+                     preferred_element_type=f32)    # [1, chi]
+
+    # ---- ITensor cutoff without a sort -------------------------------------
+    # direction i is dropped iff the total energy of all directions with
+    # w_j <= w_i is <= cutoff * total (the sorted-suffix rule, O(chi^2)).
+    # Mosaic is picky about 1-D vectors / row<->column relayouts, so the
+    # whole computation stays 2-D via matmuls with ones/eye.
+    ones_c = jnp.ones((chi, 1), f32)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 1)).astype(f32)
+    W_row = jnp.dot(ones_c, wv, preferred_element_type=f32)   # rows = wv
+    wv_col = jnp.dot(W_row * eye, ones_c, preferred_element_type=f32)
+    W_col = jnp.dot(wv_col, jnp.ones((1, chi), f32),
+                    preferred_element_type=f32)               # cols = wv
+    leq = (W_row <= W_col).astype(f32)                        # [chi, chi]
+    s_col = jnp.sum(leq * W_row, axis=1, keepdims=True)       # [chi, 1]
+    total = jnp.sum(wv)
+    mask_col = ((s_col > cutoff * total) & (wv_col > 0)).astype(f32)
+    mask_row = jnp.dot(jnp.ones((1, chi), f32), eye * mask_col,
+                       preferred_element_type=f32)            # [1, chi]
+
+    # ---- emit split factors -------------------------------------------------
+    Qm = Q * mask_row
+    if not forward:
+        for c in range(C):
+            center_ref[c] = (B[c] * mask_row).reshape(chi, d, chi)
+        for k in range(d):
+            core_ref[:, k, :] = Qm[k * chi:(k + 1) * chi, :].T  # [keep, chi]
+    else:
+        for c in range(C):
+            for k in range(d):
+                center_ref[c, :, k, :] = B[c][k] * mask_col
+        core_ref[:] = Qm.reshape(chi, d, chi)       # [chi(l), d, keep]
+
+    # ---- environment step through the new isometry -------------------------
+    N = env.shape[0]
+    v2 = jnp.zeros((N, chi), f32)
+    if not forward:
+        # v'[n, m] = sum_{k,b} V[m,k,b] phi_r[n,k] re[n,b]
+        for k in range(d):
+            tmp_k = phi[:, k:k + 1] * env           # [N, chi]
+            v2 = v2 + jnp.dot(tmp_k, Qm[k * chi:(k + 1) * chi, :],
+                              preferred_element_type=f32)
+    else:
+        # v'[n, m] = sum_{a,i} le[n,a] phi_l[n,i] U[a,i,m]
+        tmp = _kron_batch_major(env, phi)           # [N, chi*d]
+        v2 = jnp.dot(tmp, Qm, preferred_element_type=f32)
+    nrm = jnp.sqrt(jnp.sum(v2 * v2, axis=1, keepdims=True))
+    safe = jnp.maximum(nrm, jnp.finfo(f32).tiny)
+    env2_ref[:] = v2 / jnp.where(nrm > 0, safe, 1.0)
+    envls2_ref[:] = envls_ref[:] + jnp.where(nrm > 0, jnp.log(safe), 0.0)
+
+
+def _k2_call(cutoff, BT, Q, env, env_ls, phi, *, C, chi, d, forward):
+    f32 = jnp.float32
+    N = env.shape[0]
+    out_shape = (
+        jax.ShapeDtypeStruct((C, chi, d, chi), f32),   # center blocks
+        jax.ShapeDtypeStruct((chi, d, chi), f32),      # new core
+        jax.ShapeDtypeStruct((N, chi), f32),           # env'
+        jax.ShapeDtypeStruct((N, 1), f32),             # env_ls'
+    )
+    kern = functools.partial(_k2_kernel, C=C, chi=chi, d=d, forward=forward)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[_smem_scalar()] + [_vmem()] * 5,
+        out_specs=tuple(_vmem() for _ in range(4)),
+        interpret=_INTERPRET,
+    )(cutoff, BT, Q, env, env_ls, phi)
+
+
+# --------------------------------------------------------------------------
+# public bond step
+# --------------------------------------------------------------------------
+
+def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
+              eta, cutoff, *, forward: bool, refresh: bool = True
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                         jnp.ndarray]:
+    """One fused bond step (everything except the QR).
+
+    le / re are the gradient's left/right environments for this bond.
+    backward (forward=False): A_or_B = cores[j]; advances the *right*
+    environment (re, env_ls) through the new V with phir.
+    forward  (forward=True):  A_or_B = cores[j+1]; advances the *left*
+    environment (le, env_ls) through the new U with phil.
+
+    center_c: [C, chi, d, chi].  Returns (center_c', core', env', env_ls',
+    Q') with center_c' in the same class-major layout."""
+    C, chi, d, _ = center_c.shape
+    eta2 = jnp.reshape(eta.astype(jnp.float32), (1, 1))
+    cut2 = jnp.reshape(cutoff.astype(jnp.float32), (1, 1))
+    w2 = w[:, None]
+
+    if forward:
+        left, right = center_c, A_or_B
+    else:
+        left, right = A_or_B, center_c
+    BT, Y = _k1_call(eta2, left, right, le, re, phil, phir, y1h, w2, V0,
+                     C=C, chi=chi, d=d, forward=forward, emit_y=refresh)
+    if refresh:
+        Q, _ = jnp.linalg.qr(Y)
+    else:
+        # frozen sweep: V0 is the (orthonormal) basis cached at the last
+        # refresh — split directly against it, no power step, no QR
+        Q = V0
+    env = le if forward else re
+    phi = phil if forward else phir
+    center2, core, env2, env_ls2 = _k2_call(
+        cut2, BT, Q, env, env_ls[:, None], phi, C=C, chi=chi, d=d,
+        forward=forward)
+    return center2, core, env2, env_ls2[:, 0], Q

@@ -128,6 +128,12 @@ class MPSOptions:
     #   "gram_eigh"       -> exact eigendecomposition of the small-side Gram
     #   "svd"             -> jnp.linalg.svd (reference-precision fallback)
     svd_alg: str = "auto"
+    # randomized_warm only: refresh the per-bond subspaces (power step + QR)
+    # every K-th sweep, splitting against the frozen cached bases in between.
+    # K=1 (default) refreshes every sweep; K=2 cuts the per-bond QR — the
+    # dominant TPU cost once the bond step is fused — out of half the
+    # sweeps, trading ~1-4 points of test accuracy on some configs.
+    subspace_refresh_every: int = 1
 
     # Debug
     return_encoding_meta_info: bool = False

@@ -196,7 +196,9 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
         t0 = time.perf_counter()
         cores, center = full_sweeps(cores, center, phis_c, y_onehot,
                                     class_weight, eta_a, cutoff_a,
-                                    nsweeps=opts.nsweeps, **sweep_kw)
+                                    nsweeps=opts.nsweeps,
+                                    refresh_every=opts.subspace_refresh_every,
+                                    **sweep_kw)
         jax.block_until_ready(center)
         mps = MPS(cores, center, T - 1)
     else:
@@ -211,7 +213,9 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
             if warm:
                 cores, center, subspaces = full_sweep_warm(
                     cores, center, subspaces, phis_c, y_onehot, class_weight,
-                    eta_a, cutoff_a, **sweep_kw)
+                    eta_a, cutoff_a,
+                    refresh=(sweep % opts.subspace_refresh_every == 0),
+                    **sweep_kw)
             else:
                 cores, center = full_sweep(
                     cores, center, phis_c, y_onehot, class_weight,

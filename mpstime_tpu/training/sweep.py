@@ -36,17 +36,40 @@ which removes the per-bond Rayleigh-Ritz eigh from the critical path.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from ..ops import pallas_bond
 from ..ops.bond_update import apply_update
 from ..ops.decomp import (split_bond_left, split_bond_right, warm_sketch_init,
                           warm_split_left, warm_split_right)
 from ..ops.env import (boundary_env, build_left_envs, env_step_left_scaled,
                        env_step_right_scaled)
+
+
+def _pallas_eligible(dtype, loss, bbopt, update_iters, rescale, svd_alg
+                     ) -> bool:
+    """The fused Pallas bond step covers the default hot path only:
+    f32 + KLD + TSGO + one update iteration + post-normalization + warm
+    splits, on a TPU backend (or in interpreter mode for tests)."""
+    if svd_alg != "randomized_warm":
+        return False
+    if (loss, bbopt, int(update_iters)) != ("KLD", "TSGO", 1):
+        return False
+    if tuple(rescale) != (False, True):
+        return False
+    if np.dtype(dtype) != np.float32:
+        return False
+    if os.environ.get("MPSTIME_TPU_NO_PALLAS"):
+        return False
+    if pallas_bond._INTERPRET:
+        return True
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def init_subspaces(T: int, chi: int, d: int, dtype):
@@ -70,7 +93,8 @@ def init_left_env_state(cores: jnp.ndarray, phis_c: jnp.ndarray):
 
 def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 class_weight, eta, cutoff, *, loss: str, bbopt: str,
-                update_iters: int, rescale: Tuple[bool, bool], svd_alg: str):
+                update_iters: int, rescale: Tuple[bool, bool], svd_alg: str,
+                refresh: bool = True):
     """One full sweep; center at site T-1 on entry and exit.
 
     LE [T, N, chi] / LE_ls [T, N]: left environments of the current cores
@@ -85,11 +109,16 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     dtype = cores.dtype
     rdtype = phis_c.real.dtype
     warm = svd_alg == "randomized_warm"
+    pallas = _pallas_eligible(dtype, loss, bbopt, update_iters, rescale,
+                              svd_alg)
 
     upd = partial(apply_update, eta=eta, loss=loss, bbopt=bbopt,
                   update_iters=update_iters, rescale=rescale)
     e0 = boundary_env(N, chi, dtype)
     ls0 = jnp.zeros((N,), dtype=rdtype)
+    if pallas:
+        # the fused kernels keep the class axis major: [C, chi, d, chi]
+        center = jnp.moveaxis(center, 3, 0)
 
     # ---------------- backward half-sweep (center T-1 -> 0) ----------------
     # scan order jj = 0..T-2 maps to bond j = T-2-jj.
@@ -106,6 +135,12 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     def backward_step(carry, x):
         with jax.named_scope("mps/backward_bond"):
             center, re_v, re_ls = carry
+            if pallas:
+                center, V, v2, ls2, Qv = pallas_bond.bond_step(
+                    x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
+                    x["phi_r"], y_onehot, class_weight, x["vb"], eta, cutoff,
+                    forward=False, refresh=refresh)
+                return (center, v2, ls2), dict(V=V, re=v2, re_ls=ls2, qv=Qv)
             BT = jnp.einsum("aim,mkbc->aikbc", x["A"], center)
             _, BT = upd(BT, x["le"], re_v, x["phi_l"].conj(),
                         x["phi_r"].conj(), y_onehot, class_weight,
@@ -113,7 +148,8 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
             # split: rows (a,i,c) keep the label on the sweep side (:166-169)
             M = BT.transpose(0, 1, 4, 2, 3).reshape(chi * d * C, d * chi)
             if warm:
-                US, Vh, Qv = warm_split_left(M, x["vb"], chi, cutoff)
+                US, Vh, Qv = warm_split_left(M, x["vb"], chi, cutoff,
+                                             refresh=refresh)
             else:
                 US, Vh = split_bond_left(M, chi, cutoff, svd_alg)
                 Qv = None
@@ -153,13 +189,21 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     def forward_step(carry, x):
         with jax.named_scope("mps/forward_bond"):
             center, le_v, le_ls = carry
+            if pallas:
+                center, Unew, v2, ls2, Qu = pallas_bond.bond_step(
+                    x["B"], center, le_v, x["re"], le_ls, x["phi_l"],
+                    x["phi_r"], y_onehot, class_weight, x["uf"], eta, cutoff,
+                    forward=True, refresh=refresh)
+                return (center, v2, ls2), dict(U=Unew, le=v2, le_ls=ls2,
+                                               qu=Qu)
             BT = jnp.einsum("aimc,mkb->aikbc", center, x["B"])
             _, BT = upd(BT, le_v, x["re"], x["phi_l"].conj(),
                         x["phi_r"].conj(), y_onehot, class_weight,
                         le_ls + x["re_ls"])
             M = BT.reshape(chi * d, d * chi * C)
             if warm:
-                U, SVh, Qu = warm_split_right(M, x["uf"], chi, cutoff)
+                U, SVh, Qu = warm_split_right(M, x["uf"], chi, cutoff,
+                                              refresh=refresh)
             else:
                 U, SVh = split_bond_right(M, chi, cutoff, svd_alg)
                 Qu = None
@@ -180,13 +224,16 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     # from the forward emissions (exact environments of cores_out).
     LE_out = jnp.concatenate([e0[None], ys_f["le"]], 0)
     LE_ls_out = jnp.concatenate([ls0[None], ys_f["le_ls"]], 0)
+    if pallas:
+        center = jnp.moveaxis(center, 0, 3)
     return cores_out, center, LE_out, LE_ls_out, VB, UF
 
 
 def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
                 y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
                 eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
-                rescale: Tuple[bool, bool], svd_alg: str, subspaces=None):
+                rescale: Tuple[bool, bool], svd_alg: str, subspaces=None,
+                refresh: bool = True):
     """Single self-contained sweep (builds the left environments itself).
 
     Returns (cores, center) — or (cores, center, subspaces) when
@@ -200,7 +247,7 @@ def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
     cores, center, _, _, VB, UF = _sweep_core(
         cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot, class_weight,
         eta, cutoff, loss=loss, bbopt=bbopt, update_iters=update_iters,
-        rescale=rescale, svd_alg=svd_alg)
+        rescale=rescale, svd_alg=svd_alg, refresh=refresh)
     if warm:
         return cores, center, (VB, UF)
     return cores, center
@@ -226,26 +273,29 @@ def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("loss", "bbopt", "update_iters", "rescale",
-                                   "svd_alg"))
+                                   "svd_alg", "refresh"))
 def full_sweep_warm(cores, center, subspaces, phis_c, y_onehot, class_weight,
                     eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
-                    rescale: Tuple[bool, bool], svd_alg: str):
+                    rescale: Tuple[bool, bool], svd_alg: str,
+                    refresh: bool = True):
     """One sweep with explicit warm-subspace state: pass the ``subspaces``
     returned by the previous call (init with :func:`init_subspaces`) so the
     caches accumulate across per-sweep host calls (fit_mps's logging path).
-    Returns (cores, center, subspaces)."""
+    ``refresh=False`` runs a frozen-subspace sweep (split against the cached
+    bases; no power step, no QR).  Returns (cores, center, subspaces)."""
     return _sweep_once(cores, center, phis_c, y_onehot, class_weight,
                        eta, cutoff, subspaces=subspaces, loss=loss,
                        bbopt=bbopt, update_iters=update_iters,
-                       rescale=rescale, svd_alg=svd_alg)
+                       rescale=rescale, svd_alg=svd_alg, refresh=refresh)
 
 
 @partial(jax.jit, static_argnames=("nsweeps", "loss", "bbopt", "update_iters",
-                                   "rescale", "svd_alg"))
+                                   "rescale", "svd_alg", "refresh_every"))
 def full_sweeps(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
                 y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
                 eta, cutoff, *, nsweeps: int, loss: str, bbopt: str,
-                update_iters: int, rescale: Tuple[bool, bool], svd_alg: str
+                update_iters: int, rescale: Tuple[bool, bool], svd_alg: str,
+                refresh_every: int = 1
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``nsweeps`` full sweeps in ONE compiled call.
 
@@ -254,7 +304,12 @@ def full_sweeps(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
     logging is off (hyperopt always trains with log_level=-1).  The sweep
     body is traced once; XLA sees a fori_loop over identical iterations.
     Left-environment state and (for svd_alg="randomized_warm") the per-bond
-    subspace caches persist across the fused sweeps."""
+    subspace caches persist across the fused sweeps.
+
+    ``refresh_every=K`` (warm only): refresh the per-bond subspaces (power
+    step + QR) on sweeps 0, K, 2K, ...; in between, split against the
+    frozen cached bases — the QR, the dominant per-bond cost once
+    everything else is fused, drops out of (K-1)/K of the sweeps."""
     T, chi, d, _ = cores.shape
     warm = svd_alg == "randomized_warm"
     kw = dict(loss=loss, bbopt=bbopt, update_iters=update_iters,
@@ -265,20 +320,32 @@ def full_sweeps(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
     else:
         VB, UF = None, None
 
-    def body(_, state):
+    def unpack(state):
         if warm:
-            cores, center, LE, LE_ls, VB, UF = state
-        else:
-            cores, center, LE, LE_ls = state
-            VB = UF = None
-        out = _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
-                          class_weight, eta, cutoff, **kw)
-        cores, center, LE, LE_ls, VB, UF = out
+            return state
+        cores, center, LE, LE_ls = state
+        return cores, center, LE, LE_ls, None, None
+
+    def pack(cores, center, LE, LE_ls, VB, UF):
         if warm:
             return cores, center, LE, LE_ls, VB, UF
         return cores, center, LE, LE_ls
 
-    state0 = ((cores, center, LE, LE_ls, VB, UF) if warm
-              else (cores, center, LE, LE_ls))
+    def body(i, state):
+        cores, center, LE, LE_ls, VB, UF = unpack(state)
+        if warm and refresh_every > 1:
+            out = jax.lax.cond(
+                i % refresh_every == 0,
+                lambda a: _sweep_core(*a, phis_c, y_onehot, class_weight,
+                                      eta, cutoff, refresh=True, **kw),
+                lambda a: _sweep_core(*a, phis_c, y_onehot, class_weight,
+                                      eta, cutoff, refresh=False, **kw),
+                (cores, center, LE, LE_ls, VB, UF))
+        else:
+            out = _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c,
+                              y_onehot, class_weight, eta, cutoff, **kw)
+        return pack(*out)
+
+    state0 = pack(cores, center, LE, LE_ls, VB, UF)
     out = jax.lax.fori_loop(0, nsweeps, body, state0)
     return out[0], out[1]

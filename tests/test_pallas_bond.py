@@ -1,0 +1,150 @@
+"""Parity tests for the fused Pallas bond step (ops/pallas_bond.py).
+
+Run in Pallas interpreter mode on CPU: the kernels must reproduce the XLA
+warm-split bond step bit-for-bit up to f32 reassociation noise, and a short
+training run through the Pallas path must reach the same accuracy."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import mpstime_tpu as mt
+from mpstime_tpu.ops import pallas_bond
+from mpstime_tpu.ops.bond_update import apply_update
+from mpstime_tpu.ops.decomp import (warm_sketch_init, warm_split_left,
+                                    warm_split_right)
+from mpstime_tpu.ops.env import env_step_left_scaled, env_step_right_scaled
+
+
+@pytest.fixture
+def interpret():
+    pallas_bond.set_interpret(True)
+    jax.clear_caches()
+    yield
+    pallas_bond.set_interpret(False)
+    jax.clear_caches()
+
+
+def _rand_bond(chi=6, d=3, C=2, N=12, seed=1):
+    rng = np.random.default_rng(seed)
+    f32 = np.float32
+    return dict(
+        A=jnp.asarray(rng.standard_normal((chi, d, chi)).astype(f32)),
+        center=jnp.asarray(rng.standard_normal((chi, d, chi, C)).astype(f32)),
+        le=jnp.asarray(rng.standard_normal((N, chi)).astype(f32)),
+        re=jnp.asarray(rng.standard_normal((N, chi)).astype(f32)),
+        re_ls=jnp.asarray(rng.standard_normal(N).astype(f32)),
+        phil=jnp.asarray(rng.uniform(-0.8, 0.8, (N, d)).astype(f32)),
+        phir=jnp.asarray(rng.uniform(-0.8, 0.8, (N, d)).astype(f32)),
+        y1h=jnp.asarray(np.eye(C, dtype=f32)[rng.integers(0, C, N)]),
+        w=jnp.full((N,), 1.0 / N, jnp.float32),
+        chi=chi, d=d, C=C, N=N,
+    )
+
+
+class TestPallasBondParity:
+    def test_backward_bond_matches_xla(self, interpret):
+        b = _rand_bond()
+        chi, d, C = b["chi"], b["d"], b["C"]
+        eta = jnp.float32(0.05)
+        cutoff = jnp.float32(1e-10)
+        V0 = warm_sketch_init(d * chi, chi, np.float32)
+
+        BT = jnp.einsum("aim,mkbc->aikbc", b["A"], b["center"])
+        _, BT2 = apply_update(BT, b["le"], b["re"], b["phil"], b["phir"],
+                              b["y1h"], b["w"], jnp.zeros(b["N"], jnp.float32), eta=eta,
+                              loss="KLD", bbopt="TSGO", update_iters=1,
+                              rescale=(False, True))
+        M = BT2.transpose(0, 1, 4, 2, 3).reshape(chi * d * C, d * chi)
+        US, Vh, Qv = warm_split_left(M, V0, chi, cutoff)
+        center_x = US.reshape(chi, d, C, chi).transpose(0, 1, 3, 2)
+        V_x = Vh.reshape(chi, d, chi)
+        v2_x, ls2_x = env_step_right_scaled(b["re"], b["re_ls"], V_x,
+                                            b["phir"])
+
+        cp, Vp, v2p, ls2p, Qvp = pallas_bond.bond_step(
+            b["A"], jnp.moveaxis(b["center"], 3, 0), b["le"], b["re"],
+            b["re_ls"], b["phil"], b["phir"], b["y1h"], b["w"], V0,
+            eta, cutoff, forward=False)
+        np.testing.assert_allclose(np.moveaxis(np.asarray(cp), 0, 3),
+                                   np.asarray(center_x), rtol=1e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(Vp), np.asarray(V_x),
+                                   rtol=1e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(v2p), np.asarray(v2_x),
+                                   rtol=1e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(ls2p), np.asarray(ls2_x),
+                                   rtol=1e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(Qvp), np.asarray(Qv),
+                                   rtol=1e-4, atol=3e-5)
+
+    def test_forward_bond_matches_xla(self, interpret):
+        b = _rand_bond(seed=3)
+        chi, d, C = b["chi"], b["d"], b["C"]
+        eta = jnp.float32(0.05)
+        cutoff = jnp.float32(1e-10)
+        U0 = warm_sketch_init(chi * d, chi, np.float32)
+
+        BTf = jnp.einsum("aimc,mkb->aikbc", b["center"], b["A"])
+        _, BTf2 = apply_update(BTf, b["le"], b["re"], b["phil"], b["phir"],
+                               b["y1h"], b["w"], jnp.zeros(b["N"], jnp.float32), eta=eta,
+                               loss="KLD", bbopt="TSGO", update_iters=1,
+                               rescale=(False, True))
+        Mf = BTf2.reshape(chi * d, d * chi * C)
+        Uu, SVh, Qu = warm_split_right(Mf, U0, chi, cutoff)
+        U_x = Uu.reshape(chi, d, chi)
+        center_x = SVh.reshape(chi, d, chi, C)
+        v2_x, ls2_x = env_step_left_scaled(b["le"], b["re_ls"], U_x,
+                                           b["phil"])
+
+        cp, Up, v2p, ls2p, Qup = pallas_bond.bond_step(
+            b["A"], jnp.moveaxis(b["center"], 3, 0), b["le"], b["re"],
+            b["re_ls"], b["phil"], b["phir"], b["y1h"], b["w"], U0,
+            eta, cutoff, forward=True)
+        np.testing.assert_allclose(np.moveaxis(np.asarray(cp), 0, 3),
+                                   np.asarray(center_x), rtol=1e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(Up), np.asarray(U_x),
+                                   rtol=1e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(v2p), np.asarray(v2_x),
+                                   rtol=1e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(ls2p), np.asarray(ls2_x),
+                                   rtol=1e-4, atol=3e-5)
+
+    def test_frozen_bond_matches_xla(self, interpret):
+        # refresh=False: split against the cached orthonormal basis directly
+        b = _rand_bond(seed=5)
+        chi, d, C = b["chi"], b["d"], b["C"]
+        eta = jnp.float32(0.05)
+        cutoff = jnp.float32(1e-10)
+        V0 = warm_sketch_init(d * chi, chi, np.float32)
+
+        BT = jnp.einsum("aim,mkbc->aikbc", b["A"], b["center"])
+        _, BT2 = apply_update(BT, b["le"], b["re"], b["phil"], b["phir"],
+                              b["y1h"], b["w"], jnp.zeros(b["N"], jnp.float32), eta=eta,
+                              loss="KLD", bbopt="TSGO", update_iters=1,
+                              rescale=(False, True))
+        M = BT2.transpose(0, 1, 4, 2, 3).reshape(chi * d * C, d * chi)
+        US, Vh, Qv = warm_split_left(M, V0, chi, cutoff, refresh=False)
+        center_x = US.reshape(chi, d, C, chi).transpose(0, 1, 3, 2)
+
+        cp, Vp, v2p, ls2p, Qvp = pallas_bond.bond_step(
+            b["A"], jnp.moveaxis(b["center"], 3, 0), b["le"], b["re"],
+            b["re_ls"], b["phil"], b["phir"], b["y1h"], b["w"], V0,
+            eta, cutoff, forward=False, refresh=False)
+        np.testing.assert_allclose(np.moveaxis(np.asarray(cp), 0, 3),
+                                   np.asarray(center_x), rtol=1e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(Qvp), np.asarray(V0),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_training_through_pallas_path(self, interpret, ecg200):
+        # a short real training run through the interpreted Pallas sweep
+        # reaches the same accuracy regime as the XLA path
+        Xtr, ytr, *_ = ecg200
+        Xtr, ytr = Xtr[:40], ytr[:40]
+        opts = mt.MPSOptions(nsweeps=3, chi_max=12, d=3, verbosity=-1,
+                             log_level=-1, dtype="float32",
+                             svd_alg="randomized_warm")
+        trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        acc = np.mean(mt.classify(trained, Xtr) == ytr)
+        assert acc >= 0.9
