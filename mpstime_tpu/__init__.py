@@ -19,9 +19,16 @@ import jax as _jax
 # Cache executables on disk so repeat shapes (across trials AND processes)
 # skip the service entirely.  Opt out with MPSTIME_TPU_NO_COMPCACHE=1 or by
 # configuring jax_compilation_cache_dir yourself before importing.
+# CPU-only processes are excluded: XLA:CPU AOT executables embed host
+# feature masks that can differ across (sandboxed) processes on the same
+# machine, and reloading across masks risks SIGILL; CPU compiles are cheap.
 if not _os.environ.get("MPSTIME_TPU_NO_COMPCACHE"):
     try:
-        if not _jax.config.jax_compilation_cache_dir:
+        _platforms = (_jax.config.jax_platforms
+                      or _os.environ.get("JAX_PLATFORMS", ""))
+        _primary = _platforms.split(",")[0].strip().lower()
+        if _primary and _primary != "cpu" and \
+                not _jax.config.jax_compilation_cache_dir:
             _cache = _os.path.join(_os.path.expanduser("~"), ".cache",
                                    "mpstime_tpu", "jax_cache")
             _os.makedirs(_cache, exist_ok=True)

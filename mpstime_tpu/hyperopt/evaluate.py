@@ -42,6 +42,7 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
              tuning_maxiters: int = 250,
              impute_method: str = "median",
              n_workers: int = 0,
+             devices=None,
              write: bool = False,
              writedir: str = "evals",
              simname: Optional[str] = None,
@@ -49,7 +50,12 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
              delete_tmps: Optional[bool] = None) -> List[Dict[str, Any]]:
     """Evaluate tuned-MPS performance over resampled folds (reference
     evaluate, evaluate.jl:136-306).  Returns one result dict per fold with
-    the reference's keys (evaluate.jl:247-261)."""
+    the reference's keys (evaluate.jl:247-261).
+
+    ``devices``: farm outer folds across local devices (the Distributed.jl
+    ``distribute_folds``/``pmap(_eval_fold, ...)`` analog, evaluate.jl:281).
+    True/"all" uses every local device; inner ``tune`` calls then run
+    sequentially within each fold's device."""
     if ys is None:
         ys = np.zeros(Xs.shape[0], dtype=np.int64)
     Xs = np.asarray(Xs, dtype=np.float64)
@@ -153,7 +159,13 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
             print(f"saved fold at {fname}")
         return res
 
-    results = [_eval_fold(f) for f in fold_inds]
+    from ..parallel.farm import DeviceFarm, resolve_devices
+
+    farm_devs = resolve_devices(devices)
+    if farm_devs and len(farm_devs) > 1:
+        results = DeviceFarm(farm_devs).map(_eval_fold, fold_inds)
+    else:
+        results = [_eval_fold(f) for f in fold_inds]
 
     if write:
         os.makedirs(os.path.dirname(outfile) or ".", exist_ok=True)

@@ -2,11 +2,12 @@
 src/Training/hyperparameters/tuning.jl).
 
 Parallelism note: the reference farms CV folds / trials to Distributed.jl
-worker processes (tuning.jl:112, random_search.jl:115).  Here trials/folds
-run through an optional thread executor (`n_workers`): JAX dispatch releases
-the GIL, so CPU folds overlap; on a TPU the device serializes compute and the
-wins come from overlapping host-side work.  Multi-chip fold-parallelism over
-a device mesh is the intended scale-out path.
+worker processes (tuning.jl:112, random_search.jl:115).  Two TPU-native
+equivalents here: ``devices=...`` farms each CV fold onto its own local
+device (thread-per-device pool pinned via ``jax.default_device`` — see
+mpstime_tpu.parallel.farm), and ``n_workers>0`` overlaps folds with plain
+threads on one device (JAX dispatch releases the GIL, so host-side work
+overlaps even when the device serializes compute).
 """
 
 from __future__ import annotations
@@ -138,9 +139,14 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
          maxiters: int = 250,
          max_cache_hits: int = 100,
          n_workers: int = 0,
+         devices=None,
          impute_method: str = "median",
          pre_string: str = "") -> Tuple[Dict[str, Any], Dict]:
     """nfolds-fold hyperparameter tuning (reference tune, tuning.jl:354-512).
+
+    ``devices``: farm CV folds across local devices — True/"all" for every
+    local device, or an explicit list of jax devices (the Distributed.jl
+    ``distribute_folds`` analog, tuning.jl:112).
 
     Returns (best_params dict, cache dict mapping hyperparameter tuples to
     mean CV loss)."""
@@ -208,7 +214,12 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
                   f"finished in {time.time() - t0:.2f}s (loss={loss:.6g})")
         return loss
 
-    executor = ThreadPoolExecutor(n_workers) if n_workers > 0 else None
+    from ..parallel.farm import DeviceFarm, resolve_devices
+
+    farm_devs = resolve_devices(devices)
+    farm = DeviceFarm(farm_devs) if farm_devs and len(farm_devs) > 1 else None
+    executor = ThreadPoolExecutor(n_workers) \
+        if n_workers > 0 and farm is None else None
 
     def tr_objective(optslist) -> float:
         hparams = _safe_paramlist(optslist, fields, types, value_map,
@@ -222,7 +233,10 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
         state["hits"] = 0
         state["iters"] += 1
         opts = opts0.replace(**hparams)
-        if executor is not None:
+        if farm is not None:
+            losses = farm.map(lambda f: cvloss(f, hparams, opts),
+                              range(len(folds)))
+        elif executor is not None:
             losses = list(executor.map(
                 lambda f: cvloss(f, hparams, opts), range(len(folds))))
         else:

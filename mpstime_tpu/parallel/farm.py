@@ -1,0 +1,77 @@
+"""Fold/trial farming across local devices.
+
+The reference distributes hyperopt CV folds and outer evaluation folds to
+Distributed.jl worker processes (``pmap`` + ``CachingPool``, tuning.jl:112,
+evaluate.jl:281-286; worker-pool partitioning ``divide_procs``,
+hyperopt_utils.jl:49-60).  The TPU-native equivalent: each fold job (an
+entire ``fit_mps`` + ``eval_loss`` — shapes far too small to need more than
+one chip) is pinned to one local device via the thread-local
+``jax.default_device`` context, and a thread-per-device pool drains a shared
+job queue.  JAX dispatch releases the GIL, so D devices genuinely overlap;
+on a single-device host the farm degenerates to the sequential path.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, List, Optional, Sequence, Union
+
+import jax
+
+
+def resolve_devices(devices: Union[None, bool, str, Sequence]) -> Optional[List]:
+    """Normalize a ``devices`` argument: None/False -> no farming,
+    True/"all" -> every local device, else a list of jax devices."""
+    if devices is None or devices is False:
+        return None
+    if devices is True or (isinstance(devices, str) and devices == "all"):
+        return list(jax.local_devices())
+    devs = list(devices)
+    return devs if devs else None
+
+
+class DeviceFarm:
+    """Run independent jobs round-robin across a set of local devices.
+
+    Results keep the input order.  The first exception wins: remaining
+    queued jobs are cancelled and the exception re-raised on the caller.
+    """
+
+    def __init__(self, devices: Union[None, bool, str, Sequence] = "all"):
+        devs = resolve_devices(devices)
+        self.devices = devs if devs else list(jax.local_devices())
+
+    def map(self, fn: Callable[[Any], Any], items) -> List[Any]:
+        items = list(items)
+        if len(self.devices) <= 1 or len(items) <= 1:
+            return [fn(it) for it in items]
+
+        jobq: "queue.Queue" = queue.Queue()
+        for i, it in enumerate(items):
+            jobq.put((i, it))
+        results: List[Any] = [None] * len(items)
+        errors: List[BaseException] = []
+
+        def worker(dev):
+            while not errors:
+                try:
+                    i, it = jobq.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    with jax.default_device(dev):
+                        results[i] = fn(it)
+                except BaseException as e:
+                    errors.append(e)
+                    return
+
+        threads = [threading.Thread(target=worker, args=(d,), daemon=True)
+                   for d in self.devices[:len(items)]]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+        return results

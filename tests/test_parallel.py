@@ -70,6 +70,59 @@ def test_fit_mps_with_mesh(tiny_problem):
     assert np.mean(mt.classify(trained_m, X) == y) >= 0.9
 
 
+def test_device_farm_matches_sequential_tune(two_class_sines):
+    """Fold farming across the 8 virtual devices returns the exact same
+    tuning result as the sequential path (jobs are independent and
+    deterministic; only placement differs)."""
+    import mpstime_tpu as mt
+
+    Xtr, ytr, _, _ = two_class_sines
+    opts0 = mt.MPSOptions(verbosity=-5, log_level=-1, nsweeps=2,
+                          dtype="float64", sigmoid_transform=True)
+    kw = dict(parameters={"chi_max": [6, 10], "d": [3]},
+              method=mt.MPSRandomSearch("Exhaustive"),
+              objective=mt.MisclassificationRate(), opts0=opts0,
+              maxiters=2, verbosity=-1)
+    best_seq, cache_seq = mt.tune(Xtr, ytr, 2, **kw)
+    best_far, cache_far = mt.tune(Xtr, ytr, 2, devices="all", **kw)
+    assert best_seq == best_far
+    assert set(cache_seq) == set(cache_far)
+    for k in cache_seq:
+        np.testing.assert_allclose(cache_seq[k], cache_far[k], rtol=1e-9)
+
+
+def test_device_farm_error_propagates():
+    from mpstime_tpu.parallel import DeviceFarm
+
+    farm = DeviceFarm("all")
+    assert len(farm.devices) >= 8
+
+    def boom(i):
+        if i == 3:
+            raise ValueError("job 3 failed")
+        return i * i
+
+    with pytest.raises(ValueError, match="job 3"):
+        farm.map(boom, range(8))
+    assert farm.map(lambda i: i * i, range(5)) == [0, 1, 4, 9, 16]
+
+
+def test_evaluate_device_farm(two_class_sines, tmp_path):
+    import mpstime_tpu as mt
+
+    Xtr, ytr, _, _ = two_class_sines
+    opts0 = mt.MPSOptions(verbosity=-5, log_level=-1, nsweeps=2, chi_max=8,
+                          d=3, dtype="float64", sigmoid_transform=True)
+    res = mt.evaluate(Xtr, ytr, nfolds=2, tuning_parameters={"d": [3]},
+                      objective=mt.MisclassificationRate(), opts0=opts0,
+                      n_cvfolds=2, tuning_maxiters=1, verbosity=-1,
+                      devices="all", write=True, writedir=str(tmp_path),
+                      simname="farm_eval")
+    assert len(res) == 2
+    assert all(np.isfinite(r["loss"]) for r in res)
+    assert [r["fold"] for r in res] == [0, 1]
+
+
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
