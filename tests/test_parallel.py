@@ -91,6 +91,25 @@ def test_device_farm_matches_sequential_tune(two_class_sines):
         np.testing.assert_allclose(cache_seq[k], cache_far[k], rtol=1e-9)
 
 
+def test_device_farm_places_jobs_on_distinct_devices():
+    """jax.default_device pinning is thread-local: concurrent jobs land on
+    different devices, not all on device 0."""
+    import time
+
+    import jax.numpy as jnp
+    from mpstime_tpu.parallel import DeviceFarm
+
+    farm = DeviceFarm("all")
+
+    def job(i):
+        x = jnp.full((16, 16), float(i)) @ jnp.eye(16)
+        time.sleep(0.05)   # hold the device slot so jobs overlap
+        return list(x.devices())[0]
+
+    used = set(farm.map(job, range(8)))
+    assert len(used) >= 4, f"jobs ran on only {len(used)} device(s): {used}"
+
+
 def test_device_farm_error_propagates():
     from mpstime_tpu.parallel import DeviceFarm
 
