@@ -10,34 +10,6 @@ einsums over the sample axis, Gram-eigh truncated splits, and data-parallel
 sharding over device meshes.
 """
 
-import os as _os
-
-import jax as _jax
-
-# Persistent compilation cache: TPU compiles go through a remote service
-# with multi-second latency, and hyperopt re-compiles per (chi, d) shape.
-# Cache executables on disk so repeat shapes (across trials AND processes)
-# skip the service entirely.  Opt out with MPSTIME_TPU_NO_COMPCACHE=1 or by
-# configuring jax_compilation_cache_dir yourself before importing.
-# CPU-only processes are excluded: XLA:CPU AOT executables embed host
-# feature masks that can differ across (sandboxed) processes on the same
-# machine, and reloading across masks risks SIGILL; CPU compiles are cheap.
-if not _os.environ.get("MPSTIME_TPU_NO_COMPCACHE"):
-    try:
-        _platforms = (_jax.config.jax_platforms
-                      or _os.environ.get("JAX_PLATFORMS", ""))
-        _primary = _platforms.split(",")[0].strip().lower()
-        if _primary and _primary != "cpu" and \
-                not _jax.config.jax_compilation_cache_dir:
-            _cache = _os.path.join(_os.path.expanduser("~"), ".cache",
-                                   "mpstime_tpu", "jax_cache")
-            _os.makedirs(_cache, exist_ok=True)
-            _jax.config.update("jax_compilation_cache_dir", _cache)
-            _jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                               0.5)
-    except Exception:
-        pass
-
 from .options import MPSOptions, print_opts
 from .encodings import (EncodingSpec, get_encoding, function_basis,
                         encoding_range, EncodedDataset, encode_dataset,

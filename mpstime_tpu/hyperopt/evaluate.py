@@ -82,6 +82,19 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
     if delete_tmps is None:
         delete_tmps = len(fold_inds) == nfolds
 
+    from ..parallel.farm import DeviceFarm, resolve_devices
+
+    farm_devs = resolve_devices(devices)
+    farming = bool(farm_devs) and len(farm_devs) > 1
+    if farming and n_workers > 0:
+        # threads spawned inside a fold's jax.default_device context do NOT
+        # inherit the pinning — an inner-tune thread pool would put every
+        # farmed fold's compute back on the global default device
+        import warnings
+        warnings.warn("evaluate(devices=...): inner tune runs sequentially "
+                      "within each fold's device; n_workers is ignored.")
+        n_workers = 0
+
     g = rng if isinstance(rng, np.random.Generator) else np.random.default_rng(rng)
 
     resolved_eval_windows = None
@@ -159,10 +172,7 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
             print(f"saved fold at {fname}")
         return res
 
-    from ..parallel.farm import DeviceFarm, resolve_devices
-
-    farm_devs = resolve_devices(devices)
-    if farm_devs and len(farm_devs) > 1:
+    if farming:
         results = DeviceFarm(farm_devs).map(_eval_fold, fold_inds)
     else:
         results = [_eval_fold(f) for f in fold_inds]

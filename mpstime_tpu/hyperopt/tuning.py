@@ -218,6 +218,10 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
 
     farm_devs = resolve_devices(devices)
     farm = DeviceFarm(farm_devs) if farm_devs and len(farm_devs) > 1 else None
+    if farm is not None and n_workers > 0:
+        warnings.warn(pre_string + "devices=... and n_workers>0 are mutually "
+                      "exclusive; folds farm one-per-device and n_workers is "
+                      "ignored.")
     executor = ThreadPoolExecutor(n_workers) \
         if n_workers > 0 and farm is None else None
 

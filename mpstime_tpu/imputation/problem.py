@@ -126,6 +126,9 @@ def init_imputation_problem(mps: TrainedMPS, X_test: np.ndarray,
                             test_encoding: bool = True) -> ImputationProblem:
     """Initialise an imputation problem from a trained MPS
     (reference init_imputation_problem, imputation.jl:48-196)."""
+    from ..utils.compcache import maybe_enable_compilation_cache
+    maybe_enable_compilation_cache()
+
     X_test = np.asarray(X_test, dtype=np.float64)
     if y_test is None:
         y_test = np.zeros(X_test.shape[0], dtype=np.int64)

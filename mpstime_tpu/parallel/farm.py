@@ -22,11 +22,14 @@ import jax
 
 def resolve_devices(devices: Union[None, bool, str, Sequence]) -> Optional[List]:
     """Normalize a ``devices`` argument: None/False -> no farming,
-    True/"all" -> every local device, else a list of jax devices."""
+    True/"all" -> every local device, a platform name (e.g. "cpu") -> that
+    platform's devices, else a list of jax devices."""
     if devices is None or devices is False:
         return None
     if devices is True or (isinstance(devices, str) and devices == "all"):
         return list(jax.local_devices())
+    if isinstance(devices, str):
+        return list(jax.devices(devices))   # platform name, e.g. "cpu"
     devs = list(devices)
     return devs if devs else None
 
@@ -34,13 +37,15 @@ def resolve_devices(devices: Union[None, bool, str, Sequence]) -> Optional[List]
 class DeviceFarm:
     """Run independent jobs round-robin across a set of local devices.
 
-    Results keep the input order.  The first exception wins: remaining
-    queued jobs are cancelled and the exception re-raised on the caller.
+    ``DeviceFarm(None)`` is the sequential degenerate (one default device);
+    ``DeviceFarm("all")`` farms over every local device.  Results keep the
+    input order.  The first exception wins: remaining queued jobs are
+    cancelled and the exception re-raised on the caller.
     """
 
     def __init__(self, devices: Union[None, bool, str, Sequence] = "all"):
         devs = resolve_devices(devices)
-        self.devices = devs if devs else list(jax.local_devices())
+        self.devices = devs if devs else list(jax.local_devices())[:1]
 
     def map(self, fn: Callable[[Any], Any], items) -> List[Any]:
         items = list(items)

@@ -63,6 +63,9 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
     replicated and GSPMD inserts one gradient all-reduce per bond update.
     The sample count is padded to a mesh multiple with zero-weight copies.
     """
+    from ..utils.compcache import maybe_enable_compilation_cache
+    maybe_enable_compilation_cache()
+
     if opts is None:
         opts = MPSOptions()
     X_train = np.asarray(X_train, dtype=np.float64)

@@ -2,9 +2,12 @@
 shapes: train (fused sweeps), classify, imputation (median/ITS + batched),
 entanglement analysis, and a small hyperopt tune. Prints one line per stage."""
 
+import os
 import time
 
 import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def stage(name, t0):
@@ -16,7 +19,7 @@ def main():
     import jax
     import mpstime_tpu as mt
 
-    d = np.load("tests/data/ecg200.npz")
+    d = np.load(os.path.join(_REPO, "tests", "data", "ecg200.npz"))
     Xtr, ytr, Xte, yte = d["X_train"], d["y_train"], d["X_test"], d["y_test"]
 
     t0 = time.perf_counter()
@@ -51,7 +54,6 @@ def main():
     sees = mt.single_site_spectrum(trained)
     t0 = stage("entanglement spectra", t0)
 
-    import mpstime_tpu as _mt
     opts0 = mt.MPSOptions(verbosity=-5, log_level=-1, nsweeps=3,
                           sigmoid_transform=True)
     best, cache = mt.tune(Xtr, ytr, 2,
