@@ -100,16 +100,21 @@ class ImputationProblem:
             return self._kernels[key]
         cores = self.cores_full[ci]
         gs = self.grid_states[ci]
+        encode_at = self._encode_at_fn(ci)
         if impute_order == "backwards":
             cores = reverse_problem(cores)
             if self.timedep:
+                # site axis is reversed: evaluate time-dependent bases at
+                # the ORIGINAL site T-1-t, like the reversed grid states
                 gs = gs[::-1]
+                fwd_encode_at, Tm1 = encode_at, self.T - 1
+                encode_at = lambda x, t: fwd_encode_at(x, Tm1 - t)
         elif impute_order != "forwards":
             raise ValueError("impute_order must be 'forwards' or 'backwards'")
         T, chi, d, _ = cores.shape
         kern = make_impute_kernel(
             T, chi, d, len(self.grid_x), self.grid_x, self.dx, gs,
-            encode_at=self._encode_at_fn(ci), method=method,
+            encode_at=encode_at, method=method,
             timedep=self.timedep, want_cdf=want_cdf, get_err=get_err,
             max_jump=max_jump, rejection_threshold=rejection_threshold,
             max_trials=max_trials)
@@ -478,9 +483,7 @@ def impute_batch(imp: ImputationProblem, class_label,
     scaled, oob = transform_test_data(filled, imp.norms, opts)
 
     spec = imp.spec()
-    enc_args = imp.class_enc_args(ci) if (opts.encode_classes_separately and
-                                          isinstance(imp.enc_args, list)) \
-        else imp.enc_args
+    enc_args = imp.class_enc_args(ci)
     phis = spec.encode_batch(jnp.asarray(scaled), opts.d, enc_args)
     phis_c = jnp.conj(jnp.asarray(phis, dtype=imp.cores_full[0].dtype))
 

@@ -104,12 +104,35 @@ def mixed_loss_grad(BT: jnp.ndarray, le, re, phi_l, phi_r,
                     env_ls: jnp.ndarray, alpha: float = 5.0
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mixed loss = KLD + alpha * MSE (the reference's :Mixed loss,
-    loss_functions.jl:622-668, legacy-engine only there; alpha=5 default)."""
-    l1, g1 = kld_loss_grad(BT, le, re, phi_l, phi_r, y_onehot, class_weight,
-                           env_ls)
-    l2, g2 = mse_loss_grad(BT, le, re, phi_l, phi_r, y_onehot, class_weight,
-                           env_ls)
-    return l1 + alpha * l2, g1 + alpha * g2
+    loss_functions.jl:622-668, legacy-engine only there; alpha=5 default).
+
+    The L/R Kronecker factors and the two yhat einsums — the expensive
+    contractions — are computed once and shared by both parts."""
+    chi, d, _, _, C = BT.shape
+    L, R = _lr_factors(le, re, phi_l, phi_r)
+    BTm = BT.reshape(chi * d, d * chi, C)
+    t = jnp.einsum("nx,xyc->nyc", jnp.conj(L), BTm)
+    yhat_s = jnp.einsum("nyc,ny->nc", t, jnp.conj(R))          # [N, C] scaled
+
+    # KLD part (see kld_loss_grad)
+    y_true = jnp.sum(yhat_s * y_onehot.astype(yhat_s.dtype), axis=1)
+    abs2 = jnp.real(y_true) ** 2 + jnp.imag(y_true) ** 2
+    l_kld = jnp.sum(class_weight * (-jnp.log(abs2) - 2.0 * env_ls))
+    u = (class_weight / jnp.conj(y_true)).astype(BT.dtype)
+    Wc = y_onehot.astype(BT.dtype) * u[:, None]
+    g_kld = -jnp.einsum("nx,nyc->xyc", L, R[:, :, None] * Wc[:, None, :])
+
+    # MSE part (see mse_loss_grad)
+    scale = jnp.exp(env_ls).astype(yhat_s.real.dtype)
+    yhat = yhat_s * scale[:, None].astype(yhat_s.dtype)
+    resid = yhat - y_onehot.astype(yhat.dtype)
+    l_mse = 0.5 * jnp.sum(class_weight * jnp.sum(jnp.abs(resid) ** 2, axis=1))
+    W = resid * (class_weight * scale)[:, None].astype(yhat.dtype)
+    g_mse = jnp.einsum("nx,nyc->xyc", jnp.conj(L),
+                       jnp.conj(R)[:, :, None] * W[:, None, :])
+
+    return (l_kld + alpha * l_mse,
+            (g_kld + alpha * g_mse).reshape(BT.shape))
 
 
 _LOSS_GRADS = {"KLD": kld_loss_grad, "MSE": mse_loss_grad,

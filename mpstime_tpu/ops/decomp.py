@@ -81,6 +81,10 @@ def randomized_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2
     Y = M.conj().T @ (M @ (M.conj().T @ Psi))     # (M^H M)^1 M^H Psi
     for _ in range(q - 1):
         Y = M.conj().T @ (M @ Y)
+    # per-column normalization keeps the QR input away from f32
+    # under/overflow (power iteration raises the dynamic range to ~2q+1)
+    Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
+                        jnp.finfo(Y.real.dtype).tiny)
     Q, _ = jnp.linalg.qr(Y)                       # [C, k]
     B = M @ Q                                     # [R, k]
     S = B.conj().T @ B                            # [k, k] ritz Gram
@@ -109,6 +113,8 @@ def randomized_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2
     Y = M @ (M.conj().T @ (M @ Psi))
     for _ in range(q - 1):
         Y = M @ (M.conj().T @ Y)
+    Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
+                        jnp.finfo(Y.real.dtype).tiny)
     Q, _ = jnp.linalg.qr(Y)                       # [R, k]
     B = Q.conj().T @ M                            # [k, C]
     S = B @ B.conj().T                            # [k, k]

@@ -196,7 +196,6 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
     # (per-call dispatch is pure overhead; see training/sweep.py full_sweeps).
     fuse_sweeps = opts.log_level <= 0 and not opts.exit_early and verb <= -1
     if fuse_sweeps and opts.nsweeps > 0:
-        t0 = time.perf_counter()
         cores, center = full_sweeps(cores, center, phis_c, y_onehot,
                                     class_weight, eta_a, cutoff_a,
                                     nsweeps=opts.nsweeps,
@@ -223,7 +222,9 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
                 cores, center = full_sweep(
                     cores, center, phis_c, y_onehot, class_weight,
                     eta_a, cutoff_a, **sweep_kw)
-            jax.block_until_ready(center)
+            # scalar transfer as the timing barrier: block_until_ready is
+            # unreliable on the remote axon TPU platform
+            float(jnp.linalg.norm(center))
             elapsed = time.perf_counter() - t0
             mps = MPS(cores, center, T - 1)
             if verb > -1:
@@ -238,7 +239,7 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
     if verb > -1:
         print("\nMPS normalised!\n")
     if opts.log_level > 0:
-        info_final = log_stats(float("nan"))
+        log_stats(float("nan"))
 
     trained = TrainedMPS(mps, opts, norms, train_ds, custom_encoding)
     return trained, info, test_ds

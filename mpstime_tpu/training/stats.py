@@ -34,9 +34,8 @@ def loss_acc_conf(mps: MPS, X_enc: jnp.ndarray, y_idx: np.ndarray
                   ) -> Tuple[float, float, float, np.ndarray]:
     """(mse_loss, kld_loss, accuracy, confusion[true, pred]) over a dataset
     (reference MSE_loss_acc_conf, summary.jl:102-114)."""
-    phis = X_enc.swapaxes(0, 1) if False else X_enc     # [N, T, d]
     mse, kld, acc, _, conf = _stats_kernel(
-        mps.cores, mps.center, mps.center_pos, phis,
+        mps.cores, mps.center, mps.center_pos, X_enc,   # X_enc: [N, T, d]
         jnp.asarray(y_idx), mps.num_classes)
     return float(mse), float(kld), float(acc), np.asarray(conf)
 

@@ -121,6 +121,27 @@ class TestImputationMethods:
         # both directions should be decent fits
         assert sb[0]["MAE"] < 3 * sf[0]["MAE"] + 0.2
 
+    def test_backwards_mean_time_dependent_encoding(self, ecg200):
+        """Regression: with impute_order='backwards' + a time-dependent
+        encoding, the mean-method conditioning must encode the imputed value
+        in the ORIGINAL site's basis (T-1-t after the site reversal), not the
+        reversed index's."""
+        Xtr, ytr, Xte, yte = ecg200
+        opts = mt.MPSOptions(nsweeps=3, chi_max=12, d=4, encoding="SLTD",
+                             verbosity=-1, dtype="float64")
+        trained, _, _ = mt.fit_mps(Xtr[:60], ytr[:60], opts=opts)
+        imp_td = mt.init_imputation_problem(trained, Xte, yte, verbosity=-1)
+        _, sites = mt.mar(Xte[6], 0.2, rng=13)
+        ts_f, _, _, sf, _ = mt.mps_impute(imp_td, 0, 6, sites, "mean",
+                                          NN_baseline=False, plot_fits=False)
+        ts_b, _, _, sb, _ = mt.mps_impute(imp_td, 0, 6, sites, "mean",
+                                          NN_baseline=False, plot_fits=False,
+                                          impute_order="backwards")
+        assert np.isfinite(ts_b[0]).all()
+        # wrong-basis conditioning corrupts every subsequent site; a correct
+        # backwards pass must stay a comparable fit to forwards
+        assert sb[0]["MAE"] < 3 * sf[0]["MAE"] + 0.2
+
     def test_knn_impute(self, imp, ecg200):
         Xtr, ytr, Xte, yte = ecg200
         _, sites = mt.mar(Xte[0], 0.2, rng=17)
