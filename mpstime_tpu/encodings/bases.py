@@ -110,19 +110,6 @@ def legendre_encode(x: jnp.ndarray, d: int, norm: bool = False) -> jnp.ndarray:
     return ls
 
 
-def legendre_encode_select(x: jnp.ndarray, orders: np.ndarray,
-                           norm: bool = False) -> jnp.ndarray:
-    """Normalised Legendre polynomials at the given ``orders`` (projected basis,
-    reference bases.jl:94-107). ``orders``: static int array [d]."""
-    orders = np.asarray(orders, dtype=np.int64)
-    lmax = int(orders.max())
-    allp = legendre_stack(x, lmax)
-    sel = allp[..., orders]
-    if norm:
-        sel = sel / math.sqrt(_legendre_norm_const(lmax) * lmax)
-    return sel
-
-
 def polyval_matrix(x: jnp.ndarray, cvecs: jnp.ndarray) -> jnp.ndarray:
     """Evaluate the d polynomials rows of ``cvecs`` [d, d] (coefficients in
     increasing power order, reference bases.jl:115) at x -> x.shape + (d,)."""

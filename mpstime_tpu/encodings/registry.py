@@ -71,7 +71,13 @@ def _timedep_select_legendre(X, d, enc_args, norm):
     allp = bases.legendre_stack(X, lmax)                   # [N, T, lmax+1]
     sel = jnp.take_along_axis(allp, jnp.asarray(orders)[None, :, :], axis=-1)
     if norm:
-        sel = sel / np.sqrt(bases._legendre_norm_const(lmax) * max(lmax, 1))
+        # per-timepoint normalization by that timepoint's max selected order
+        # (reference legendre_encode(x, nds, ds[ti]), bases.jl:94-107; the
+        # max(l, 1) guard avoids /0 for an all-order-0 selection)
+        lmax_t = orders.max(axis=1)                        # [T]
+        factor = np.sqrt([bases._legendre_norm_const(int(l)) * max(int(l), 1)
+                          for l in lmax_t])
+        sel = sel / jnp.asarray(factor, dtype=sel.dtype)[None, :, None]
     return sel
 
 

@@ -83,7 +83,10 @@ def _project_onto_bins_batch(X, aux_spec: EncodingSpec, aux_dim: int,
     nbins = lo.shape[-1]
     x = X[..., None]                           # [N, T, 1]
     dx = hi - lo
-    x_prop = scale * (x - lo) / dx             # bin interior -> [0, scale]
+    # hist_split_1d collapses unfillable bins to zero width (duplicate
+    # edges); guard the division and never select a degenerate bin
+    deg = dx <= 0
+    x_prop = scale * (x - lo) / jnp.where(deg, 1.0, dx)   # interior -> [0, scale]
     frac = x_prop / scale                      # in [0, 1] inside bin i
 
     inside = (frac > 0) & (frac < 1)
@@ -91,9 +94,16 @@ def _project_onto_bins_batch(X, aux_spec: EncodingSpec, aux_dim: int,
     on_hi = frac == 1
     first = jnp.arange(nbins) == 0
     last = jnp.arange(nbins) == nbins - 1
+    # a shared edge normally splits weight 0.5/0.5 with the neighbour; if
+    # the neighbour is degenerate it can't take its half
+    prev_deg = jnp.concatenate([jnp.ones_like(deg[..., :1]),
+                                deg[..., :-1]], axis=-1)
+    next_deg = jnp.concatenate([deg[..., 1:],
+                                jnp.ones_like(deg[..., :1])], axis=-1)
     select = (inside * 1.0
-              + on_lo * jnp.where(first, 1.0, 0.5)
-              + on_hi * jnp.where(last, 1.0, 0.5))
+              + on_lo * jnp.where(first | prev_deg, 1.0, 0.5)
+              + on_hi * jnp.where(last | next_deg, 1.0, 0.5))
+    select = select * (~deg)
 
     # aux encoding at the bin-local coordinate a + x_prop, clipped into the
     # domain (clipped values are masked by select anyway)
@@ -101,10 +111,7 @@ def _project_onto_bins_batch(X, aux_spec: EncodingSpec, aux_dim: int,
     # encode all bins at once: reshape the bin axis into the batch
     N, T = X.shape
     xl = jnp.moveaxis(x_local, -1, 0).reshape(nbins * N, T)
-    if aux_spec.is_time_dependent:
-        enc = aux_spec.encode_batch(xl, aux_dim, aux_enc_args)
-    else:
-        enc = aux_spec.encode_batch(xl, aux_dim, aux_enc_args)
+    enc = aux_spec.encode_batch(xl, aux_dim, aux_enc_args)
     enc = enc.reshape(nbins, N, T, aux_dim)
     enc = jnp.moveaxis(enc, 0, 2)              # [N, T, nbins, aux_dim]
     out = enc * select[..., None].astype(enc.dtype)

@@ -107,4 +107,7 @@ def grid_search(rng: np.random.Generator, objective: Callable,
         losses = list(executor.map(objective, trials))
     else:
         losses = [objective(t) for t in trials]
+    # a diverged trial can score NaN (np.argmin would select it); NaN -> inf
+    losses = np.where(np.isnan(np.asarray(losses, dtype=np.float64)),
+                      np.inf, np.asarray(losses, dtype=np.float64))
     return trials[int(np.argmin(losses))]

@@ -46,9 +46,9 @@ def _parse_parameters(parameters: Dict[str, Any], opts0: MPSOptions,
         ptype = int if isinstance(startx, (int, np.integer)) else float
 
         if logspace_eta and key == "eta":
-            if isinstance(val, (list, np.ndarray)) or len(val) == 3:
-                raise ValueError("logspace_eta doesn't make sense with this "
-                                 "method of specifying eta values")
+            if isinstance(val, (list, np.ndarray)) or len(val) != 2:
+                raise ValueError("logspace_eta requires eta bounds "
+                                 "eta=(lb, ub)")
             if len(val) == 2:
                 if val[0] <= 0:
                     raise ValueError("Lower and upper bounds on eta must be "
@@ -225,6 +225,10 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
     executor = ThreadPoolExecutor(n_workers) \
         if n_workers > 0 and farm is None else None
 
+    class _SearchExhausted(Exception):
+        """Raised after max_cache_hits consecutive cache hits (the
+        reference's stop callback, tuning.jl:126-138)."""
+
     def tr_objective(optslist) -> float:
         hparams = _safe_paramlist(optslist, fields, types, value_map,
                                   logspace_eta, verbose=verbosity >= 3)
@@ -233,6 +237,8 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
             state["hits"] += 1
             if verbosity >= 1 and state["hits"] <= 3:
                 print(f"{pre_string}iter {state['iters']}: cache hit at {hparams}")
+            if state["hits"] > max_cache_hits:
+                raise _SearchExhausted
             return cache[key]
         state["hits"] = 0
         state["iters"] += 1
@@ -258,8 +264,16 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
     try:
         sol = grid_search(g, tr_objective, method, lb, ub, is_disc, fields,
                           maxiters)
+        best = _safe_paramlist(sol, fields, types, value_map, logspace_eta)
+    except _SearchExhausted:
+        if verbosity >= 1:
+            print(f"{pre_string}Exceeded max_cache_hits={max_cache_hits} "
+                  "consecutive cache hits, stopping early. Is your search "
+                  "space too small?")
+        best_key = min(cache, key=lambda k: cache[k]
+                       if not np.isnan(cache[k]) else np.inf)
+        best = dict(zip(fields, best_key))
     finally:
         if executor is not None:
             executor.shutdown(wait=False)
-    best = _safe_paramlist(sol, fields, types, value_map, logspace_eta)
     return best, cache

@@ -229,10 +229,10 @@ def kNN_impute(imp: ImputationProblem, class_label, instance: int,
 def _sigmoid_domain_ok(v: np.ndarray, oob, norms, opts) -> bool:
     """Check whether inverting ``v`` stays inside the sigmoid domain (0,1)
     (the reference raises a DomainError there, imputation.jl:344-348)."""
-    from ..encodings import encoding_range
+    from ..utils.preprocessing import _enc_range
     if not (opts.sigmoid_transform and norms.sigmoid_median is not None):
         return True
-    a, b = encoding_range(opts.encoding)
+    a, b = _enc_range(opts)
     y = (np.asarray(v, dtype=np.float64) - a) / (b - a)
     if oob:
         _, shift, scale = oob[0]

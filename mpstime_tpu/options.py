@@ -135,6 +135,11 @@ class MPSOptions:
     # sweeps, trading ~1-4 points of test accuracy on some configs.
     subspace_refresh_every: int = 1
 
+    # Domain of a custom encoding (encoding="custom"): fit_mps stamps the
+    # EncodingSpec's range here so preprocessing scales into the right
+    # interval (closed-form encodings derive it from the name instead).
+    custom_encoding_range: Optional[Tuple[float, float]] = None
+
     # Debug
     return_encoding_meta_info: bool = False
 
@@ -159,6 +164,9 @@ class MPSOptions:
             object.__setattr__(self, "rescale", tuple(self.rescale))
         if isinstance(self.data_bounds, list):
             object.__setattr__(self, "data_bounds", tuple(self.data_bounds))
+        if isinstance(self.custom_encoding_range, list):
+            object.__setattr__(self, "custom_encoding_range",
+                               tuple(self.custom_encoding_range))
 
     # ---- dtype resolution -------------------------------------------------
     def resolved_dtype(self) -> np.dtype:

@@ -83,6 +83,11 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
         raise ValueError("To use a custom encoding, set encoding='custom' in MPSOptions")
     spec = custom_encoding if custom_encoding is not None \
         else get_encoding(opts.encoding, project=opts.projected_basis)
+    if custom_encoding is not None and \
+            opts.custom_encoding_range != tuple(spec.range):
+        # stamp the spec's domain so preprocessing scales into it (it
+        # travels with TrainedMPS.opts for classify/impute re-encoding)
+        opts = opts.replace(custom_encoding_range=tuple(spec.range))
 
     dtype = opts.resolved_dtype()
     if spec.is_complex and np.dtype(dtype).kind != "c":

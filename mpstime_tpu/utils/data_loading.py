@@ -71,7 +71,11 @@ def load_ucr_file(path: str) -> Tuple[np.ndarray, np.ndarray]:
     Labels are the first column (cast to int when integral)."""
     table = _parse_native(path)
     if table is None:
-        table = np.loadtxt(path, delimiter=None)
+        # UCR files come whitespace- or comma-delimited
+        with open(path) as f:
+            first = f.readline()
+        delim = "," if "," in first else None
+        table = np.loadtxt(path, delimiter=delim)
         if table.ndim == 1:
             table = table[None, :]
     y = table[:, 0]

@@ -21,6 +21,14 @@ from ..options import MPSOptions
 from ..encodings import encoding_range
 
 
+def _enc_range(opts) -> "tuple[float, float]":
+    """Encoding domain: a custom spec's stamped range wins over the
+    name-derived default (fit_mps records it in custom_encoding_range)."""
+    if opts.encoding == "custom" and opts.custom_encoding_range is not None:
+        return opts.custom_encoding_range
+    return encoding_range(opts.encoding)
+
+
 @dataclass
 class TransformNorms:
     """Fitted normalisation statistics (the reference's ``norms`` vector of
@@ -75,7 +83,7 @@ def transform_train_data(X_train: np.ndarray, opts: MPSOptions
         lb, ub = opts.data_bounds
         X = X * (ub - lb) + lb
 
-    a, b = encoding_range(opts.encoding)
+    a, b = _enc_range(opts)
     X = (b - a) * X + a
     return X, norms
 
@@ -134,7 +142,7 @@ def transform_test_data(X_test: np.ndarray, norms: TransformNorms, opts: MPSOpti
                   f"normalization, {num_scaled} additional rescaling operations had "
                   f"to be performed!")
 
-    a, b = encoding_range(opts.encoding)
+    a, b = _enc_range(opts)
     X = (b - a) * X + a
     if squeeze:
         X = X[0]
@@ -158,7 +166,7 @@ def invert_test_transform(X_scaled: np.ndarray,
         X = X[None, :]
     X = X.copy()
 
-    a, b = encoding_range(opts.encoding)
+    a, b = _enc_range(opts)
     X = (X - a) / (b - a)
 
     for (i, shift, scale) in oob_rescales:

@@ -138,6 +138,27 @@ class TestPipeline:
                                    (X ** 2)[np.argsort(np.zeros(4), kind="stable")],
                                    atol=1e-12)
 
+    def test_custom_basis_nonstandard_range_trains(self, two_class_sines):
+        """Regression: preprocessing must scale into a custom spec's declared
+        range (here (0, 1)), not the name-derived (-1, 1) default."""
+        import mpstime_tpu as mt
+
+        def mybasis(x, d):
+            # shifted Legendre: orthonormal on [0, 1]
+            return jnp.stack([jnp.ones_like(x),
+                              np.sqrt(3.0) * (2 * x - 1),
+                              np.sqrt(5.0) * (6 * x ** 2 - 6 * x + 1)],
+                             axis=-1)
+
+        spec = function_basis(mybasis, False, (0.0, 1.0), name="poly01")
+        Xtr, ytr, Xte, yte = two_class_sines
+        opts = MPSOptions(d=3, encoding="custom", nsweeps=3, chi_max=10,
+                          verbosity=-1, dtype="float64")
+        trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts, custom_encoding=spec)
+        assert trained.opts.custom_encoding_range == (0.0, 1.0)
+        acc = np.mean(mt.classify(trained, Xte) == yte)
+        assert acc >= 0.8
+
     def test_encode_series_matches_dataset(self):
         rng = np.random.default_rng(3)
         X = rng.uniform(-1, 1, (5, 7))

@@ -174,6 +174,31 @@ class TestTuneEndToEnd:
             # fold indices partition the data
             assert len(np.intersect1d(r["train_inds"], r["test_inds"])) == 0
 
+    def test_max_cache_hits_early_stop(self, two_class_sines):
+        """LatinHypercube strata over a 2-value space round to duplicate
+        keys; the search must stop after max_cache_hits consecutive hits and
+        still return the cache argmin (reference stop, tuning.jl:126-138)."""
+        Xtr, ytr, *_ = two_class_sines
+        opts0 = mt.MPSOptions(verbosity=-5, log_level=-1, nsweeps=2,
+                              dtype="float64", sigmoid_transform=True)
+        best, cache = mt.tune(
+            Xtr, ytr, 2, {"chi_max": [6, 8]},
+            mt.MPSRandomSearch("LatinHypercube"),
+            objective=mt.MisclassificationRate(), opts0=opts0,
+            maxiters=40, max_cache_hits=3, verbosity=-1)
+        assert best["chi_max"] in (6, 8)
+        # without the early stop all 40 trials run and BOTH values land in
+        # the cache; with it, the run dies inside the first value's streak
+        assert len(cache) == 1
+        assert (best["chi_max"],) in cache
+
+    def test_logspace_eta_requires_bounds(self, two_class_sines):
+        Xtr, ytr, *_ = two_class_sines
+        with pytest.raises(ValueError, match="logspace_eta"):
+            mt.tune(Xtr, ytr, 2, {"eta": ()}, mt.MPSRandomSearch("UniformRandom"),
+                    objective=mt.MisclassificationRate(), maxiters=2,
+                    logspace_eta=True, verbosity=-1)
+
     def test_evaluate_write_resume(self, two_class_sines, tmp_path):
         Xtr, ytr, *_ = two_class_sines
         kw = dict(
