@@ -137,7 +137,7 @@ def random_mps(seed: int, T: int, d: int, num_classes: int, chi_init: int,
         A = site_tensors[t]
         cores[t, :A.shape[0], :, :A.shape[2]] = A
     center = np.zeros((chi, d, chi, num_classes), dtype=dtype)
-    center[:label_site.shape[0], :, :1, :] = label_site.transpose(0, 1, 2, 3)
+    center[:label_site.shape[0], :, :1, :] = label_site
 
     return MPS(jnp.asarray(cores), jnp.asarray(center), T - 1)
 
@@ -258,8 +258,17 @@ class SingleMPS:
         return self.cores[t]
 
 
-def single_contract_batch(m: SingleMPS, phis: jnp.ndarray) -> jnp.ndarray:
-    """Overlap <psi|conj(phi_states)> for an unlabeled MPS -> [N] (true scale)."""
+def single_contract_batch_scaled(m: SingleMPS, phis: jnp.ndarray):
+    """(yhat_scaled [N], logscale [N]) for an unlabeled MPS — the true
+    overlap is yhat_scaled * exp(logscale)."""
     center4 = m.center[..., None]
     yhat, ls = _contract_batch(m.cores, center4, m.center_pos, phis)
-    return (yhat * jnp.exp(ls)[:, None].astype(yhat.dtype))[:, 0]
+    return yhat[:, 0], ls
+
+
+def single_contract_batch(m: SingleMPS, phis: jnp.ndarray) -> jnp.ndarray:
+    """Overlap <psi|conj(phi_states)> for an unlabeled MPS -> [N] (true scale).
+    May underflow to 0 at large T in float32; prefer the scaled variant when
+    comparing magnitudes."""
+    yhat, ls = single_contract_batch_scaled(m, phis)
+    return yhat * jnp.exp(ls).astype(yhat.dtype)

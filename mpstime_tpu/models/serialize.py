@@ -58,12 +58,10 @@ def _unflatten_enc_args(prefix: str, data, meta: dict):
 
 
 def save_mps(path: str, trained: TrainedMPS) -> None:
-    """Serialize a TrainedMPS to ``path`` (.npz)."""
-    if trained.custom_encoding is not None and \
-            trained.custom_encoding.init is not None:
-        # enc_args from a custom init must still be plain arrays to serialize;
-        # the encode function itself is re-supplied at load time
-        pass
+    """Serialize a TrainedMPS to ``path`` (.npz).
+
+    Custom encodings: enc_args from a custom init must be plain arrays to
+    serialize; the encode function itself is re-supplied at load time."""
     tr = trained.train_data
     arrays = {
         "cores": np.asarray(trained.mps.cores),

@@ -19,15 +19,22 @@
 extern "C" {
 
 // Parse pass 1: count rows and columns. Returns 0 on success.
-// Parse pass 2 (out != nullptr): fill row-major [nrows, ncols] doubles.
+// Parse pass 2 (out != nullptr): fill row-major [nrows, ncols] doubles;
+// `capacity` is the element count of `out` — writing past it aborts with -4
+// (e.g. the file grew between the two passes).
 //
 // On success *nrows/*ncols describe the table (ncols includes the label
 // column). Rows with a different column count are rejected (-2).
-int ucr_parse(const char* path, double* out, int64_t* nrows, int64_t* ncols) {
+int ucr_parse(const char* path, double* out, int64_t capacity,
+              int64_t* nrows, int64_t* ncols) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
     std::fseek(f, 0, SEEK_END);
     long size = std::ftell(f);
+    if (size < 0) {
+        std::fclose(f);
+        return -1;
+    }
     std::fseek(f, 0, SEEK_SET);
     std::vector<char> buf(static_cast<size_t>(size) + 1);
     size_t rd = std::fread(buf.data(), 1, static_cast<size_t>(size), f);
@@ -52,6 +59,7 @@ int ucr_parse(const char* path, double* out, int64_t* nrows, int64_t* ncols) {
                 return -3;
             }
             if (out) {
+                if (out_i >= capacity) return -4;
                 out[out_i++] = v;
             }
             row_cols++;

@@ -3,13 +3,13 @@
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from .encodings import encode_dataset
-from .models.mps import MPS, contract_batch, expand_label_index, single_contract_batch
+from .models.mps import expand_label_index, single_contract_batch_scaled
 from .training.fit import TrainedMPS
 from .utils.preprocessing import transform_test_data
 
@@ -45,8 +45,14 @@ def classify_overlap(Ws: list, X_enc: jnp.ndarray
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-class-MPS overlaps (reference classify_overlap, summary.jl:182-202).
     Returns (pred class indices, overlaps [N, C])."""
-    ovl = jnp.stack([jnp.abs(single_contract_batch(w, X_enc)) for w in Ws], axis=1)
-    return np.asarray(jnp.argmax(ovl, axis=1)), np.asarray(ovl)
+    parts = [single_contract_batch_scaled(w, X_enc) for w in Ws]
+    # compare magnitudes in the log domain: true-scale |overlap| underflows
+    # to exact 0 in float32 for long series (|ovl| ~ exp(-O(T)))
+    log_ovl = jnp.stack([jnp.log(jnp.maximum(jnp.abs(y),
+                                             jnp.finfo(ls.dtype).tiny)) + ls
+                         for (y, ls) in parts], axis=1)       # [N, C]
+    ovl = jnp.stack([jnp.abs(y) * jnp.exp(ls) for (y, ls) in parts], axis=1)
+    return np.asarray(jnp.argmax(log_ovl, axis=1)), np.asarray(ovl)
 
 
 def confusion_matrix(y_true_idx: np.ndarray, y_pred_idx: np.ndarray,
@@ -76,7 +82,7 @@ def get_training_summary(mps: TrainedMPS, test_states, print_stats: bool = False
                          ) -> Dict[str, object]:
     """Overlap matrix, confusion matrix, and summary statistics
     (reference get_training_summary, summary.jl:225-355)."""
-    Ws, = (expand_label_index(mps.mps),)
+    Ws = expand_label_index(mps.mps)
     C = len(Ws)
     tr = mps.train_data
     preds_tr, _ = classify_overlap(Ws, tr.X_enc)

@@ -36,7 +36,7 @@ def _get_native():
         lib = ctypes.CDLL(_LIB)
         lib.ucr_parse.restype = ctypes.c_int
         lib.ucr_parse.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
         _lib_handle = lib
     except (subprocess.CalledProcessError, OSError) as e:
@@ -52,14 +52,14 @@ def _parse_native(path: str) -> Optional[np.ndarray]:
         return None
     nrows = ctypes.c_int64()
     ncols = ctypes.c_int64()
-    rc = lib.ucr_parse(path.encode(), None, ctypes.byref(nrows),
+    rc = lib.ucr_parse(path.encode(), None, 0, ctypes.byref(nrows),
                        ctypes.byref(ncols))
     if rc != 0:
         return None
     out = np.empty((nrows.value, ncols.value), dtype=np.float64)
     rc = lib.ucr_parse(path.encode(),
                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-                       ctypes.byref(nrows), ctypes.byref(ncols))
+                       out.size, ctypes.byref(nrows), ctypes.byref(ncols))
     if rc != 0:
         return None
     return out

@@ -52,6 +52,9 @@ def plot_encoding(encoding, d: int, X_train: Optional[np.ndarray] = None,
         enc_args = spec.init(np.asarray(X_train, np.float64), y, d, opts)
 
     if spec.is_time_dependent:
+        if X_train is None:
+            raise ValueError(f"{spec.name} is time-dependent: pass X_train "
+                             "to define the number of sites")
         if sites is None:
             T = X_train.shape[1]
             sites = sorted(set([0, T // 2, T - 1]))

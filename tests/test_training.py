@@ -166,6 +166,26 @@ class TestSummary:
         np.testing.assert_allclose(ov, ov.T, atol=1e-10)
         mt.sweep_summary(info)
 
+    def test_classify_overlap_long_series_no_underflow(self):
+        """Regression: per-class overlap magnitudes scale like exp(-O(T)) and
+        underflow true-scale float32/float64 at large T; predictions must be
+        made in the log domain."""
+        from mpstime_tpu.models.mps import expand_label_index, random_mps
+        from mpstime_tpu.summary import classify_overlap
+
+        T, d, C = 1200, 3, 2
+        mps = random_mps(0, T, d, C, 4, 6, np.float64).normalize()
+        Ws = expand_label_index(mps)
+        rng = np.random.default_rng(0)
+        phis = rng.uniform(-0.6, 0.6, (8, T, d))
+        phis /= np.linalg.norm(phis, axis=-1, keepdims=True)
+        preds, ovl = classify_overlap(Ws, jnp.asarray(phis))
+        # true-scale overlaps have underflowed ...
+        assert np.all(ovl == 0.0)
+        # ... but predictions are still informative (both classes appear for
+        # a symmetric random MPS over random states)
+        assert len(np.unique(preds)) == C
+
     def test_kl_div(self, two_class_sines):
         Xtr, ytr, Xte, yte = two_class_sines
         opts = mt.MPSOptions(nsweeps=3, chi_max=10, d=4, verbosity=-1,
