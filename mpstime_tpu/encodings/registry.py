@@ -147,6 +147,14 @@ def get_encoding(name: str, project: bool = False,
                              "(see function_basis)")
         return custom
 
+    if s == "erf":
+        # parity with the reference's erf() placeholder, which constructs a
+        # basis whose encode function unconditionally errors
+        # (basis_structs.jl:178-185); it is not implemented there either
+        raise NotImplementedError(
+            "The 'erf' basis is a placeholder in MPSTime (reference "
+            "basis_structs.jl:178-185) and is not implemented here either.")
+
     if s == "legendre_no_norm":
         if project:
             from .data_driven import init_project_legendre

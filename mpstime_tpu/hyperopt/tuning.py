@@ -46,14 +46,14 @@ def _parse_parameters(parameters: Dict[str, Any], opts0: MPSOptions,
         ptype = int if isinstance(startx, (int, np.integer)) else float
 
         if logspace_eta and key == "eta":
-            if isinstance(val, (list, np.ndarray)) or len(val) != 2:
+            # any 2-element bounds container is accepted (tuple/list/array)
+            if len(val) != 2:
                 raise ValueError("logspace_eta requires eta bounds "
                                  "eta=(lb, ub)")
-            if len(val) == 2:
-                if val[0] <= 0:
-                    raise ValueError("Lower and upper bounds on eta must be "
-                                     "positive!")
-                val = (np.log10(val[0]), np.log10(val[1]))
+            if val[0] <= 0:
+                raise ValueError("Lower and upper bounds on eta must be "
+                                 "positive!")
+            val = (np.log10(val[0]), np.log10(val[1]))
 
         if isinstance(val, (list, np.ndarray)):
             vm = sorted(float(v) for v in val)
@@ -180,6 +180,13 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
     fields, x0, lb, ub, is_disc, types, value_map = _parse_parameters(
         dict(parameters), opts0, logspace_eta)
 
+    if nfolds <= 1:
+        warnings.warn(pre_string + f"tune(nfolds={nfolds}) performs no "
+                      "cross-validation: returning the starting parameters "
+                      "unchanged with an empty cache. Use nfolds >= 2 to "
+                      "actually search.")
+        return _safe_paramlist(x0, fields, types, value_map, logspace_eta), {}
+
     folds = foldmethod(Xs, ys, nfolds, rng=g) if callable(foldmethod) \
         else foldmethod
 
@@ -257,9 +264,6 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
             print(f"{pre_string}iter {state['iters']}, "
                   f"t={time.time() - tstart:.2f}s: Mean CV Loss: {loss:.6g}")
         return loss
-
-    if nfolds <= 1:
-        return _safe_paramlist(x0, fields, types, value_map, logspace_eta), {}
 
     try:
         sol = grid_search(g, tr_objective, method, lb, ub, is_disc, fields,

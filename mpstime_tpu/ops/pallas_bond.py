@@ -274,6 +274,10 @@ def _k2_kernel(cutoff_ref, bt_ref, q_ref, env_ref, envls_ref, phi_ref,
     # ---- ITensor cutoff without a sort -------------------------------------
     # direction i is dropped iff the total energy of all directions with
     # w_j <= w_i is <= cutoff * total (the sorted-suffix rule, O(chi^2)).
+    # Ties are broken by index — j counts toward i's suffix iff w_j < w_i,
+    # or w_j == w_i and j >= i — which reproduces exactly the stable
+    # descending sort the XLA paths use (_trunc_mask over argsort(-w)), so
+    # both paths truncate identically even on degenerate spectra.
     # Mosaic is picky about 1-D vectors / row<->column relayouts, so the
     # whole computation stays 2-D via matmuls with ones/eye.
     ones_c = jnp.ones((chi, 1), f32)
@@ -283,7 +287,10 @@ def _k2_kernel(cutoff_ref, bt_ref, q_ref, env_ref, envls_ref, phi_ref,
     wv_col = jnp.dot(W_row * eye, ones_c, preferred_element_type=f32)
     W_col = jnp.dot(wv_col, jnp.ones((1, chi), f32),
                     preferred_element_type=f32)               # cols = wv
-    leq = (W_row <= W_col).astype(f32)                        # [chi, chi]
+    I_idx = jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 0)
+    J_idx = jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 1)
+    leq = ((W_row < W_col)
+           | ((W_row == W_col) & (J_idx >= I_idx))).astype(f32)  # [chi, chi]
     s_col = jnp.sum(leq * W_row, axis=1, keepdims=True)       # [chi, 1]
     total = jnp.sum(wv)
     mask_col = ((s_col > cutoff * total) & (wv_col > 0)).astype(f32)

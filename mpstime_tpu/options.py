@@ -52,6 +52,7 @@ def canonical_encoding_name(name: str) -> str:
         "sahand_legendre_time_dependent": "sahand_legendre_time_dependent",
         "uniform": "uniform",
         "custom": "custom",
+        "erf": "erf",   # reference placeholder basis (errors at lookup)
     }
     if s in aliases:
         return aliases[s]

@@ -44,15 +44,18 @@ def classify_encoded(mps: TrainedMPS, X_enc: jnp.ndarray) -> np.ndarray:
 def classify_overlap(Ws: list, X_enc: jnp.ndarray
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-class-MPS overlaps (reference classify_overlap, summary.jl:182-202).
-    Returns (pred class indices, overlaps [N, C])."""
+    Returns (pred class indices, log-overlaps log|<psi_c|phi_n>| [N, C]).
+
+    Deliberate divergence from the reference: the second return is in the
+    *log domain*.  True-scale |overlap| ~ exp(-O(T)) underflows to exact 0
+    for long series (T >~ 700 even at float64), making raw magnitudes
+    useless; log-overlaps stay informative at any T and recover the true
+    scale as ``exp(log_ovl)`` whenever that is representable."""
     parts = [single_contract_batch_scaled(w, X_enc) for w in Ws]
-    # compare magnitudes in the log domain: true-scale |overlap| underflows
-    # to exact 0 in float32 for long series (|ovl| ~ exp(-O(T)))
     log_ovl = jnp.stack([jnp.log(jnp.maximum(jnp.abs(y),
                                              jnp.finfo(ls.dtype).tiny)) + ls
                          for (y, ls) in parts], axis=1)       # [N, C]
-    ovl = jnp.stack([jnp.abs(y) * jnp.exp(ls) for (y, ls) in parts], axis=1)
-    return np.asarray(jnp.argmax(log_ovl, axis=1)), np.asarray(ovl)
+    return np.asarray(jnp.argmax(log_ovl, axis=1)), np.asarray(log_ovl)
 
 
 def confusion_matrix(y_true_idx: np.ndarray, y_pred_idx: np.ndarray,

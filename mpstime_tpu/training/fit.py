@@ -159,6 +159,8 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
                              ("train_loss", "train_acc", "train_KL_div",
                               "test_loss", "test_acc", "test_KL_div",
                               "test_conf", "time_taken")}
+    if opts.track_cost:
+        info["bond_costs"] = []
     has_test = len(test_ds) > 0
 
     def log_stats(elapsed: float) -> float:
@@ -199,7 +201,9 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
                            if real_dt == np.float64 else np.float32)
     # No per-sweep host work needed?  Fuse all sweeps into ONE device call
     # (per-call dispatch is pure overhead; see training/sweep.py full_sweeps).
-    fuse_sweeps = opts.log_level <= 0 and not opts.exit_early and verb <= -1
+    # exit_early and track_cost both need per-sweep host visibility.
+    fuse_sweeps = (opts.log_level <= 0 and not opts.exit_early
+                   and verb <= -1 and not opts.track_cost)
     if fuse_sweeps and opts.nsweeps > 0:
         cores, center = full_sweeps(cores, center, phis_c, y_onehot,
                                     class_weight, eta_a, cutoff_a,
@@ -217,27 +221,52 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
                 print(f"Starting sweep [{sweep + 1}/{opts.nsweeps}] "
                       f"(optimiser {opts.bbopt}, loss {opts.loss_grad})")
             t0 = time.perf_counter()
+            costs = None
             if warm:
-                cores, center, subspaces = full_sweep_warm(
+                out = full_sweep_warm(
                     cores, center, subspaces, phis_c, y_onehot, class_weight,
                     eta_a, cutoff_a,
                     refresh=(sweep % opts.subspace_refresh_every == 0),
-                    **sweep_kw)
+                    track_cost=opts.track_cost, **sweep_kw)
+                cores, center, subspaces = out[0], out[1], out[2]
+                if opts.track_cost:
+                    costs = out[3]
             else:
-                cores, center = full_sweep(
+                out = full_sweep(
                     cores, center, phis_c, y_onehot, class_weight,
-                    eta_a, cutoff_a, **sweep_kw)
+                    eta_a, cutoff_a, track_cost=opts.track_cost, **sweep_kw)
+                cores, center = out[0], out[1]
+                if opts.track_cost:
+                    costs = out[2]
             # scalar transfer as the timing barrier: block_until_ready is
             # unreliable on the remote axon TPU platform
             float(jnp.linalg.norm(center))
             elapsed = time.perf_counter() - t0
             mps = MPS(cores, center, T - 1)
+            if opts.track_cost:
+                # per-bond loss trace (reference track_cost prints the cost
+                # during updates, loss_functions.jl:50; we emit the whole
+                # sweep's trace in bond-update order)
+                costs = np.asarray(costs)
+                info["bond_costs"].append(costs)
+                if verb >= 1:
+                    print(f"Sweep {sweep + 1} bond costs: first "
+                          f"{costs[0]:.6g}, last {costs[-1]:.6g}, "
+                          f"mean {costs.mean():.6g}")
             if verb > -1:
                 print(f"Finished sweep {sweep + 1}. Time for sweep: "
                       f"{elapsed:.2f}s")
-            if opts.log_level > 0:
-                tr_acc = log_stats(elapsed)
-                if opts.exit_early and tr_acc == 1.0:
+            tr_acc = log_stats(elapsed) if opts.log_level > 0 else None
+            if opts.exit_early:
+                # reference checks train_acc == 1 every sweep regardless of
+                # stat logging (RealRealHighDimension.jl:847-849)
+                if tr_acc is None:
+                    _, _, tr_acc, _ = loss_acc_conf(mps, train_ds.X_enc,
+                                                    y_idx)
+                if tr_acc == 1.0:
+                    if verb > -1:
+                        print("Early exit: train accuracy reached 1.0 "
+                              f"after sweep {sweep + 1}.")
                     break
 
     mps = mps.normalize()

@@ -94,14 +94,17 @@ def init_left_env_state(cores: jnp.ndarray, phis_c: jnp.ndarray):
 def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 class_weight, eta, cutoff, *, loss: str, bbopt: str,
                 update_iters: int, rescale: Tuple[bool, bool], svd_alg: str,
-                refresh: bool = True):
+                refresh: bool = True, track_cost: bool = False):
     """One full sweep; center at site T-1 on entry and exit.
 
     LE [T, N, chi] / LE_ls [T, N]: left environments of the current cores
-    (slot t = sites 0..t-1).  Returns (cores, center, LE', LE_ls', VB', UF')
-    where LE' is produced by the forward half-sweep and is exactly what the
-    next call needs.  VB/UF are the warm-split subspace caches (None unless
-    svd_alg == "randomized_warm").
+    (slot t = sites 0..t-1).  Returns (cores, center, LE', LE_ls', VB', UF',
+    costs) where LE' is produced by the forward half-sweep and is exactly
+    what the next call needs.  VB/UF are the warm-split subspace caches
+    (None unless svd_alg == "randomized_warm").  costs is the per-bond loss
+    trace [2(T-1)] in update order (backward bonds T-2..0 then forward
+    0..T-2) when ``track_cost`` (reference track_cost, options.jl:51 /
+    loss_functions.jl:50), else None; tracking forces the XLA bond path.
     """
     T, chi, d, _ = cores.shape
     C = center.shape[3]
@@ -109,8 +112,8 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     dtype = cores.dtype
     rdtype = phis_c.real.dtype
     warm = svd_alg == "randomized_warm"
-    pallas = _pallas_eligible(dtype, loss, bbopt, update_iters, rescale,
-                              svd_alg)
+    pallas = (not track_cost) and _pallas_eligible(
+        dtype, loss, bbopt, update_iters, rescale, svd_alg)
 
     upd = partial(apply_update, eta=eta, loss=loss, bbopt=bbopt,
                   update_iters=update_iters, rescale=rescale)
@@ -142,9 +145,9 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                     forward=False, refresh=refresh)
                 return (center, v2, ls2), dict(V=V, re=v2, re_ls=ls2, qv=Qv)
             BT = jnp.einsum("aim,mkbc->aikbc", x["A"], center)
-            _, BT = upd(BT, x["le"], re_v, x["phi_l"].conj(),
-                        x["phi_r"].conj(), y_onehot, class_weight,
-                        x["le_ls"] + re_ls)
+            cost, BT = upd(BT, x["le"], re_v, x["phi_l"].conj(),
+                           x["phi_r"].conj(), y_onehot, class_weight,
+                           x["le_ls"] + re_ls)
             # split: rows (a,i,c) keep the label on the sweep side (:166-169)
             M = BT.transpose(0, 1, 4, 2, 3).reshape(chi * d * C, d * chi)
             if warm:
@@ -159,6 +162,8 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
             ys = dict(V=V, re=v2, re_ls=ls2)
             if warm:
                 ys["qv"] = Qv
+            if track_cost:
+                ys["cost"] = cost
             return (center, v2, ls2), ys
 
     (center, _, _), ys_b = jax.lax.scan(backward_step, (center, e0, ls0),
@@ -197,9 +202,9 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 return (center, v2, ls2), dict(U=Unew, le=v2, le_ls=ls2,
                                                qu=Qu)
             BT = jnp.einsum("aimc,mkb->aikbc", center, x["B"])
-            _, BT = upd(BT, le_v, x["re"], x["phi_l"].conj(),
-                        x["phi_r"].conj(), y_onehot, class_weight,
-                        le_ls + x["re_ls"])
+            cost, BT = upd(BT, le_v, x["re"], x["phi_l"].conj(),
+                           x["phi_r"].conj(), y_onehot, class_weight,
+                           le_ls + x["re_ls"])
             M = BT.reshape(chi * d, d * chi * C)
             if warm:
                 U, SVh, Qu = warm_split_right(M, x["uf"], chi, cutoff,
@@ -213,6 +218,8 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
             ys = dict(U=Unew, le=v2, le_ls=ls2)
             if warm:
                 ys["qu"] = Qu
+            if track_cost:
+                ys["cost"] = cost
             return (center, v2, ls2), ys
 
     (center, _, _), ys_f = jax.lax.scan(forward_step, (center, e0, ls0),
@@ -226,67 +233,81 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     LE_ls_out = jnp.concatenate([ls0[None], ys_f["le_ls"]], 0)
     if pallas:
         center = jnp.moveaxis(center, 0, 3)
-    return cores_out, center, LE_out, LE_ls_out, VB, UF
+    costs = (jnp.concatenate([ys_b["cost"], ys_f["cost"]])
+             if track_cost else None)
+    return cores_out, center, LE_out, LE_ls_out, VB, UF, costs
 
 
 def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
                 y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
                 eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
                 rescale: Tuple[bool, bool], svd_alg: str, subspaces=None,
-                refresh: bool = True):
+                refresh: bool = True, track_cost: bool = False):
     """Single self-contained sweep (builds the left environments itself).
 
-    Returns (cores, center) — or (cores, center, subspaces) when
-    ``svd_alg="randomized_warm"``."""
+    Returns (cores, center) — plus ``subspaces`` when
+    ``svd_alg="randomized_warm"``, plus the per-bond cost trace [2(T-1)]
+    when ``track_cost``."""
     T, chi, d, _ = cores.shape
     warm = svd_alg == "randomized_warm"
     if warm and subspaces is None:
         subspaces = init_subspaces(T, chi, d, cores.dtype)
     VB, UF = subspaces if warm else (None, None)
     LE, LE_ls = init_left_env_state(cores, phis_c)
-    cores, center, _, _, VB, UF = _sweep_core(
+    cores, center, _, _, VB, UF, costs = _sweep_core(
         cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot, class_weight,
         eta, cutoff, loss=loss, bbopt=bbopt, update_iters=update_iters,
-        rescale=rescale, svd_alg=svd_alg, refresh=refresh)
+        rescale=rescale, svd_alg=svd_alg, refresh=refresh,
+        track_cost=track_cost)
     if warm:
-        return cores, center, (VB, UF)
-    return cores, center
+        out = (cores, center, (VB, UF))
+    else:
+        out = (cores, center)
+    if track_cost:
+        out = out + (costs,)
+    return out
 
 
 @partial(jax.jit, static_argnames=("loss", "bbopt", "update_iters", "rescale",
-                                   "svd_alg"))
+                                   "svd_alg", "track_cost"))
 def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
                y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
                eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
-               rescale: Tuple[bool, bool], svd_alg: str
+               rescale: Tuple[bool, bool], svd_alg: str,
+               track_cost: bool = False
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One full sweep per device call (cores, center) -> (cores, center).
 
     With svd_alg="randomized_warm" the subspace caches are cold-started
     every call; use :func:`full_sweeps` (or full_sweep_warm) to accumulate
-    them across sweeps."""
+    them across sweeps.  ``track_cost`` appends the per-bond loss trace
+    [2(T-1)] to the return tuple."""
     out = _sweep_once(cores, center, phis_c, y_onehot, class_weight,
                       eta, cutoff, loss=loss, bbopt=bbopt,
                       update_iters=update_iters, rescale=rescale,
-                      svd_alg=svd_alg)
+                      svd_alg=svd_alg, track_cost=track_cost)
+    if track_cost:
+        return out[0], out[1], out[-1]
     return out[0], out[1]
 
 
 @partial(jax.jit, static_argnames=("loss", "bbopt", "update_iters", "rescale",
-                                   "svd_alg", "refresh"))
+                                   "svd_alg", "refresh", "track_cost"))
 def full_sweep_warm(cores, center, subspaces, phis_c, y_onehot, class_weight,
                     eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
                     rescale: Tuple[bool, bool], svd_alg: str,
-                    refresh: bool = True):
+                    refresh: bool = True, track_cost: bool = False):
     """One sweep with explicit warm-subspace state: pass the ``subspaces``
     returned by the previous call (init with :func:`init_subspaces`) so the
     caches accumulate across per-sweep host calls (fit_mps's logging path).
     ``refresh=False`` runs a frozen-subspace sweep (split against the cached
-    bases; no power step, no QR).  Returns (cores, center, subspaces)."""
+    bases; no power step, no QR).  Returns (cores, center, subspaces) — plus
+    the per-bond cost trace when ``track_cost``."""
     return _sweep_once(cores, center, phis_c, y_onehot, class_weight,
                        eta, cutoff, subspaces=subspaces, loss=loss,
                        bbopt=bbopt, update_iters=update_iters,
-                       rescale=rescale, svd_alg=svd_alg, refresh=refresh)
+                       rescale=rescale, svd_alg=svd_alg, refresh=refresh,
+                       track_cost=track_cost)
 
 
 @partial(jax.jit, static_argnames=("nsweeps", "loss", "bbopt", "update_iters",
@@ -337,13 +358,13 @@ def full_sweeps(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
             out = jax.lax.cond(
                 i % refresh_every == 0,
                 lambda a: _sweep_core(*a, phis_c, y_onehot, class_weight,
-                                      eta, cutoff, refresh=True, **kw),
+                                      eta, cutoff, refresh=True, **kw)[:6],
                 lambda a: _sweep_core(*a, phis_c, y_onehot, class_weight,
-                                      eta, cutoff, refresh=False, **kw),
+                                      eta, cutoff, refresh=False, **kw)[:6],
                 (cores, center, LE, LE_ls, VB, UF))
         else:
             out = _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c,
-                              y_onehot, class_weight, eta, cutoff, **kw)
+                              y_onehot, class_weight, eta, cutoff, **kw)[:6]
         return pack(*out)
 
     state0 = pack(cores, center, LE, LE_ls, VB, UF)

@@ -103,6 +103,11 @@ class TestConstructors:
         assert mt_top.uniform_split("legendre").name.startswith("Unif Split")
         assert mt_top.fourier(project=True).is_data_driven
 
+    def test_erf_is_placeholder(self):
+        # the reference's erf() basis errors on use (basis_structs.jl:178-185)
+        with pytest.raises(NotImplementedError, match="placeholder"):
+            get_encoding("erf")
+
 
 class TestPipeline:
     def test_sorted_by_class(self):

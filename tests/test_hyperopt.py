@@ -129,9 +129,33 @@ class TestParamParsing:
         with pytest.raises(ValueError):
             _parse_parameters({"encoding": (1, 2)}, mt.MPSOptions(), False)
 
+    def test_logspace_eta_accepts_list_bounds(self):
+        # eta=[lb, ub] (list) and eta=(lb, ub) (tuple) are equivalent
+        for bounds in ([1e-4, 1e-1], (1e-4, 1e-1), np.array([1e-4, 1e-1])):
+            fields, x0, lb, ub, *_ = _parse_parameters(
+                {"eta": bounds}, mt.MPSOptions(), logspace_eta=True)
+            assert lb[0] == pytest.approx(-4.0)
+            assert ub[0] == pytest.approx(-1.0)
+        with pytest.raises(ValueError, match="bounds"):
+            _parse_parameters({"eta": [1e-4, 1e-2, 1e-1]}, mt.MPSOptions(),
+                              logspace_eta=True)
+        with pytest.raises(ValueError, match="positive"):
+            _parse_parameters({"eta": (0.0, 1e-1)}, mt.MPSOptions(),
+                              logspace_eta=True)
+
     def test_unknown_field_raises(self):
         with pytest.raises(ValueError):
             _parse_parameters({"zeta": (1, 2)}, mt.MPSOptions(), False)
+
+
+def test_tune_single_fold_warns(two_class_sines):
+    Xtr, ytr, *_ = two_class_sines
+    with pytest.warns(UserWarning, match="no.*cross-validation"):
+        best, cache = mt.tune(
+            Xtr, ytr, nfolds=1, parameters={"chi_max": (8, 14)},
+            objective=mt.MisclassificationRate(),
+            opts0=mt.MPSOptions(verbosity=-5, log_level=-1), verbosity=-1)
+    assert cache == {}
 
 
 @pytest.mark.slow

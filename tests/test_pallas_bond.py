@@ -137,6 +137,42 @@ class TestPallasBondParity:
         np.testing.assert_allclose(np.asarray(Qvp), np.asarray(V0),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_cutoff_tie_break_matches_trunc_mask(self, interpret):
+        # Degenerate spectra: when the cutoff boundary falls inside a group
+        # of exactly-tied direction energies, the sort-free kernel rule must
+        # truncate the same strict subset as the XLA paths' stable
+        # descending sort (_trunc_mask over argsort(-w)): ties broken by
+        # index, lower index kept preferentially.
+        from mpstime_tpu.ops.decomp import _trunc_mask
+        from mpstime_tpu.ops.pallas_bond import _k2_call
+
+        chi, d, C, N = 6, 2, 1, 4
+        w = np.array([4.0, 2.0, 2.0, 2.0, 1.0, 0.5], np.float32)
+        # BT[0, i, 0, j] = sqrt(w_j) delta_ij; k=1 block zero
+        BT = np.zeros((C, chi * d, d, chi), np.float32)
+        BT[0, :chi, 0, :] = np.diag(np.sqrt(w))
+        # Q selects the k=0 block: projected energies are exactly w
+        Q = np.zeros((d * chi, chi), np.float32)
+        Q[:chi, :] = np.eye(chi, dtype=np.float32)
+        env = np.zeros((N, chi), np.float32)
+        env[:, 0] = 1.0
+        phi = np.full((N, d), 0.5, np.float32)
+        # boundary inside the tie group: suffix sums are
+        # [11.5, 7.5, 5.5, 3.5, 1.5, 0.5]; cutoff*total = 4.5 keeps idx 0..2
+        cutoff = jnp.float32(4.5 / w.sum())
+        center, core, _, _ = _k2_call(
+            jnp.reshape(cutoff, (1, 1)), jnp.asarray(BT), jnp.asarray(Q),
+            jnp.asarray(env), jnp.zeros((N, 1), jnp.float32),
+            jnp.asarray(phi), C=C, chi=chi, d=d, forward=False)
+        kept_kernel = np.abs(np.asarray(center[0]).reshape(chi * d, chi)
+                             ).sum(axis=0) > 0
+        expect = np.asarray(_trunc_mask(jnp.asarray(np.sort(w)[::-1].copy()),
+                                        chi, cutoff)) > 0
+        # stable order: among the tied 2.0s the lower indices survive
+        np.testing.assert_array_equal(kept_kernel,
+                                      [True, True, True, False, False, False])
+        assert kept_kernel.sum() == expect.sum()
+
     def test_training_through_pallas_path(self, interpret, ecg200):
         # a short real training run through the interpreted Pallas sweep
         # reaches the same accuracy regime as the XLA path

@@ -51,6 +51,44 @@ class TestEndToEnd:
         # should bail before 10 sweeps once train acc hits 1
         assert len(info["train_acc"]) < 12
 
+    def test_exit_early_without_logging(self, two_class_sines, capsys):
+        # exit_early must work even with stat logging off (the reference
+        # checks train_acc every sweep unconditionally,
+        # RealRealHighDimension.jl:847-849)
+        Xtr, ytr, *_ = two_class_sines
+        opts = mt.MPSOptions(nsweeps=10, chi_max=12, d=4, verbosity=1,
+                             log_level=-1, exit_early=True, dtype="float64")
+        mt.fit_mps(Xtr, ytr, opts=opts)
+        out = capsys.readouterr().out
+        assert "Early exit" in out
+        # exited well before sweep 10 on this trivially separable problem
+        assert "Finished sweep 10" not in out
+
+    def test_track_cost(self, two_class_sines):
+        Xtr, ytr, *_ = two_class_sines
+        T = Xtr.shape[1]
+        opts = mt.MPSOptions(nsweeps=3, chi_max=10, d=4, verbosity=-1,
+                             log_level=-1, track_cost=True, dtype="float64")
+        _, info, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        costs = info["bond_costs"]
+        assert len(costs) == 3
+        assert all(c.shape == (2 * (T - 1),) for c in costs)
+        assert all(np.isfinite(c).all() for c in costs)
+        # the per-bond KLD loss decreases across sweeps
+        assert costs[-1].mean() < costs[0].mean()
+
+    def test_track_cost_warm_path(self, two_class_sines):
+        # track_cost forces the XLA bond path even under the Pallas-eligible
+        # warm config and still returns a full trace
+        Xtr, ytr, *_ = two_class_sines
+        T = Xtr.shape[1]
+        opts = mt.MPSOptions(nsweeps=2, chi_max=10, d=4, verbosity=-1,
+                             log_level=-1, track_cost=True, dtype="float32",
+                             svd_alg="randomized_warm")
+        _, info, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        assert len(info["bond_costs"]) == 2
+        assert info["bond_costs"][0].shape == (2 * (T - 1),)
+
     def test_multiclass(self):
         rng = np.random.default_rng(5)
         T, n = 30, 30
@@ -179,11 +217,15 @@ class TestSummary:
         rng = np.random.default_rng(0)
         phis = rng.uniform(-0.6, 0.6, (8, T, d))
         phis /= np.linalg.norm(phis, axis=-1, keepdims=True)
-        preds, ovl = classify_overlap(Ws, jnp.asarray(phis))
-        # true-scale overlaps have underflowed ...
-        assert np.all(ovl == 0.0)
-        # ... but predictions are still informative (both classes appear for
-        # a symmetric random MPS over random states)
+        preds, log_ovl = classify_overlap(Ws, jnp.asarray(phis))
+        # log-domain overlaps are finite and informative even where the
+        # true-scale magnitude exp(log_ovl) has underflowed to 0
+        assert np.all(np.isfinite(log_ovl))
+        assert np.all(log_ovl < np.log(np.finfo(np.float64).tiny))
+        assert log_ovl.std() > 0
+        # predictions follow the per-sample argmax of the log-overlaps
+        np.testing.assert_array_equal(preds, np.argmax(log_ovl, axis=1))
+        # both classes appear for a symmetric random MPS over random states
         assert len(np.unique(preds)) == C
 
     def test_kl_div(self, two_class_sines):
