@@ -141,7 +141,8 @@ _LOSS_GRADS = {"KLD": kld_loss_grad, "MSE": mse_loss_grad,
 
 def apply_update(BT: jnp.ndarray, le, re, phi_l, phi_r, y_onehot, class_weight,
                  env_ls, *, eta, loss: str = "KLD", bbopt: str = "TSGO",
-                 update_iters: int = 1, rescale: Tuple[bool, bool] = (False, True)
+                 update_iters: int = 1, rescale: Tuple[bool, bool] = (False, True),
+                 axis_name: str = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Optimise one bond tensor (reference apply_update, loss_functions.jl:88-188).
 
@@ -150,8 +151,20 @@ def apply_update(BT: jnp.ndarray, le, re, phi_l, phi_r, y_onehot, class_weight,
     with normalized step — the role of the reference's Optim/OptimKit CGD,
     which uses a line search instead of a fixed step).
 
+    ``axis_name``: when running inside shard_map over a data-parallel mesh
+    axis (batch operands are per-shard blocks), the local loss/gradient are
+    psummed over that axis — the one collective per bond update — so BT
+    stays replicated across shards.
+
     Returns (loss_before_last_step, BT_new)."""
-    loss_grad = _LOSS_GRADS[loss]
+    base_loss_grad = _LOSS_GRADS[loss]
+    if axis_name is None:
+        loss_grad = base_loss_grad
+    else:
+        def loss_grad(*a):
+            l, g = base_loss_grad(*a)
+            return (jax.lax.psum(l, axis_name),
+                    jax.lax.psum(g, axis_name))
 
     if rescale[0]:
         BT = BT / jnp.linalg.norm(BT)

@@ -220,28 +220,177 @@ def _k1_call(eta, left, right, le, re, phil, phir, y1h, w, V0, *,
 
 
 # --------------------------------------------------------------------------
+# K1 split for data-parallel meshes: local gradient / global update.
+#
+# Under a dp mesh the batch-touching work runs per-shard inside shard_map
+# (pallas_call is a custom call GSPMD cannot partition): K1a computes the
+# LOCAL batch's gradient, the caller psums it over the mesh axis — the one
+# collective per bond update — and K1b applies the TSGO step + power step
+# redundantly on every device (replicated operands, standard DP pattern).
+# --------------------------------------------------------------------------
+
+def _k1_grad_kernel(left_ref, right_ref, le_ref, re_ref, phil_ref,
+                    phir_ref, y1h_ref, w_ref, g_ref, *,
+                    C: int, chi: int, d: int, forward: bool):
+    """Local-batch KLD gradient G[c, (a,i), k, b] (the pre-psum contribution
+    of this shard's samples; see _k1_kernel for the fused single-device
+    form).  The bond-tensor blocks are formed from the replicated cores and
+    discarded — only the gradient crosses the mesh."""
+    f32 = jnp.float32
+    le = le_ref[:]
+    re = re_ref[:]
+    phil = phil_ref[:]
+    phir = phir_ref[:]
+    y1h = y1h_ref[:]
+    w = w_ref[:]
+
+    L = _kron_batch_major(le, phil)
+
+    if not forward:
+        A2 = left_ref[:].reshape(chi * d, chi)
+
+    yhat = []
+    for c in range(C):
+        acc = None
+        if forward:
+            Cc2 = left_ref[c].reshape(chi * d, chi)
+        for k in range(d):
+            if forward:
+                Bk = right_ref[:, k, :]
+                BT_ck = jnp.dot(Cc2, Bk, preferred_element_type=f32)
+            else:
+                Cck = right_ref[c, :, k, :]
+                BT_ck = jnp.dot(A2, Cck, preferred_element_type=f32)
+            t_ck = jnp.dot(L, BT_ck, preferred_element_type=f32)
+            R_k = phir[:, k:k + 1] * re
+            part = jnp.sum(t_ck * R_k, axis=1, keepdims=True)
+            acc = part if acc is None else acc + part
+        yhat.append(acc)
+
+    y_true = sum(yhat[c] * y1h[:, c:c + 1] for c in range(C))
+    u = w / y_true
+
+    for c in range(C):
+        wc = y1h[:, c:c + 1] * u
+        for k in range(d):
+            R_k = phir[:, k:k + 1] * re
+            g_ref[c, :, k, :] = -jnp.dot(L.T, R_k * wc,
+                                         preferred_element_type=f32)
+
+
+def _k1_update_kernel(eta_ref, left_ref, right_ref, g_ref, v0_ref,
+                      bt_ref, y_ref, *, C: int, chi: int, d: int,
+                      forward: bool, emit_y: bool = True):
+    """TSGO step + post-normalization + warm power step against the GLOBAL
+    (psummed) gradient.  All operands replicated; every device computes the
+    same result."""
+    f32 = jnp.float32
+    eta = eta_ref[0, 0]
+    V0 = v0_ref[:]
+
+    if not forward:
+        A2 = left_ref[:].reshape(chi * d, chi)
+
+    g2 = jnp.zeros((), f32)
+    for c in range(C):
+        for k in range(d):
+            G_ck = g_ref[c, :, k, :]
+            g2 = g2 + jnp.sum(G_ck * G_ck)
+    gn = jax.lax.rsqrt(jnp.maximum(g2, jnp.finfo(f32).tiny))
+
+    BT = [[None] * d for _ in range(C)]
+    b2 = jnp.zeros((), f32)
+    for c in range(C):
+        if forward:
+            Cc2 = left_ref[c].reshape(chi * d, chi)
+        for k in range(d):
+            if forward:
+                BT_ck = jnp.dot(Cc2, right_ref[:, k, :],
+                                preferred_element_type=f32)
+            else:
+                BT_ck = jnp.dot(A2, right_ref[c, :, k, :],
+                                preferred_element_type=f32)
+            BT_ck = BT_ck - (eta * gn) * g_ref[c, :, k, :]
+            BT[c][k] = BT_ck
+            b2 = b2 + jnp.sum(BT_ck * BT_ck)
+    bn = jax.lax.rsqrt(jnp.maximum(b2, jnp.finfo(f32).tiny))
+    for c in range(C):
+        for k in range(d):
+            BT[c][k] = BT[c][k] * bn
+            bt_ref[c, :, k, :] = BT[c][k]
+
+    if not emit_y:
+        y_ref[:] = V0
+        return
+    if not forward:
+        for c in range(C):
+            MV = None
+            for k in range(d):
+                V0k = V0[k * chi:(k + 1) * chi, :]
+                term = jnp.dot(BT[c][k], V0k, preferred_element_type=f32)
+                MV = term if MV is None else MV + term
+            for k in range(d):
+                yk = jnp.dot(BT[c][k].T, MV, preferred_element_type=f32)
+                if c == 0:
+                    y_ref[k * chi:(k + 1) * chi, :] = yk
+                else:
+                    y_ref[k * chi:(k + 1) * chi, :] = (
+                        y_ref[k * chi:(k + 1) * chi, :] + yk)
+        Y = y_ref[:]
+    else:
+        Y = jnp.zeros((chi * d, chi), f32)
+        for c in range(C):
+            for k in range(d):
+                MtU = jnp.dot(BT[c][k].T, V0, preferred_element_type=f32)
+                Y = Y + jnp.dot(BT[c][k], MtU, preferred_element_type=f32)
+    nrm = jnp.sqrt(jnp.sum(Y * Y, axis=0, keepdims=True))
+    y_ref[:] = Y / jnp.maximum(nrm, jnp.finfo(f32).tiny)
+
+
+def _k1_grad_call(left, right, le, re, phil, phir, y1h, w, *,
+                  C, chi, d, forward):
+    f32 = jnp.float32
+    kern = functools.partial(_k1_grad_kernel, C=C, chi=chi, d=d,
+                             forward=forward)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
+        in_specs=[_vmem()] * 8,
+        out_specs=_vmem(),
+        interpret=_INTERPRET,
+    )(left, right, le, re, phil, phir, y1h, w)
+
+
+def _k1_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
+                    emit_y=True):
+    f32 = jnp.float32
+    out_shape = (
+        jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
+        jax.ShapeDtypeStruct((chi * d, chi), f32),
+    )
+    kern = functools.partial(_k1_update_kernel, C=C, chi=chi, d=d,
+                             forward=forward, emit_y=emit_y)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[_smem_scalar()] + [_vmem()] * 4,
+        out_specs=(_vmem(), _vmem()),
+        interpret=_INTERPRET,
+    )(eta, left, right, G, V0)
+
+
+# --------------------------------------------------------------------------
 # K2: Rayleigh quotients + cutoff mask + split factors + env step
 # --------------------------------------------------------------------------
 
-def _k2_kernel(cutoff_ref, bt_ref, q_ref, env_ref, envls_ref, phi_ref,
-               center_ref, core_ref, env2_ref, envls2_ref, *,
-               C: int, chi: int, d: int, forward: bool):
-    """Project the updated bond tensor onto the orthonormal subspace Q,
-    apply the ITensor-style relative cutoff, emit split factors in final
-    core layouts, and advance the environment through the new isometry.
-
-    backward: Q [d*chi, chi] right-subspace (k-blocked rows);
-              center[c] = US [chi, d, keep], core = V [keep, d, chi],
-              env advance = right step with (re, phi_r).
-    forward:  Q [chi*d, chi] left-subspace; center[c] = SVh [keep, d, chi],
-              core = U [chi, d, keep], env advance = left step with
-              (le, phi_l)."""
+def _k2_project_mask(cutoff, bt_ref, Q, *, C: int, chi: int, d: int,
+                     forward: bool):
+    """Shared K2 math: project the bond tensor onto Q, compute direction
+    energies, and build the ITensor-style cutoff masks.  Returns
+    (B, mask_row [1, chi], mask_col [chi, 1], Qm) where B is the projected
+    blocks (per-class [chi*d, keep] backward; per-class-per-k [keep, chi]
+    forward) and Qm = Q * mask_row."""
     f32 = jnp.float32
-    cutoff = cutoff_ref[0, 0]
-    Q = q_ref[:]
-    env = env_ref[:]                                # [N, chi]
-    phi = phi_ref[:]                                # [N, d]
-
     # ---- project + energies (wv kept as a [1, chi] row) --------------------
     if not forward:
         B = [None] * C                              # US_c [chi*d, keep]
@@ -296,9 +445,12 @@ def _k2_kernel(cutoff_ref, bt_ref, q_ref, env_ref, envls_ref, phi_ref,
     mask_col = ((s_col > cutoff * total) & (wv_col > 0)).astype(f32)
     mask_row = jnp.dot(jnp.ones((1, chi), f32), eye * mask_col,
                        preferred_element_type=f32)            # [1, chi]
+    return B, mask_row, mask_col, Q * mask_row
 
-    # ---- emit split factors -------------------------------------------------
-    Qm = Q * mask_row
+
+def _k2_emit(B, mask_row, mask_col, Qm, center_ref, core_ref, *,
+             C: int, chi: int, d: int, forward: bool):
+    """Write the split factors in their final core layouts."""
     if not forward:
         for c in range(C):
             center_ref[c] = (B[c] * mask_row).reshape(chi, d, chi)
@@ -310,7 +462,12 @@ def _k2_kernel(cutoff_ref, bt_ref, q_ref, env_ref, envls_ref, phi_ref,
                 center_ref[c, :, k, :] = B[c][k] * mask_col
         core_ref[:] = Qm.reshape(chi, d, chi)       # [chi(l), d, keep]
 
-    # ---- environment step through the new isometry -------------------------
+
+def _k2_env_advance(Qm, env, phi, envls_ref, env2_ref, envls2_ref, *,
+                    chi: int, d: int, forward: bool):
+    """Advance the (local) environment through the new isometry, with
+    per-sample renormalization and log-scale accumulation."""
+    f32 = jnp.float32
     N = env.shape[0]
     v2 = jnp.zeros((N, chi), f32)
     if not forward:
@@ -327,6 +484,48 @@ def _k2_kernel(cutoff_ref, bt_ref, q_ref, env_ref, envls_ref, phi_ref,
     safe = jnp.maximum(nrm, jnp.finfo(f32).tiny)
     env2_ref[:] = v2 / jnp.where(nrm > 0, safe, 1.0)
     envls2_ref[:] = envls_ref[:] + jnp.where(nrm > 0, jnp.log(safe), 0.0)
+
+
+def _k2_kernel(cutoff_ref, bt_ref, q_ref, env_ref, envls_ref, phi_ref,
+               center_ref, core_ref, env2_ref, envls2_ref, *,
+               C: int, chi: int, d: int, forward: bool):
+    """Project the updated bond tensor onto the orthonormal subspace Q,
+    apply the ITensor-style relative cutoff, emit split factors in final
+    core layouts, and advance the environment through the new isometry.
+
+    backward: Q [d*chi, chi] right-subspace (k-blocked rows);
+              center[c] = US [chi, d, keep], core = V [keep, d, chi],
+              env advance = right step with (re, phi_r).
+    forward:  Q [chi*d, chi] left-subspace; center[c] = SVh [keep, d, chi],
+              core = U [chi, d, keep], env advance = left step with
+              (le, phi_l)."""
+    B, mask_row, mask_col, Qm = _k2_project_mask(
+        cutoff_ref[0, 0], bt_ref, q_ref[:], C=C, chi=chi, d=d,
+        forward=forward)
+    _k2_emit(B, mask_row, mask_col, Qm, center_ref, core_ref,
+             C=C, chi=chi, d=d, forward=forward)
+    _k2_env_advance(Qm, env_ref[:], phi_ref[:], envls_ref, env2_ref,
+                    envls2_ref, chi=chi, d=d, forward=forward)
+
+
+def _k2_split_kernel(cutoff_ref, bt_ref, q_ref, center_ref, core_ref,
+                     qm_ref, *, C: int, chi: int, d: int, forward: bool):
+    """Replicated half of K2 for the dp path: split factors + masked
+    isometry Qm (consumed by _k2_env_kernel on each shard)."""
+    B, mask_row, mask_col, Qm = _k2_project_mask(
+        cutoff_ref[0, 0], bt_ref, q_ref[:], C=C, chi=chi, d=d,
+        forward=forward)
+    _k2_emit(B, mask_row, mask_col, Qm, center_ref, core_ref,
+             C=C, chi=chi, d=d, forward=forward)
+    qm_ref[:] = Qm
+
+
+def _k2_env_kernel(qm_ref, env_ref, envls_ref, phi_ref, env2_ref,
+                   envls2_ref, *, chi: int, d: int, forward: bool):
+    """Local half of K2 for the dp path: advance this shard's environments
+    through the replicated masked isometry."""
+    _k2_env_advance(qm_ref[:], env_ref[:], phi_ref[:], envls_ref, env2_ref,
+                    envls2_ref, chi=chi, d=d, forward=forward)
 
 
 def _k2_call(cutoff, BT, Q, env, env_ls, phi, *, C, chi, d, forward):
@@ -348,12 +547,49 @@ def _k2_call(cutoff, BT, Q, env, env_ls, phi, *, C, chi, d, forward):
     )(cutoff, BT, Q, env, env_ls, phi)
 
 
+def _k2_split_call(cutoff, BT, Q, *, C, chi, d, forward):
+    f32 = jnp.float32
+    nq = Q.shape[0]
+    out_shape = (
+        jax.ShapeDtypeStruct((C, chi, d, chi), f32),   # center blocks
+        jax.ShapeDtypeStruct((chi, d, chi), f32),      # new core
+        jax.ShapeDtypeStruct((nq, chi), f32),          # Qm
+    )
+    kern = functools.partial(_k2_split_kernel, C=C, chi=chi, d=d,
+                             forward=forward)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[_smem_scalar()] + [_vmem()] * 2,
+        out_specs=tuple(_vmem() for _ in range(3)),
+        interpret=_INTERPRET,
+    )(cutoff, BT, Q)
+
+
+def _k2_env_call(Qm, env, env_ls, phi, *, chi, d, forward):
+    f32 = jnp.float32
+    N = env.shape[0]
+    out_shape = (
+        jax.ShapeDtypeStruct((N, chi), f32),
+        jax.ShapeDtypeStruct((N, 1), f32),
+    )
+    kern = functools.partial(_k2_env_kernel, chi=chi, d=d, forward=forward)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[_vmem()] * 4,
+        out_specs=(_vmem(), _vmem()),
+        interpret=_INTERPRET,
+    )(Qm, env, env_ls, phi)
+
+
 # --------------------------------------------------------------------------
 # public bond step
 # --------------------------------------------------------------------------
 
 def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
-              eta, cutoff, *, forward: bool, refresh: bool = True
+              eta, cutoff, *, forward: bool, refresh: bool = True,
+              axis_name: str = None
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
                          jnp.ndarray]:
     """One fused bond step (everything except the QR).
@@ -365,7 +601,14 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
     environment (le, env_ls) through the new U with phil.
 
     center_c: [C, chi, d, chi].  Returns (center_c', core', env', env_ls',
-    Q') with center_c' in the same class-major layout."""
+    Q') with center_c' in the same class-major layout.
+
+    ``axis_name``: run the data-parallel variant for use inside shard_map
+    over a dp mesh — batch operands (le/re/phil/phir/y1h/w/env_ls) are this
+    shard's blocks, cores/center/V0 replicated.  The LOCAL gradient is
+    computed per shard (K1a), psummed over ``axis_name`` (the one collective
+    per bond update, SURVEY §2.3), and the update + split run redundantly on
+    every device; each shard's environments advance locally."""
     C, chi, d, _ = center_c.shape
     eta2 = jnp.reshape(eta.astype(jnp.float32), (1, 1))
     cut2 = jnp.reshape(cutoff.astype(jnp.float32), (1, 1))
@@ -375,8 +618,16 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
         left, right = center_c, A_or_B
     else:
         left, right = A_or_B, center_c
-    BT, Y = _k1_call(eta2, left, right, le, re, phil, phir, y1h, w2, V0,
-                     C=C, chi=chi, d=d, forward=forward, emit_y=refresh)
+
+    if axis_name is None:
+        BT, Y = _k1_call(eta2, left, right, le, re, phil, phir, y1h, w2, V0,
+                         C=C, chi=chi, d=d, forward=forward, emit_y=refresh)
+    else:
+        G = _k1_grad_call(left, right, le, re, phil, phir, y1h, w2,
+                          C=C, chi=chi, d=d, forward=forward)
+        G = jax.lax.psum(G, axis_name)
+        BT, Y = _k1_update_call(eta2, left, right, G, V0, C=C, chi=chi, d=d,
+                                forward=forward, emit_y=refresh)
     if refresh:
         Q, _ = jnp.linalg.qr(Y)
     else:
@@ -385,7 +636,13 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
         Q = V0
     env = le if forward else re
     phi = phil if forward else phir
-    center2, core, env2, env_ls2 = _k2_call(
-        cut2, BT, Q, env, env_ls[:, None], phi, C=C, chi=chi, d=d,
-        forward=forward)
+    if axis_name is None:
+        center2, core, env2, env_ls2 = _k2_call(
+            cut2, BT, Q, env, env_ls[:, None], phi, C=C, chi=chi, d=d,
+            forward=forward)
+    else:
+        center2, core, Qm = _k2_split_call(cut2, BT, Q, C=C, chi=chi, d=d,
+                                           forward=forward)
+        env2, env_ls2 = _k2_env_call(Qm, env, env_ls[:, None], phi,
+                                     chi=chi, d=d, forward=forward)
     return center2, core, env2, env_ls2[:, 0], Q

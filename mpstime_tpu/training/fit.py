@@ -192,7 +192,12 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
     cores, center = mps.cores, mps.center
     if mesh is not None:
         from ..parallel import replicate
+        from ..parallel.mesh import mesh_platform
         cores, center = replicate(mesh, cores, center)
+        platform = mesh_platform(mesh)
+    else:
+        from .sweep import resolve_platform
+        platform = resolve_platform()
     sweep_kw = dict(loss=opts.loss_grad, bbopt=opts.bbopt,
                     update_iters=opts.update_iters, rescale=opts.rescale,
                     svd_alg=opts.resolved_svd_alg())
@@ -205,36 +210,61 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
     fuse_sweeps = (opts.log_level <= 0 and not opts.exit_early
                    and verb <= -1 and not opts.track_cost)
     if fuse_sweeps and opts.nsweeps > 0:
-        cores, center = full_sweeps(cores, center, phis_c, y_onehot,
-                                    class_weight, eta_a, cutoff_a,
-                                    nsweeps=opts.nsweeps,
-                                    refresh_every=opts.subspace_refresh_every,
-                                    **sweep_kw)
+        if mesh is not None:
+            from ..parallel.mesh import sharded_full_sweeps
+            cores, center = sharded_full_sweeps(
+                mesh, cores, center, phis_c, y_onehot, class_weight,
+                eta_a, cutoff_a, nsweeps=opts.nsweeps,
+                refresh_every=opts.subspace_refresh_every, **sweep_kw)
+        else:
+            cores, center = full_sweeps(
+                cores, center, phis_c, y_onehot, class_weight, eta_a,
+                cutoff_a, nsweeps=opts.nsweeps, platform=platform,
+                refresh_every=opts.subspace_refresh_every, **sweep_kw)
         jax.block_until_ready(center)
         mps = MPS(cores, center, T - 1)
     else:
         warm = sweep_kw["svd_alg"] == "randomized_warm"
         subspaces = (init_subspaces(T, opts.chi_max, opts.d, dtype)
                      if warm else None)
+        if mesh is not None:
+            from ..parallel.mesh import (sharded_full_sweep,
+                                         sharded_full_sweep_warm)
         for sweep in range(opts.nsweeps):
             if verb > -1:
                 print(f"Starting sweep [{sweep + 1}/{opts.nsweeps}] "
                       f"(optimiser {opts.bbopt}, loss {opts.loss_grad})")
             t0 = time.perf_counter()
             costs = None
-            if warm:
-                out = full_sweep_warm(
-                    cores, center, subspaces, phis_c, y_onehot, class_weight,
-                    eta_a, cutoff_a,
-                    refresh=(sweep % opts.subspace_refresh_every == 0),
+            refresh = sweep % opts.subspace_refresh_every == 0
+            if warm and mesh is not None:
+                out = sharded_full_sweep_warm(
+                    mesh, cores, center, subspaces, phis_c, y_onehot,
+                    class_weight, eta_a, cutoff_a, refresh=refresh,
                     track_cost=opts.track_cost, **sweep_kw)
                 cores, center, subspaces = out[0], out[1], out[2]
                 if opts.track_cost:
                     costs = out[3]
+            elif warm:
+                out = full_sweep_warm(
+                    cores, center, subspaces, phis_c, y_onehot, class_weight,
+                    eta_a, cutoff_a, refresh=refresh, platform=platform,
+                    track_cost=opts.track_cost, **sweep_kw)
+                cores, center, subspaces = out[0], out[1], out[2]
+                if opts.track_cost:
+                    costs = out[3]
+            elif mesh is not None:
+                out = sharded_full_sweep(
+                    mesh, cores, center, phis_c, y_onehot, class_weight,
+                    eta_a, cutoff_a, track_cost=opts.track_cost, **sweep_kw)
+                cores, center = out[0], out[1]
+                if opts.track_cost:
+                    costs = out[2]
             else:
                 out = full_sweep(
                     cores, center, phis_c, y_onehot, class_weight,
-                    eta_a, cutoff_a, track_cost=opts.track_cost, **sweep_kw)
+                    eta_a, cutoff_a, track_cost=opts.track_cost,
+                    platform=platform, **sweep_kw)
                 cores, center = out[0], out[1]
                 if opts.track_cost:
                     costs = out[2]

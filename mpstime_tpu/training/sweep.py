@@ -52,11 +52,19 @@ from ..ops.env import (boundary_env, build_left_envs, env_step_left_scaled,
                        env_step_right_scaled)
 
 
-def _pallas_eligible(dtype, loss, bbopt, update_iters, rescale, svd_alg
-                     ) -> bool:
+def _pallas_eligible(dtype, loss, bbopt, update_iters, rescale, svd_alg,
+                     platform: Optional[str] = None) -> bool:
     """The fused Pallas bond step covers the default hot path only:
     f32 + KLD + TSGO + one update iteration + post-normalization + warm
-    splits, on a TPU backend (or in interpreter mode for tests)."""
+    splits, on a TPU platform (or in interpreter mode for tests).
+
+    ``platform``: the platform the computation will actually PLACE on —
+    callers that pin devices (fit_mps(mesh=...), DeviceFarm via
+    jax.default_device) must pass it (see resolve_platform), because
+    jax.default_backend() reports the process default, not the placement:
+    e.g. tune(devices="cpu") on a TPU host pins jit to CPU devices while
+    default_backend() still says tpu, and the Mosaic kernels cannot lower
+    for CPU."""
     if svd_alg != "randomized_warm":
         return False
     if (loss, bbopt, int(update_iters)) != ("KLD", "TSGO", 1):
@@ -69,7 +77,19 @@ def _pallas_eligible(dtype, loss, bbopt, update_iters, rescale, svd_alg
         return False
     if pallas_bond._INTERPRET:
         return True
-    return jax.default_backend() in ("tpu", "axon")
+    if platform is None:
+        platform = resolve_platform()
+    return platform in ("tpu", "axon")
+
+
+def resolve_platform() -> str:
+    """Platform jit-dispatched computations will place on: the thread-local
+    ``jax.default_device`` override if set (what DeviceFarm uses to pin fold
+    jobs), else the process default backend."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return dd.platform
+    return jax.default_backend()
 
 
 def init_subspaces(T: int, chi: int, d: int, dtype):
@@ -94,7 +114,9 @@ def init_left_env_state(cores: jnp.ndarray, phis_c: jnp.ndarray):
 def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 class_weight, eta, cutoff, *, loss: str, bbopt: str,
                 update_iters: int, rescale: Tuple[bool, bool], svd_alg: str,
-                refresh: bool = True, track_cost: bool = False):
+                refresh: bool = True, track_cost: bool = False,
+                axis_name: Optional[str] = None,
+                platform: Optional[str] = None):
     """One full sweep; center at site T-1 on entry and exit.
 
     LE [T, N, chi] / LE_ls [T, N]: left environments of the current cores
@@ -105,6 +127,11 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     trace [2(T-1)] in update order (backward bonds T-2..0 then forward
     0..T-2) when ``track_cost`` (reference track_cost, options.jl:51 /
     loss_functions.jl:50), else None; tracking forces the XLA bond path.
+
+    ``axis_name``: set when the sweep body runs inside shard_map over a
+    data-parallel mesh — batch tensors (phis_c/y_onehot/class_weight and the
+    environment state) are per-shard blocks and each bond update psums the
+    local gradient over this axis (one collective per bond).
     """
     T, chi, d, _ = cores.shape
     C = center.shape[3]
@@ -113,10 +140,12 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     rdtype = phis_c.real.dtype
     warm = svd_alg == "randomized_warm"
     pallas = (not track_cost) and _pallas_eligible(
-        dtype, loss, bbopt, update_iters, rescale, svd_alg)
+        dtype, loss, bbopt, update_iters, rescale, svd_alg,
+        platform=platform)
 
     upd = partial(apply_update, eta=eta, loss=loss, bbopt=bbopt,
-                  update_iters=update_iters, rescale=rescale)
+                  update_iters=update_iters, rescale=rescale,
+                  axis_name=axis_name)
     e0 = boundary_env(N, chi, dtype)
     ls0 = jnp.zeros((N,), dtype=rdtype)
     if pallas:
@@ -142,7 +171,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 center, V, v2, ls2, Qv = pallas_bond.bond_step(
                     x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["vb"], eta, cutoff,
-                    forward=False, refresh=refresh)
+                    forward=False, refresh=refresh, axis_name=axis_name)
                 return (center, v2, ls2), dict(V=V, re=v2, re_ls=ls2, qv=Qv)
             BT = jnp.einsum("aim,mkbc->aikbc", x["A"], center)
             cost, BT = upd(BT, x["le"], re_v, x["phi_l"].conj(),
@@ -198,7 +227,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 center, Unew, v2, ls2, Qu = pallas_bond.bond_step(
                     x["B"], center, le_v, x["re"], le_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["uf"], eta, cutoff,
-                    forward=True, refresh=refresh)
+                    forward=True, refresh=refresh, axis_name=axis_name)
                 return (center, v2, ls2), dict(U=Unew, le=v2, le_ls=ls2,
                                                qu=Qu)
             BT = jnp.einsum("aimc,mkb->aikbc", center, x["B"])
@@ -242,7 +271,9 @@ def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
                 y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
                 eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
                 rescale: Tuple[bool, bool], svd_alg: str, subspaces=None,
-                refresh: bool = True, track_cost: bool = False):
+                refresh: bool = True, track_cost: bool = False,
+                axis_name: Optional[str] = None,
+                platform: Optional[str] = None):
     """Single self-contained sweep (builds the left environments itself).
 
     Returns (cores, center) — plus ``subspaces`` when
@@ -258,7 +289,7 @@ def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
         cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot, class_weight,
         eta, cutoff, loss=loss, bbopt=bbopt, update_iters=update_iters,
         rescale=rescale, svd_alg=svd_alg, refresh=refresh,
-        track_cost=track_cost)
+        track_cost=track_cost, axis_name=axis_name, platform=platform)
     if warm:
         out = (cores, center, (VB, UF))
     else:
@@ -269,12 +300,14 @@ def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("loss", "bbopt", "update_iters", "rescale",
-                                   "svd_alg", "track_cost"))
+                                   "svd_alg", "track_cost", "axis_name",
+                                   "platform"))
 def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
                y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
                eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
                rescale: Tuple[bool, bool], svd_alg: str,
-               track_cost: bool = False
+               track_cost: bool = False, axis_name: Optional[str] = None,
+               platform: Optional[str] = None
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One full sweep per device call (cores, center) -> (cores, center).
 
@@ -285,18 +318,22 @@ def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
     out = _sweep_once(cores, center, phis_c, y_onehot, class_weight,
                       eta, cutoff, loss=loss, bbopt=bbopt,
                       update_iters=update_iters, rescale=rescale,
-                      svd_alg=svd_alg, track_cost=track_cost)
+                      svd_alg=svd_alg, track_cost=track_cost,
+                      axis_name=axis_name, platform=platform)
     if track_cost:
         return out[0], out[1], out[-1]
     return out[0], out[1]
 
 
 @partial(jax.jit, static_argnames=("loss", "bbopt", "update_iters", "rescale",
-                                   "svd_alg", "refresh", "track_cost"))
+                                   "svd_alg", "refresh", "track_cost",
+                                   "axis_name", "platform"))
 def full_sweep_warm(cores, center, subspaces, phis_c, y_onehot, class_weight,
                     eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
                     rescale: Tuple[bool, bool], svd_alg: str,
-                    refresh: bool = True, track_cost: bool = False):
+                    refresh: bool = True, track_cost: bool = False,
+                    axis_name: Optional[str] = None,
+                    platform: Optional[str] = None):
     """One sweep with explicit warm-subspace state: pass the ``subspaces``
     returned by the previous call (init with :func:`init_subspaces`) so the
     caches accumulate across per-sweep host calls (fit_mps's logging path).
@@ -307,17 +344,19 @@ def full_sweep_warm(cores, center, subspaces, phis_c, y_onehot, class_weight,
                        eta, cutoff, subspaces=subspaces, loss=loss,
                        bbopt=bbopt, update_iters=update_iters,
                        rescale=rescale, svd_alg=svd_alg, refresh=refresh,
-                       track_cost=track_cost)
+                       track_cost=track_cost, axis_name=axis_name,
+                       platform=platform)
 
 
-@partial(jax.jit, static_argnames=("nsweeps", "loss", "bbopt", "update_iters",
-                                   "rescale", "svd_alg", "refresh_every"))
-def full_sweeps(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
-                y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
-                eta, cutoff, *, nsweeps: int, loss: str, bbopt: str,
-                update_iters: int, rescale: Tuple[bool, bool], svd_alg: str,
-                refresh_every: int = 1
-                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
+                      phis_c: jnp.ndarray, y_onehot: jnp.ndarray,
+                      class_weight: jnp.ndarray,
+                      eta, cutoff, *, nsweeps: int, loss: str, bbopt: str,
+                      update_iters: int, rescale: Tuple[bool, bool],
+                      svd_alg: str, refresh_every: int = 1,
+                      axis_name: Optional[str] = None,
+                      platform: Optional[str] = None
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``nsweeps`` full sweeps in ONE compiled call.
 
     Host dispatch to the device costs 10-30 ms per call (remote TPU service),
@@ -334,7 +373,8 @@ def full_sweeps(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
     T, chi, d, _ = cores.shape
     warm = svd_alg == "randomized_warm"
     kw = dict(loss=loss, bbopt=bbopt, update_iters=update_iters,
-              rescale=rescale, svd_alg=svd_alg)
+              rescale=rescale, svd_alg=svd_alg, axis_name=axis_name,
+              platform=platform)
     LE, LE_ls = init_left_env_state(cores, phis_c)
     if warm:
         VB, UF = init_subspaces(T, chi, d, cores.dtype)
@@ -370,3 +410,8 @@ def full_sweeps(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
     state0 = pack(cores, center, LE, LE_ls, VB, UF)
     out = jax.lax.fori_loop(0, nsweeps, body, state0)
     return out[0], out[1]
+
+
+full_sweeps = partial(jax.jit, static_argnames=(
+    "nsweeps", "loss", "bbopt", "update_iters", "rescale", "svd_alg",
+    "refresh_every", "axis_name", "platform"))(_full_sweeps_impl)

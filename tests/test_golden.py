@@ -1,0 +1,166 @@
+"""Pinned golden-value regression oracles (reference test strategy:
+test/classification.jl:26,47 pins exact IPD accuracy + confusion;
+test/imputation.jl:34-52 pins a MAPE constant and a 5-method x 2-class
+mean-MAE table against a fixture-trained MPS).
+
+The reference's IPD constants are untestable offline (the IPD data is
+downloaded at test time and is not vendored), so ECG200 — the one vendored
+real UCR dataset — carries the pinned constants here.  Two kinds of
+assertion:
+
+ * SELF-REGRESSION (tight): exact constants measured from this codebase at
+   f64 on CPU with fixed seeds (scripts/golden_gen.py).  Any silent numeric
+   drift in training, encoding, truncation, classification or imputation
+   fails these.
+ * REFERENCE-STRUCTURE (honest): our per-method imputation MAEs against the
+   reference's fixture table.  Exact parity is impossible — Julia's Xoshiro
+   and numpy's Philox give different MPS inits and different MAR windows —
+   so the comparison asserts each method lands within a factor-2 band of
+   the reference value and that the structural facts agree (ITS is the
+   worst method; the MPS beats the 1-NN baseline).  Measured-vs-reference
+   numbers are tabulated in BASELINE.md.
+"""
+
+import numpy as np
+import pytest
+
+import mpstime_tpu as mt
+
+# --------------------------------------------------------------------------
+# pinned self-regression constants (scripts/golden_gen.py, f64/CPU, seeds:
+# init_rng=1234, selection rng numpy default_rng(1), ITS rseed=1)
+# --------------------------------------------------------------------------
+
+# ECG200, default MPSOptions (nsweeps=10, chi_max=25, d=5, eta=0.01,
+# legendre_no_norm, KLD+TSGO) — the reference pins IPD at default opts
+GOLDEN_CLS_ACC = 0.86
+GOLDEN_CLS_CONF = np.array([[28, 8], [6, 58]])   # rows=true, cols=pred
+GOLDEN_KLD_FIRST = -45.443641887181094           # train KLD after sweep 1
+GOLDEN_KLD_LAST = -49.27216656482158             # train KLD after sweep 10
+
+# ECG200 imputation, nsweeps=3 f64 fit (the reference fixture protocol,
+# test/imputation.jl:8-10); 10 instances/class, 20% MAR, shared windows
+GOLDEN_MAE = {
+    "median": (0.30079900824665534, 0.2480882919743322),
+    "mean": (0.34582404109068204, 0.2846936380685258),
+    "mode": (0.5649300116331297, 0.3503167404987452),
+    "ITS": (0.6268983221303907, 0.6003665109435525),
+    "kNearestNeighbour": (0.2823635989142631, 0.2807300603588422),
+}
+# 80% MAR single-instance MAPE (reference test/imputation.jl:26-35 analog)
+GOLDEN_MAPE80 = 1.3432696334977556
+GOLDEN_NN_MAPE80 = 3.467488146291701
+
+# reference fixture table (test/imputation.jl:46-52), methods x [class0, class1]
+REFERENCE_MAE = {
+    "median": (0.36581457566749176, 0.2204382247157053),
+    "mean": (0.17783806685365627, 0.1876692173707628),
+    "mode": (0.33536170154856404, 0.3271278413457546),
+    "ITS": (0.7649367656713248, 0.8727296222420307),
+    "kNearestNeighbour": (0.3877101919863158, 0.2120027330331579),
+}
+
+
+@pytest.fixture(scope="module")
+def ecg_default_fit(ecg200):
+    Xtr, ytr, Xte, yte = ecg200
+    opts = mt.MPSOptions(verbosity=-1, dtype="float64")
+    trained, info, ts = mt.fit_mps(Xtr, ytr, Xte, yte, opts)
+    return trained, info, ts
+
+
+@pytest.mark.slow
+class TestClassificationGolden:
+    def test_accuracy_and_confusion_exact(self, ecg200, ecg_default_fit):
+        from mpstime_tpu.summary import confusion_matrix
+
+        Xtr, ytr, Xte, yte = ecg200
+        trained, info, _ = ecg_default_fit
+        preds = mt.classify(trained, Xte)
+        acc = float(np.mean(preds == yte))
+        assert acc == pytest.approx(GOLDEN_CLS_ACC, abs=1e-12)
+        labels = list(trained.labels)
+        conf = confusion_matrix(np.searchsorted(labels, yte),
+                                np.searchsorted(labels, preds), len(labels))
+        np.testing.assert_array_equal(conf, GOLDEN_CLS_CONF)
+        assert info["train_acc"][-1] == 1.0
+
+    def test_kld_trace_pinned(self, ecg_default_fit):
+        _, info, _ = ecg_default_fit
+        assert info["train_KL_div"][1] == pytest.approx(GOLDEN_KLD_FIRST,
+                                                        rel=1e-8)
+        assert info["train_KL_div"][-1] == pytest.approx(GOLDEN_KLD_LAST,
+                                                         rel=1e-8)
+
+
+def _mae_table(ecg200):
+    Xtr, ytr, Xte, yte = ecg200
+    opts3 = mt.MPSOptions(nsweeps=3, verbosity=-1, log_level=-1,
+                          dtype="float64")
+    tr3, _, _ = mt.fit_mps(Xtr, ytr, Xte, yte, opts3)
+    imp = mt.init_imputation_problem(tr3, Xte, yte, verbosity=-1)
+    rng = np.random.default_rng(1)
+    sel = {}
+    for c in (0, 1):
+        ns = int(np.sum(yte == c))
+        idxs = rng.permutation(ns)[:10]
+        wins = [mt.mar(Xte[np.where(yte == c)[0][i]], 0.2, rng=rng)[1]
+                for i in idxs]
+        sel[c] = (idxs, wins)
+    table = {}
+    for m in GOLDEN_MAE:
+        for ci, c in enumerate((0, 1)):
+            idxs, wins = sel[c]
+            tot = 0.0
+            for i, w in zip(idxs, wins):
+                out = mt.mps_impute(imp, c, int(i), w, method=m,
+                                    NN_baseline=False, plot_fits=False)
+                tot += out[3][0]["MAE"]
+            table.setdefault(m, [None, None])[ci] = tot / len(idxs)
+    return imp, table
+
+
+@pytest.mark.slow
+class TestImputationGolden:
+    @pytest.fixture(scope="class")
+    def mae_setup(self, ecg200):
+        return _mae_table(ecg200)
+
+    def test_mae_table_self_regression(self, mae_setup):
+        _, table = mae_setup
+        for m, (c0, c1) in GOLDEN_MAE.items():
+            assert table[m][0] == pytest.approx(c0, rel=1e-6), m
+            assert table[m][1] == pytest.approx(c1, rel=1e-6), m
+
+    def test_mae_table_vs_reference_fixture(self, mae_setup):
+        """Honest-tolerance comparison against the reference's published
+        table (test/imputation.jl:46-52): every method within a factor-2
+        band (deviation analysis in BASELINE.md) and the same structure."""
+        _, table = mae_setup
+        for m, ref in REFERENCE_MAE.items():
+            for ci in (0, 1):
+                ratio = table[m][ci] / ref[ci]
+                assert 0.5 <= ratio <= 2.0, \
+                    f"{m} class {ci}: ours {table[m][ci]:.4f} vs " \
+                    f"reference {ref[ci]:.4f} (ratio {ratio:.2f})"
+        # structural agreement: ITS (sampling, one trajectory) is the worst
+        # estimator in both implementations
+        ours_worst = max(table, key=lambda m: np.mean(table[m]))
+        ref_worst = max(REFERENCE_MAE, key=lambda m: np.mean(REFERENCE_MAE[m]))
+        assert ours_worst == ref_worst == "ITS"
+
+    def test_mape80_pinned_and_beats_nn(self, mae_setup, ecg200):
+        """80% MAR block on one class-1 instance (reference
+        test/imputation.jl:26-35): pinned MAPE + the MPS beats the 1-NN
+        baseline, as it does in the reference (0.383 < 0.532)."""
+        imp, _ = mae_setup
+        _, _, _, yte = ecg200
+        Xte = ecg200[2]
+        _, w80 = mt.mar(Xte[np.where(yte == 1)[0][19]], 0.8,
+                        rng=np.random.default_rng(123))
+        out = mt.mps_impute(imp, 1, 19, w80, method="median",
+                            NN_baseline=True, plot_fits=False)
+        stats = out[3][0]
+        assert stats["MAPE"] == pytest.approx(GOLDEN_MAPE80, rel=1e-6)
+        assert stats["NN_MAPE"] == pytest.approx(GOLDEN_NN_MAPE80, rel=1e-6)
+        assert stats["MAPE"] < stats["NN_MAPE"]

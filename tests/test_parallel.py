@@ -48,6 +48,137 @@ def test_sharded_sweep_matches_single_device(tiny_problem):
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-8)
 
 
+def test_sharded_sweeps_match_single_device_xla(tiny_problem):
+    """shard_map path (explicit per-bond psum), XLA bond branch."""
+    import jax.numpy as jnp
+    from mpstime_tpu.parallel import sharded_full_sweeps
+    from mpstime_tpu.training.sweep import full_sweeps
+
+    mps, phis_c, y_onehot, w = tiny_problem
+    kw = dict(nsweeps=2, loss="KLD", bbopt="TSGO", update_iters=1,
+              rescale=(False, True), svd_alg="gram_eigh")
+    c1, ce1 = full_sweeps(mps.cores, mps.center, phis_c, y_onehot, w,
+                          0.05, 1e-10, **kw)
+    mesh = make_mesh(8)
+    sp, sy, sw = shard_train_arrays(mesh, phis_c, y_onehot, w)
+    rc, rce = replicate(mesh, mps.cores, mps.center)
+    c2, ce2 = sharded_full_sweeps(mesh, rc, rce, sp, sy, sw, 0.05, 1e-10,
+                                  **kw)
+    np.testing.assert_allclose(np.asarray(ce1), np.asarray(ce2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-10)
+
+
+def test_sharded_sweeps_production_config_pallas(tiny_problem):
+    """The PRODUCTION accelerator config (svd_alg='randomized_warm' + the
+    fused Pallas bond kernels, interpreter mode on CPU) under the dp mesh:
+    the dp-split kernels (local-grad psum + replicated update) must match
+    the single-device fused kernels."""
+    import jax.numpy as jnp
+    from mpstime_tpu.ops import pallas_bond
+    from mpstime_tpu.parallel import sharded_full_sweeps
+    from mpstime_tpu.training.sweep import full_sweeps
+
+    mps, phis_c, y_onehot, w = tiny_problem
+    f32 = np.float32
+    cores = mps.cores.astype(f32)
+    center = mps.center.astype(f32)
+    phis_c, y_onehot, w = (phis_c.astype(f32), y_onehot.astype(f32),
+                           w.astype(f32))
+    # nsweeps=2: the dp and fused paths are mathematically identical (the
+    # 1-device shard_map run is bit-exact) but psum reduction order differs
+    # from the single-device sum; by sweep 3+ that f32 noise can flip a
+    # truncation-edge rank decision and the models legitimately diverge
+    # (functional equivalence over longer training is asserted end-to-end in
+    # test_fit_mps_mesh_production_config)
+    kw = dict(nsweeps=2, loss="KLD", bbopt="TSGO", update_iters=1,
+              rescale=(False, True), svd_alg="randomized_warm")
+    pallas_bond.set_interpret(True)
+    try:
+        jax.clear_caches()
+        c1, ce1 = full_sweeps(cores, center, phis_c, y_onehot, w,
+                              jnp.float32(0.05), jnp.float32(1e-10), **kw)
+        mesh = make_mesh(8)
+        sp, sy, sw = shard_train_arrays(mesh, phis_c, y_onehot, w)
+        rc, rce = replicate(mesh, cores, center)
+        c2, ce2 = sharded_full_sweeps(mesh, rc, rce, sp, sy, sw,
+                                      jnp.float32(0.05), jnp.float32(1e-10),
+                                      **kw)
+    finally:
+        pallas_bond.set_interpret(False)
+        jax.clear_caches()
+    assert np.isfinite(np.asarray(ce2)).all()
+
+    # f32 reduction-order noise can flip a direction sitting exactly at the
+    # relative-cutoff edge (kept as ~1e-9 garbage vs truncated to exact 0);
+    # zero sub-threshold entries before comparing
+    def squash(a):
+        a = np.asarray(a).copy()
+        a[np.abs(a) < 1e-6] = 0.0
+        return a
+
+    np.testing.assert_allclose(squash(ce1), squash(ce2),
+                               rtol=1e-2, atol=2e-3)
+    np.testing.assert_allclose(squash(c1), squash(c2),
+                               rtol=1e-2, atol=2e-3)
+
+
+def test_fit_mps_mesh_production_config(ecg200):
+    """End-to-end fit_mps(mesh=...) with the production accelerator config
+    (randomized_warm; Pallas interpreted on CPU) — trains and classifies."""
+    import mpstime_tpu as mt
+    from mpstime_tpu.ops import pallas_bond
+
+    Xtr, ytr, *_ = ecg200
+    Xtr, ytr = Xtr[:40], ytr[:40]
+    opts = mt.MPSOptions(nsweeps=3, chi_max=12, d=3, verbosity=-1,
+                         log_level=-1, dtype="float32",
+                         svd_alg="randomized_warm")
+    pallas_bond.set_interpret(True)
+    try:
+        jax.clear_caches()
+        mesh = make_mesh(8)
+        trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts, mesh=mesh)
+    finally:
+        pallas_bond.set_interpret(False)
+        jax.clear_caches()
+    acc = np.mean(mt.classify(trained, Xtr) == ytr)
+    assert acc >= 0.9
+
+
+def test_sharded_sweep_collective_count(tiny_problem):
+    """The DP contract: exactly ONE all-reduce (of the [chi,d,d,chi,C] bond
+    gradient) per bond update.  Each half-sweep compiles to one scan whose
+    body contains the single psum, so the compiled module contains exactly
+    two all-reduce instructions regardless of T or nsweeps."""
+    import re
+    from functools import partial
+
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from mpstime_tpu.parallel.mesh import mesh_platform
+    from mpstime_tpu.training.sweep import _full_sweeps_impl
+
+    mps, phis_c, y_onehot, w = tiny_problem
+    mesh = make_mesh(8)
+    sp, sy, sw = shard_train_arrays(mesh, phis_c, y_onehot, w)
+    rc, rce = replicate(mesh, mps.cores, mps.center)
+    body = partial(_full_sweeps_impl, nsweeps=4, loss="KLD", bbopt="TSGO",
+                   update_iters=1, rescale=(False, True),
+                   svd_alg="gram_eigh", axis_name="dp",
+                   platform=mesh_platform(mesh))
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(None, "dp"), P("dp"), P("dp"), P(), P()),
+        out_specs=(P(), P()), check_vma=False))
+    txt = fn.lower(rc, rce, sp, sy, sw, 0.05, 1e-10).compile().as_text()
+    n_allreduce = len(re.findall(r"= \S+ all-reduce\(", txt))
+    assert n_allreduce == 2, f"expected 2 all-reduce ops, found {n_allreduce}"
+    # the collective reduces the full bond gradient [chi, d, d, chi, C]
+    chi, d = mps.cores.shape[1], mps.cores.shape[2]
+    C = mps.center.shape[3]
+    assert re.search(rf"f64\[{chi},{d},{d},{chi},{C}\]\S* all-reduce\(", txt)
+
+
 def test_fit_mps_with_mesh(tiny_problem):
     # end-to-end fit with the sample axis sharded over 8 devices; N=48 is
     # not a multiple of 8 after the class split, exercising the zero-weight
