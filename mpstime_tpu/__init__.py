@@ -31,7 +31,8 @@ from .simulation import mcar, mar, mnar, trendy_sine, state_space
 from .analysis import (von_neumann_entropy, bipartite_spectrum,
                        single_site_entropy, single_site_spectrum,
                        see_variation, one_site_rdm, rho_correct)
-from .hyperopt import (tune, evaluate, MPSRandomSearch, MisclassificationRate,
+from .hyperopt import (tune, evaluate, MPSRandomSearch, ScipySolver,
+                       MisclassificationRate,
                        BalancedMisclassificationRate, ImputationLoss,
                        eval_loss, make_stratified_cvfolds, make_windows)
 from .hyperopt.losses import is_omp_threading
@@ -59,7 +60,7 @@ __all__ = [
     "mcar", "mar", "mnar", "trendy_sine", "state_space",
     "von_neumann_entropy", "bipartite_spectrum", "single_site_entropy",
     "single_site_spectrum", "see_variation", "one_site_rdm", "rho_correct",
-    "tune", "evaluate", "MPSRandomSearch", "MisclassificationRate",
+    "tune", "evaluate", "MPSRandomSearch", "ScipySolver", "MisclassificationRate",
     "BalancedMisclassificationRate", "ImputationLoss", "eval_loss",
     "make_stratified_cvfolds", "make_windows",
     "save_mps", "load_mps", "trained_mps_equal",

@@ -25,6 +25,7 @@ from .losses import (BalancedMisclassificationRate, ImputationLoss,
                      MisclassificationRate, TuningLoss, eval_loss,
                      make_stratified_cvfolds, make_windows)
 from .random_search import MPSRandomSearch, grid_search
+from .solvers import ScipySolver
 
 
 def _parse_parameters(parameters: Dict[str, Any], opts0: MPSOptions,
@@ -232,9 +233,12 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
     executor = ThreadPoolExecutor(n_workers) \
         if n_workers > 0 and farm is None else None
 
+    solver_route = not isinstance(method, MPSRandomSearch)
+
     class _SearchExhausted(Exception):
-        """Raised after max_cache_hits consecutive cache hits (the
-        reference's stop callback, tuning.jl:126-138)."""
+        """Raised to stop the search early: after max_cache_hits consecutive
+        cache hits, or (solver route) after maxiters distinct evaluations —
+        the reference's stop callback, tuning.jl:126-138, 184-199."""
 
     def tr_objective(optslist) -> float:
         hparams = _safe_paramlist(optslist, fields, types, value_map,
@@ -245,8 +249,12 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
             if verbosity >= 1 and state["hits"] <= 3:
                 print(f"{pre_string}iter {state['iters']}: cache hit at {hparams}")
             if state["hits"] > max_cache_hits:
-                raise _SearchExhausted
+                raise _SearchExhausted("max_cache_hits")
             return cache[key]
+        if solver_route and state["iters"] >= maxiters:
+            # grid search enumerates exactly maxiters trials; a continuous
+            # solver needs the explicit evaluation cap
+            raise _SearchExhausted("maxiters")
         state["hits"] = 0
         state["iters"] += 1
         opts = opts0.replace(**hparams)
@@ -265,18 +273,36 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
                   f"t={time.time() - tstart:.2f}s: Mean CV Loss: {loss:.6g}")
         return loss
 
-    try:
-        sol = grid_search(g, tr_objective, method, lb, ub, is_disc, fields,
-                          maxiters)
-        best = _safe_paramlist(sol, fields, types, value_map, logspace_eta)
-    except _SearchExhausted:
-        if verbosity >= 1:
-            print(f"{pre_string}Exceeded max_cache_hits={max_cache_hits} "
-                  "consecutive cache hits, stopping early. Is your search "
-                  "space too small?")
+    def best_from_cache():
         best_key = min(cache, key=lambda k: cache[k]
                        if not np.isnan(cache[k]) else np.inf)
-        best = dict(zip(fields, best_key))
+        return dict(zip(fields, best_key))
+
+    try:
+        if solver_route:
+            # continuous / black-box solver route (reference
+            # tune_across_folds -> Optimization.jl solve, tuning.jl:184-199);
+            # the best point is read from the evaluation cache because the
+            # solver's raw x may round to a different hyperparameter tuple
+            # than the best one it actually evaluated
+            method.solve(tr_objective, x0, lb, ub, rng=g, maxiters=maxiters)
+            best = best_from_cache() if cache else \
+                _safe_paramlist(x0, fields, types, value_map, logspace_eta)
+        else:
+            sol = grid_search(g, tr_objective, method, lb, ub, is_disc,
+                              fields, maxiters)
+            best = _safe_paramlist(sol, fields, types, value_map,
+                                   logspace_eta)
+    except _SearchExhausted as e:
+        if verbosity >= 1:
+            if str(e) == "maxiters":
+                print(f"{pre_string}Reached maxiters={maxiters} distinct "
+                      "evaluations, stopping.")
+            else:
+                print(f"{pre_string}Exceeded max_cache_hits={max_cache_hits} "
+                      "consecutive cache hits, stopping early. Is your "
+                      "search space too small?")
+        best = best_from_cache()
     finally:
         if executor is not None:
             executor.shutdown(wait=False)

@@ -148,6 +148,66 @@ class TestParamParsing:
             _parse_parameters({"zeta": (1, 2)}, mt.MPSOptions(), False)
 
 
+class TestScipySolver:
+    """The continuous/black-box solver route for tune (reference
+    tuning.jl:143-207 — any non-MPSRandomSearch method goes through
+    Optimization.jl solve)."""
+
+    def test_unknown_method_raises(self):
+        with pytest.raises(ValueError, match="Unknown ScipySolver"):
+            mt.ScipySolver("GradientDescentThatDoesNotExist")
+
+    @pytest.mark.parametrize("method", ["Nelder-Mead", "Powell",
+                                        "differential_evolution"])
+    def test_beats_random_search_on_smooth_objective(self, method):
+        # a smooth 2-param bowl: the solver should localise the optimum far
+        # better than random search at the same evaluation budget
+        target = np.array([3.7, -1.2])
+        evals = {"solver": 0, "random": 0}
+
+        def f_solver(x):
+            evals["solver"] += 1
+            return float(np.sum((np.asarray(x) - target) ** 2))
+
+        def f_random(x):
+            evals["random"] += 1
+            return float(np.sum((np.asarray(x) - target) ** 2))
+
+        lb, ub = np.array([-10.0, -10.0]), np.array([10.0, 10.0])
+        budget = 200
+        sol = mt.ScipySolver(method).solve(
+            f_solver, np.array([0.0, 0.0]), lb, ub,
+            rng=np.random.default_rng(0), maxiters=budget)
+        from mpstime_tpu.hyperopt.random_search import grid_search
+        rs = grid_search(np.random.default_rng(0), f_random,
+                         mt.MPSRandomSearch("UniformRandom"), lb, ub,
+                         np.array([False, False]), ["a", "b"], budget)
+        err_solver = np.sum((sol - target) ** 2)
+        err_random = np.sum((rs - target) ** 2)
+        assert err_solver < err_random
+        assert err_solver < 1e-2
+        assert evals["solver"] <= budget + 10  # scipy may overshoot slightly
+
+    @pytest.mark.slow
+    def test_tune_with_scipy_solver(self, two_class_sines):
+        Xtr, ytr, *_ = two_class_sines
+        best, cache = mt.tune(
+            Xtr, ytr, nfolds=2,
+            parameters={"eta": (1e-3, 0.5), "chi_max": (6, 14)},
+            method=mt.ScipySolver("Nelder-Mead"),
+            objective=mt.MisclassificationRate(),
+            opts0=mt.MPSOptions(verbosity=-5, log_level=-1, nsweeps=2,
+                                dtype="float64"),
+            maxiters=6, max_cache_hits=4, verbosity=-1, rng=1)
+        assert set(best) == {"chi_max", "eta"}
+        assert 6 <= best["chi_max"] <= 14
+        assert 1e-3 <= best["eta"] <= 0.5
+        assert 0 < len(cache) <= 6          # maxiters caps distinct evals
+        # the returned best is the argmin of the evaluation cache
+        best_key = min(cache, key=lambda k: cache[k])
+        assert tuple(best[f] for f in sorted(best)) == best_key
+
+
 def test_tune_single_fold_warns(two_class_sines):
     Xtr, ytr, *_ = two_class_sines
     with pytest.warns(UserWarning, match="no.*cross-validation"):
