@@ -1,10 +1,16 @@
-"""Benchmark: DMRG training sweep wall-clock on TPU.
+"""Benchmark: DMRG training sweep + batched imputation wall-clock on TPU.
 
 Primary workload: ECG200 classification (T=96 sites, N=100 train samples,
 C=2, d=5 Legendre) at chi_max=64 — the BASELINE.md north-star config.
-Also reported: chi=32 on the same data, and an IPD-shaped synthetic workload
-(T=24, N=67 — the shape of the reference's published sweep anchor; the real
-IPD data is not vendorable offline).
+Also reported:
+ * chi=32 and chi=128 on the same data (bond-dimension scaling),
+ * a long-sequence synthetic workload (T=512, N=100) at chi=64,
+ * an IPD-shaped synthetic workload (T=24, N=67 — the shape of the
+   reference's published sweep anchor; real IPD is not vendorable offline),
+ * the batched imputation kernel (impute_batch — the hyperopt
+   ImputationLoss hot path, B=35 instances x 20% MAR, dx=1e-4),
+ * a virtual 8-device CPU mesh datapoint (subprocess) certifying the
+   sharded production path end-to-end.
 
 Reference anchor: the Julia implementation's published sweep wall-clock is
 0.66-1.16 s/sweep (mean 0.80 s) on CPU for the IPD-sized run
@@ -16,18 +22,27 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
-def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=3):
+def _sync(x):
+    """block_until_ready is a no-op on some remote platforms; transfer a
+    scalar as a reliable barrier."""
+    import jax.numpy as jnp
+    return float(jnp.linalg.norm(x))
+
+
+def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=3,
+                       measure_percall=True):
     """Median s/sweep of the production training path: all sweeps fused into
     one compiled device call (training/sweep.py full_sweeps — what fit_mps
     uses whenever per-sweep host logging is off, e.g. all of hyperopt).
     Also returns the single-sweep-per-call time (includes per-call host
     dispatch, ~10-30 ms on the remote TPU service)."""
-    import jax
     import jax.numpy as jnp
 
     import mpstime_tpu as mt
@@ -50,42 +65,143 @@ def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=3):
     eta = jnp.float32(opts.eta)
     cutoff = jnp.float32(opts.cutoff)
 
-    def sync(x):
-        # block_until_ready is a no-op on some remote platforms; transfer a
-        # scalar as a reliable barrier
-        return float(jnp.linalg.norm(x))
-
     # fused path (warm + timed)
     cores, center = full_sweeps(mps.cores, mps.center, phis_c, y_onehot, w,
                                 eta, cutoff, nsweeps=nsweeps_block, **kw)
-    sync(center)
+    _sync(center)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         cores, center = full_sweeps(mps.cores, mps.center, phis_c, y_onehot,
                                     w, eta, cutoff, nsweeps=nsweeps_block,
                                     **kw)
-        sync(center)
+        _sync(center)
         times.append(time.perf_counter() - t0)
     t_fused = float(np.median(times)) / nsweeps_block
 
-    # per-call path (one sweep per dispatch)
-    cores1, center1 = full_sweep(cores, center, phis_c, y_onehot, w,
-                                 eta, cutoff, **kw)
-    sync(center1)
-    times1 = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        cores1, center1 = full_sweep(cores1, center1, phis_c, y_onehot, w,
+    t_percall = None
+    if measure_percall:
+        cores1, center1 = full_sweep(cores, center, phis_c, y_onehot, w,
                                      eta, cutoff, **kw)
-        sync(center1)
-        times1.append(time.perf_counter() - t0)
-    t_percall = float(np.median(times1))
+        _sync(center1)
+        times1 = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            cores1, center1 = full_sweep(cores1, center1, phis_c, y_onehot,
+                                         w, eta, cutoff, **kw)
+            _sync(center1)
+            times1.append(time.perf_counter() - t0)
+        t_percall = float(np.median(times1))
 
     from mpstime_tpu.models.mps import MPS
     from mpstime_tpu.training.stats import loss_acc_conf
-    _, _, acc, _ = loss_acc_conf(MPS(cores, center, T - 1), ds.X_enc, ds.y_idx)
+    _, _, acc, _ = loss_acc_conf(MPS(cores, center, T - 1), ds.X_enc,
+                                 ds.y_idx)
     return t_fused, t_percall, float(acc)
+
+
+def _impute_batch_time(Xtr, ytr, Xte, yte, reps=3):
+    """Wall-clock of the batched imputation kernel (problem.py impute_batch)
+    at ECG200 scale: B instances of one class, a 20% MAR block, dx=1e-4 —
+    the hyperopt ImputationLoss inner loop."""
+    import mpstime_tpu as mt
+
+    opts = mt.MPSOptions(nsweeps=3, chi_max=25, d=5, verbosity=-1,
+                         log_level=-1, dtype="float32")
+    trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+    imp = mt.init_imputation_problem(trained, Xte, yte, verbosity=-1,
+                                     test_encoding=False)
+    from mpstime_tpu.imputation.problem import impute_batch
+
+    cls = int(np.unique(yte)[0])
+    B = min(35, int(np.sum(yte == cls)))
+    rng = np.random.default_rng(0)
+    _, win = mt.mar(Xte[0], 0.2, rng=rng)
+    instances = np.arange(B)
+
+    ts, targets = impute_batch(imp, cls, instances, win, "median")  # warm
+    assert np.isfinite(ts).all()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        ts, targets = impute_batch(imp, cls, instances, win, "median")
+        times.append(time.perf_counter() - t0)
+    mae = float(np.mean(np.abs(ts[:, win] - targets[:, win])))
+    return float(np.median(times)), B, mae
+
+
+_MESH_CHILD = r"""
+import json, os, time
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags +
+        " --xla_force_host_platform_device_count=8").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+import mpstime_tpu as mt
+from mpstime_tpu.encodings import encode_dataset
+from mpstime_tpu.models.mps import random_mps
+from mpstime_tpu.parallel import (make_mesh, replicate, shard_train_arrays,
+                                  sharded_full_sweeps)
+from mpstime_tpu.training.sweep import full_sweeps
+from mpstime_tpu.utils.preprocessing import transform_data
+
+d_npz = np.load("tests/data/ecg200.npz")
+X, y = d_npz["X_train"], d_npz["y_train"]
+chi, d = 16, 5
+opts = mt.MPSOptions(chi_max=chi, d=d, verbosity=-1, dtype="float32",
+                     svd_alg="gram_eigh")
+Xs, _, _, _ = transform_data(X, np.zeros((0, X.shape[1])), opts)
+ds = encode_dataset(X, Xs, y, opts)
+T, N, C = X.shape[1], X.shape[0], ds.num_classes
+mps = random_mps(opts.init_rng, T, d, C, opts.chi_init, chi, np.float32)
+phis_c = jnp.conj(ds.X_enc).swapaxes(0, 1)
+y1h = jnp.asarray(np.eye(C, dtype=np.float32)[ds.y_idx])
+w = jnp.full((N,), 1.0 / N, jnp.float32)
+pad = (-N) % 8
+if pad:
+    phis_c = jnp.concatenate([phis_c, jnp.repeat(phis_c[:, :1], pad, 1)], 1)
+    y1h = jnp.concatenate([y1h, jnp.repeat(y1h[:1], pad, 0)], 0)
+    w = jnp.concatenate([w, jnp.zeros(pad, jnp.float32)], 0)
+kw = dict(nsweeps=4, loss="KLD", bbopt="TSGO", update_iters=1,
+          rescale=(False, True), svd_alg="gram_eigh")
+mesh = make_mesh(8)
+sp, sy, sw = shard_train_arrays(mesh, phis_c, y1h, w)
+rc, rce = replicate(mesh, mps.cores, mps.center)
+eta, cut = jnp.float32(0.01), jnp.float32(1e-10)
+
+def t_of(fn):
+    c, ce = fn()
+    float(jnp.linalg.norm(ce))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        c, ce = fn()
+        float(jnp.linalg.norm(ce))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / kw["nsweeps"], bool(jnp.isfinite(ce).all())
+
+t1, ok1 = t_of(lambda: full_sweeps(mps.cores, mps.center, phis_c, y1h, w,
+                                   eta, cut, **kw))
+t8, ok8 = t_of(lambda: sharded_full_sweeps(mesh, rc, rce, sp, sy, sw,
+                                           eta, cut, **kw))
+print(json.dumps({"mesh_ok": ok1 and ok8, "cpu1_sweep_s": round(t1, 5),
+                  "cpu8mesh_sweep_s": round(t8, 5)}))
+"""
+
+
+def _mesh_datapoint():
+    """Run the 8-virtual-device CPU mesh bench in a subprocess (the CPU
+    backend with forced device count must initialize before any other
+    backend)."""
+    try:
+        out = subprocess.run([sys.executable, "-c", _MESH_CHILD],
+                             capture_output=True, text=True, timeout=1200)
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception as e:                               # noqa: BLE001
+        return {"mesh_ok": False, "mesh_error": str(e)[:200]}
 
 
 def main():
@@ -93,35 +209,61 @@ def main():
 
     d_npz = np.load("tests/data/ecg200.npz")
     X, y = d_npz["X_train"], d_npz["y_train"]
+    Xte, yte = d_npz["X_test"], d_npz["y_test"]
 
     t64, t64_percall, acc64 = _steady_sweep_time(X, y, chi=64, d=5)
-    t32, _, _ = _steady_sweep_time(X, y, chi=32, d=5)
+    t32, _, _ = _steady_sweep_time(X, y, chi=32, d=5, measure_percall=False)
+    t128, _, acc128 = _steady_sweep_time(X, y, chi=128, d=5,
+                                         measure_percall=False)
+
+    # long-sequence scaling: T=512 synthetic, ECG-like sample count
+    rng = np.random.default_rng(0)
+    T_long, N_long = 512, 100
+    t_ax = np.linspace(0, 8 * np.pi, T_long)
+    Xl = np.concatenate([
+        np.sin(t_ax[None] + rng.uniform(0, 6, (50, 1))),
+        np.sin(3 * t_ax[None] + rng.uniform(0, 6, (50, 1)))])
+    Xl += 0.1 * rng.standard_normal(Xl.shape)
+    yl = np.repeat([0, 1], 50)
+    t_long, _, _ = _steady_sweep_time(Xl, yl, chi=64, d=5, nsweeps_block=4,
+                                      measure_percall=False)
 
     # IPD-shaped synthetic anchor workload (T=24, N=67, 2 classes)
-    rng = np.random.default_rng(0)
-    T_ipd, N_ipd = 24, 67
+    T_ipd = 24
     t_ax = np.linspace(0, 2 * np.pi, T_ipd)
     Xi = np.concatenate([
         np.sin(t_ax[None] + rng.uniform(0, 6, (34, 1))),
         np.sin(3 * t_ax[None] + rng.uniform(0, 6, (33, 1)))])
     Xi += 0.1 * rng.standard_normal(Xi.shape)
     yi = np.repeat([0, 1], [34, 33])
-    t_ipd, _, _ = _steady_sweep_time(Xi, yi, chi=25, d=5)
+    t_ipd, _, _ = _steady_sweep_time(Xi, yi, chi=25, d=5,
+                                     measure_percall=False)
+
+    t_imp, B_imp, mae_imp = _impute_batch_time(X, y, Xte, yte)
+    mesh = _mesh_datapoint()
 
     baseline = 0.80  # s/sweep, Julia reference anchor (module docstring)
-    print(json.dumps({
+    record = {
         "metric": "ecg200_sweep_time_chi64",
         "value": round(t64, 5),
         "unit": "s/sweep",
         "vs_baseline": round(baseline / t64, 2),
         "ecg200_sweep_time_chi64_percall": round(t64_percall, 5),
         "ecg200_sweep_time_chi32": round(t32, 5),
+        "ecg200_sweep_time_chi128": round(t128, 5),
+        "longT512_sweep_time_chi64": round(t_long, 5),
         "ipd_shape_sweep_time_chi25": round(t_ipd, 5),
         "ipd_shape_vs_baseline": round(baseline / t_ipd, 2),
         "train_acc_after_8_sweeps_chi64": round(acc64, 4),
+        "train_acc_after_8_sweeps_chi128": round(acc128, 4),
+        "ecg200_impute_batch_time": round(t_imp, 5),
+        "impute_batch_B": B_imp,
+        "impute_batch_mae": round(mae_imp, 4),
         "device": str(jax.devices()[0]),
         "shapes": {"T": 96, "N": 100, "chi": 64, "d": 5},
-    }))
+    }
+    record.update(mesh)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

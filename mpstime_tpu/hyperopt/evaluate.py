@@ -54,7 +54,10 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
 
     ``devices``: farm outer folds across local devices (the Distributed.jl
     ``distribute_folds``/``pmap(_eval_fold, ...)`` analog, evaluate.jl:281).
-    True/"all" uses every local device; inner ``tune`` calls then run
+    True/"all" uses every local device.  When there are more devices than
+    outer folds, the device list is partitioned between the folds (the
+    ``divide_procs`` analog, hyperopt_utils.jl:49-60) and each fold's inner
+    ``tune`` farms its CV folds over its sublist; otherwise inner tunes run
     sequentially within each fold's device."""
     if ys is None:
         ys = np.zeros(Xs.shape[0], dtype=np.int64)
@@ -113,7 +116,7 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
 
     tstart = time.time()
 
-    def _eval_fold(fold: int) -> Dict[str, Any]:
+    def _eval_fold(fold: int, inner_devices=None) -> Dict[str, Any]:
         fname = os.path.join(tmpdir, f"f{fold}.pkl")
         if write and os.path.isfile(fname):
             if overwrite:
@@ -142,7 +145,8 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
             logspace_eta=logspace_eta, windows=tuning_windows_inner,
             maxiters=tuning_maxiters, verbosity=verbosity, rng=g_inner,
             foldmethod=tuning_foldmethod, impute_method=impute_method,
-            n_workers=n_workers, pre_string=f"Fold {fold}: ")
+            n_workers=n_workers, devices=inner_devices,
+            pre_string=f"Fold {fold}: ")
 
         opts = opts0.replace(**best_params)
         if verbosity >= 1:
@@ -173,7 +177,16 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
         return res
 
     if farming:
-        results = DeviceFarm(farm_devs).map(_eval_fold, fold_inds)
+        from ..parallel.farm import divide_devices
+        sublists = divide_devices(farm_devs, len(fold_inds))
+        # each fold's job runs pinned to one device of its sublist; when a
+        # sublist has >1 device the fold's inner tune farms its CV folds
+        # over the sublist (tune's DeviceFarm pins its worker threads
+        # explicitly, so the nesting is safe)
+        jobs = [(f, sub if len(sub) > 1 else None)
+                for f, sub in zip(fold_inds, sublists)]
+        results = DeviceFarm([s[0] for s in sublists]).map(
+            lambda job: _eval_fold(*job), jobs)
     else:
         results = [_eval_fold(f) for f in fold_inds]
 

@@ -34,6 +34,26 @@ def resolve_devices(devices: Union[None, bool, str, Sequence]) -> Optional[List]
     return devs if devs else None
 
 
+def divide_devices(devices: Sequence, njobs: int) -> List[List]:
+    """Partition a device list into ``njobs`` sublists (the reference's
+    ``divide_procs`` worker-pool partitioning, hyperopt_utils.jl:49-60):
+    with more devices than jobs each job gets a roughly-equal contiguous
+    chunk (so its INNER work can farm over the chunk); with fewer, devices
+    are dealt round-robin, one per job."""
+    devs = list(devices)
+    if njobs <= 0:
+        return []
+    if len(devs) <= njobs:
+        return [[devs[i % len(devs)]] for i in range(njobs)]
+    q, r = divmod(len(devs), njobs)
+    out, start = [], 0
+    for i in range(njobs):
+        size = q + (1 if i < r else 0)
+        out.append(devs[start:start + size])
+        start += size
+    return out
+
+
 class DeviceFarm:
     """Run independent jobs round-robin across a set of local devices.
 

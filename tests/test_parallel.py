@@ -257,6 +257,56 @@ def test_device_farm_error_propagates():
     assert farm.map(lambda i: i * i, range(5)) == [0, 1, 4, 9, 16]
 
 
+def test_divide_devices_partitioning():
+    from mpstime_tpu.parallel.farm import divide_devices
+
+    devs = list(range(8))
+    # more devices than jobs: contiguous roughly-equal chunks
+    assert divide_devices(devs, 2) == [[0, 1, 2, 3], [4, 5, 6, 7]]
+    assert divide_devices(devs, 3) == [[0, 1, 2], [3, 4, 5], [6, 7]]
+    # fewer devices than jobs: round-robin singletons
+    assert divide_devices(devs[:2], 5) == [[0], [1], [0], [1], [0]]
+    assert divide_devices(devs, 8) == [[d] for d in devs]
+    assert divide_devices(devs, 0) == []
+
+
+def test_evaluate_nested_device_farming(two_class_sines, tmp_path,
+                                        monkeypatch):
+    """With more devices than outer folds, evaluate partitions the device
+    list between the folds (divide_procs analog) and each fold's inner tune
+    farms its CV folds over its sublist."""
+    import importlib
+
+    import mpstime_tpu as mt
+
+    # the evaluate FUNCTION shadows the submodule on the package, so fetch
+    # the module object explicitly
+    eval_mod = importlib.import_module("mpstime_tpu.hyperopt.evaluate")
+
+    seen = []
+    real_tune = eval_mod.tune
+
+    def recording_tune(*a, **kw):
+        seen.append(kw.get("devices"))
+        return real_tune(*a, **kw)
+
+    monkeypatch.setattr(eval_mod, "tune", recording_tune)
+    Xtr, ytr, _, _ = two_class_sines
+    opts0 = mt.MPSOptions(verbosity=-5, log_level=-1, nsweeps=2, chi_max=8,
+                          d=3, dtype="float64", sigmoid_transform=True)
+    res = mt.evaluate(Xtr, ytr, nfolds=2, tuning_parameters={"d": [3, 4]},
+                      objective=mt.MisclassificationRate(), opts0=opts0,
+                      n_cvfolds=2, tuning_maxiters=2, verbosity=-1,
+                      devices="all")
+    assert len(res) == 2 and all(np.isfinite(r["loss"]) for r in res)
+    # each of the 2 folds received a 4-device sublist; the sublists are
+    # disjoint and cover all 8 virtual devices
+    assert len(seen) == 2
+    assert all(devs is not None and len(devs) == 4 for devs in seen)
+    all_devs = [d for devs in seen for d in devs]
+    assert len(set(all_devs)) == 8
+
+
 def test_evaluate_device_farm(two_class_sines, tmp_path):
     import mpstime_tpu as mt
 
