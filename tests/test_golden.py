@@ -61,6 +61,69 @@ REFERENCE_MAE = {
 }
 
 
+# TrendySine-3 (second vendored dataset; frozen generator
+# scripts/make_trendysine_dataset.py) at nsweeps=5, chi_max=20, d=4
+GOLDEN_TS3_ACC = 0.8111111111111111
+GOLDEN_TS3_CONF = np.array([[30, 0, 0], [6, 23, 1], [0, 10, 20]])
+GOLDEN_TS3_KLD_LAST = 5.9478962703683695
+
+
+@pytest.mark.slow
+class TestTrendySineGolden:
+    """Second-dataset golden regression, wired through the native C++ UCR
+    loader end-to-end (VERDICT r1 item 10)."""
+
+    def test_ucr_files_load_via_native_parser(self):
+        import os
+
+        from mpstime_tpu.utils.data_loading import _get_native, load_ucr_file
+        assert _get_native() is not None, "C++ UCR loader failed to build"
+        base = os.path.join(os.path.dirname(__file__), "data")
+        Xtr, ytr = load_ucr_file(os.path.join(base, "trendysine_TRAIN.tsv"))
+        Xte, yte = load_ucr_file(os.path.join(base, "trendysine_TEST.tsv"))
+        assert Xtr.shape == Xte.shape == (90, 60)
+        np.testing.assert_array_equal(np.bincount(ytr), [30, 30, 30])
+        np.testing.assert_array_equal(np.bincount(yte), [30, 30, 30])
+
+    def test_generator_is_frozen(self):
+        # the committed files match the frozen generator byte-for-byte
+        import os
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(__file__)), "scripts"))
+        try:
+            from make_trendysine_dataset import generate
+        finally:
+            sys.path.pop(0)
+        from mpstime_tpu.utils.data_loading import load_ucr_file
+        Xtr, ytr, Xte, yte = generate()
+        base = os.path.join(os.path.dirname(__file__), "data")
+        Xf, yf = load_ucr_file(os.path.join(base, "trendysine_TRAIN.tsv"))
+        np.testing.assert_allclose(Xf, Xtr, rtol=1e-11, atol=1e-14)
+        np.testing.assert_array_equal(yf, ytr)
+
+    def test_classification_golden(self):
+        import os
+
+        from mpstime_tpu.summary import confusion_matrix
+        from mpstime_tpu.utils.data_loading import load_ucr_file
+        base = os.path.join(os.path.dirname(__file__), "data")
+        Xtr, ytr = load_ucr_file(os.path.join(base, "trendysine_TRAIN.tsv"))
+        Xte, yte = load_ucr_file(os.path.join(base, "trendysine_TEST.tsv"))
+        opts = mt.MPSOptions(nsweeps=5, chi_max=20, d=4, verbosity=-1,
+                             dtype="float64")
+        trained, info, _ = mt.fit_mps(Xtr, ytr, Xte, yte, opts)
+        preds = mt.classify(trained, Xte)
+        acc = float(np.mean(preds == yte))
+        assert acc == pytest.approx(GOLDEN_TS3_ACC, abs=1e-12)
+        labels = list(trained.labels)
+        conf = confusion_matrix(np.searchsorted(labels, yte),
+                                np.searchsorted(labels, preds), 3)
+        np.testing.assert_array_equal(conf, GOLDEN_TS3_CONF)
+        assert info["train_KL_div"][-1] == pytest.approx(
+            GOLDEN_TS3_KLD_LAST, rel=1e-8)
+
+
 @pytest.fixture(scope="module")
 def ecg_default_fit(ecg200):
     Xtr, ytr, Xte, yte = ecg200
