@@ -37,6 +37,7 @@ from .hyperopt import (tune, evaluate, MPSRandomSearch, ScipySolver,
                        eval_loss, make_stratified_cvfolds, make_windows)
 from .hyperopt.losses import is_omp_threading
 from .models.serialize import save_mps, load_mps, trained_mps_equal
+from .models.itensor_import import load_mpstime_jl
 from .models.classifier import MPSClassifier
 from .vis import plot_encoding, plot_conf_mat, plot_training_summary
 
@@ -61,6 +62,7 @@ __all__ = [
     "von_neumann_entropy", "bipartite_spectrum", "single_site_entropy",
     "single_site_spectrum", "see_variation", "one_site_rdm", "rho_correct",
     "tune", "evaluate", "MPSRandomSearch", "ScipySolver", "MisclassificationRate",
+    "load_mpstime_jl",
     "BalancedMisclassificationRate", "ImputationLoss", "eval_loss",
     "make_stratified_cvfolds", "make_windows",
     "save_mps", "load_mps", "trained_mps_equal",
