@@ -106,23 +106,23 @@ def eval_loss(objective: TuningLoss, mps: TrainedMPS, X_val: np.ndarray,
 
     if isinstance(objective, ImputationLoss):
         from ..imputation import init_imputation_problem
-        from ..imputation.problem import impute_batch
+        from ..imputation.problem import impute_windows
         if windows is None:
             raise ValueError("ImputationLoss requires windows")
         imp = init_imputation_problem(mps, X_val, y_val, verbosity=-5,
                                       test_encoding=False)
-        # all instances of a class share a window's missing pattern -> one
-        # vmapped kernel call per (class, window) (the reference loops
-        # MPS_impute per instance, hyperopt_utils.jl:215-227)
+        # all (instance, window) pairs of a class run as ONE fused device
+        # call: vmap over instances x lax.map over windows (the reference
+        # loops MPS_impute per (instance, window), hyperopt_utils.jl:201-227)
         total = np.zeros(len(windows))
         for cls in np.unique(y_val):
             n_c = int(np.sum(y_val == cls))
             rel = np.arange(n_c)
+            ts, targets = impute_windows(imp, cls, rel, windows, method)
             for iw, sites in enumerate(windows):
-                ts, targets = impute_batch(imp, cls, rel, sites, method)
                 sites = np.asarray(sites, dtype=int)
-                mae_per = np.mean(np.abs(ts[:, sites] - targets[:, sites]),
-                                  axis=1)
+                mae_per = np.mean(np.abs(ts[iw][:, sites] -
+                                         targets[:, sites]), axis=1)
                 total[iw] += mae_per.sum()
         return total / len(y_val)
 

@@ -28,6 +28,12 @@ Here the same math is expressed with static shapes and a mask:
 One jit serves every missing pattern of a given length-T problem; the scan is
 vmappable over instances and classes.  Environments are renormalized per step
 (scale-invariant: every estimator normalizes by the grid partition function Z).
+
+Everything per-MODEL (MPS cores, guess grid + its encodings, the encoding's
+``enc_args``) is a traced *argument*, and built kernels are cached at module
+level keyed only on the static geometry/config — so hyperopt trial loops
+(a fresh trained MPS per trial, same geometry) reuse ONE compiled program
+instead of retracing and recompiling per trial.
 """
 
 from __future__ import annotations
@@ -64,98 +70,149 @@ def _weighted_median_abs_dev(grid_x, probs, x0):
     return dev[order][jnp.minimum(k, dev.shape[0] - 1)]
 
 
+_KERNEL_CACHE: dict = {}
+
+
+def clear_kernel_cache():
+    _KERNEL_CACHE.clear()
+
+
 def make_impute_kernel(T: int, chi: int, d: int, G: int,
-                       grid_x: np.ndarray, dx: float,
-                       grid_states,                # [G, d] or [T, G, d]
-                       encode_at: Optional[Callable] = None,
                        method: str = "median",
                        timedep: bool = False,
                        want_cdf: bool = False,
                        get_err: bool = True,
                        max_jump: Optional[float] = None,
                        rejection_threshold: Optional[float] = None,
-                       max_trials: int = 10):
-    """Build a jitted imputation kernel for one (T, chi, d) problem geometry.
+                       max_trials: int = 10,
+                       encode_batch: Optional[Callable] = None,
+                       enc_key=None,
+                       reverse_t: bool = False,
+                       variant: str = "single"):
+    """Build (or fetch from the module cache) a jitted imputation kernel for
+    one (T, chi, d, G) problem geometry.
 
-    encode_at(x, t) -> [d] evaluates the encoding at an arbitrary scalar
-    (used by the :mean estimator, sampling_utils.jl:87); must be jax-traceable.
+    ``encode_batch(X, d, enc_args) -> [..., d]`` is the encoding's
+    jax-traceable batch evaluator (needed by the :mean estimator,
+    sampling_utils.jl:87, and by the 'windows' variant's in-jit target
+    encoding); ``enc_key`` is a hashable identity for it — kernels that need
+    ``encode_batch`` are module-cached only when ``enc_key`` is given.
+    ``reverse_t``: evaluate a time-dependent encoding at original site
+    T-1-t (impute_order='backwards' on reversed cores).
+
+    variant:
+      'single'  — kernel(cores [T,chi,d,chi], phis_c [T,d], known_mask [T],
+                  known_x [T], x_prev0, key) -> ImputeResult
+      'batch'   — instance-vmapped: (cores, phis_c [B,T,d], known_mask [T],
+                  known_x [B,T], x_prev0 [B], keys [B,2]) -> ImputeResult[B]
+      'windows' — lax.map over W window patterns of the batch kernel with the
+                  target encoding computed in-jit: (cores, scaled [W,B,T],
+                  known [W,T], x_prev0 [W,B], keys [W,B,2]) -> x_samps [W,B,T]
+
+    All variants are partially bound by the caller with the per-problem
+    (grid_x, dx, grid_states, enc_args) leading arguments.
     """
-    grid_x = jnp.asarray(grid_x)
-    grid_states = jnp.asarray(grid_states)
-    rdtype = jnp.float32 if grid_states.real.dtype == jnp.float32 else jnp.float64
+    needs_encode = (method == "mean") or (variant == "windows")
+    if needs_encode and encode_batch is None:
+        raise ValueError(f"method={method!r}/variant={variant!r} requires "
+                         "a jax-traceable encode_batch")
+    cacheable = (not needs_encode) or (enc_key is not None)
+    cache_key = (T, chi, d, G, method, timedep, want_cdf, get_err, max_jump,
+                 rejection_threshold, max_trials, enc_key, reverse_t, variant)
+    if cacheable and cache_key in _KERNEL_CACHE:
+        return _KERNEL_CACHE[cache_key]
 
-    def site_states(t):
-        return grid_states[t] if timedep else grid_states
+    if timedep:
+        def encode_at(x, t, enc_args, dtype):
+            tt = (T - 1 - t) if reverse_t else t
+            xx = jnp.zeros((1, T),
+                           jnp.result_type(x, jnp.float32)).at[0, tt].set(x)
+            return encode_batch(xx, d, enc_args)[0, tt].astype(dtype)
+    else:
+        def encode_at(x, t, enc_args, dtype):
+            xx = jnp.reshape(x, (1, 1))
+            return encode_batch(xx, d, enc_args)[0, 0].astype(dtype)
 
-    def estimator(rdm, S, x_prev, key):
-        """Returns (x*, state* [d], err, cdf [G])."""
-        Sc = jnp.conj(S)
-        probs = jnp.real(jnp.einsum("gi,ij,gj->g", Sc, rdm, S))
-        probs = jnp.maximum(probs, 0.0)
-        cdf = _cumtrapz(probs, dx)
-        Z = jnp.maximum(cdf[-1], jnp.finfo(rdtype).tiny)
-        cdf_n = cdf / Z
-        probs_n = probs / Z
-
-        if method == "median":
-            k = jnp.argmin(jnp.abs(cdf_n - 0.5))
-            x_star = grid_x[k]
-            state = S[k]
-            err = _weighted_median_abs_dev(grid_x, probs_n, x_star) if get_err else 0.0
-            return x_star, state, err, cdf_n
-
-        if method == "mean":
-            # rectangle-rule expectation over trapezoid Z (sampling_utils.jl:86)
-            x_star = jnp.sum(grid_x * probs) * dx / Z
-            # placeholder state (nearest grid point); the scan body replaces it
-            # with the exact encoding encode_at(x_star, t)
-            state = S[jnp.argmin(jnp.abs(grid_x - x_star))]
-            err = jnp.sqrt(jnp.sum((grid_x - x_star) ** 2 * probs) * dx / Z) \
-                if get_err else 0.0
-            return x_star, state, err, cdf_n
-
-        if method == "mode":
-            if max_jump is not None:
-                valid = jnp.abs(grid_x - x_prev) <= max_jump
-                has_prev = jnp.isfinite(x_prev)
-                masked = jnp.where(valid | ~has_prev, probs, -jnp.inf)
-                any_valid = jnp.any(valid) | ~has_prev
-                k = jnp.where(any_valid, jnp.argmax(masked), jnp.argmax(probs))
-            else:
-                k = jnp.argmax(probs)
-            return grid_x[k], S[k], jnp.asarray(0.0, rdtype), cdf_n
-
-        if method == "its":
-            if rejection_threshold is None:
-                u = jax.random.uniform(key, dtype=rdtype)
-                k = jnp.argmin(jnp.abs(cdf_n - u))
-                return grid_x[k], S[k], jnp.asarray(0.0, rdtype), cdf_n
-            # rejection sampling within threshold*WMAD of the median
-            kmed = jnp.argmin(jnp.abs(cdf_n - 0.5))
-            med = grid_x[kmed]
-            wmad = _weighted_median_abs_dev(grid_x, probs_n, med)
-
-            def trial(carry, key_t):
-                k_acc, found = carry
-                u = jax.random.uniform(key_t, dtype=rdtype)
-                k_new = jnp.argmin(jnp.abs(cdf_n - u))
-                ok = jnp.abs(grid_x[k_new] - med) < rejection_threshold * wmad
-                take = (~found)
-                k_acc = jnp.where(take, k_new, k_acc)
-                found = found | ok
-                return (k_acc, found), None
-
-            keys = jax.random.split(key, max_trials)
-            (k, _), _ = jax.lax.scan(trial, (kmed, jnp.asarray(False)), keys)
-            return grid_x[k], S[k], wmad, cdf_n
-
-        raise ValueError(f"unknown method {method!r}")
-
-    def kernel(cores_full, phis_c, known_mask, known_x, x_prev0, key):
+    def kernel(grid_x, dx, grid_states, enc_args, cores_full, phis_c,
+               known_mask, known_x, x_prev0, key):
         """cores_full [T,chi,d,chi] (center folded in, normalized);
         phis_c [T,d] conj'd target states; known_mask [T] bool;
         known_x [T]; x_prev0: scalar (NaN if none); key: PRNG key."""
         dtype = cores_full.dtype
+        rdtype = jnp.float32 if grid_states.real.dtype == jnp.float32 \
+            else jnp.float64
+
+        def site_states(t):
+            return grid_states[t] if timedep else grid_states
+
+        def estimator(rdm, S, x_prev, key_t):
+            """Returns (x*, state* [d], err, cdf [G])."""
+            Sc = jnp.conj(S)
+            probs = jnp.real(jnp.einsum("gi,ij,gj->g", Sc, rdm, S))
+            probs = jnp.maximum(probs, 0.0)
+            cdf = _cumtrapz(probs, dx)
+            Z = jnp.maximum(cdf[-1], jnp.finfo(rdtype).tiny)
+            cdf_n = cdf / Z
+            probs_n = probs / Z
+
+            if method == "median":
+                k = jnp.argmin(jnp.abs(cdf_n - 0.5))
+                x_star = grid_x[k]
+                state = S[k]
+                err = _weighted_median_abs_dev(grid_x, probs_n, x_star) \
+                    if get_err else 0.0
+                return x_star, state, err, cdf_n
+
+            if method == "mean":
+                # rectangle-rule expectation over trapezoid Z
+                # (sampling_utils.jl:86)
+                x_star = jnp.sum(grid_x * probs) * dx / Z
+                # placeholder state (nearest grid point); the scan body
+                # replaces it with the exact encoding encode_at(x_star, t)
+                state = S[jnp.argmin(jnp.abs(grid_x - x_star))]
+                err = jnp.sqrt(jnp.sum((grid_x - x_star) ** 2 * probs)
+                               * dx / Z) if get_err else 0.0
+                return x_star, state, err, cdf_n
+
+            if method == "mode":
+                if max_jump is not None:
+                    valid = jnp.abs(grid_x - x_prev) <= max_jump
+                    has_prev = jnp.isfinite(x_prev)
+                    masked = jnp.where(valid | ~has_prev, probs, -jnp.inf)
+                    any_valid = jnp.any(valid) | ~has_prev
+                    k = jnp.where(any_valid, jnp.argmax(masked),
+                                  jnp.argmax(probs))
+                else:
+                    k = jnp.argmax(probs)
+                return grid_x[k], S[k], jnp.asarray(0.0, rdtype), cdf_n
+
+            if method == "its":
+                if rejection_threshold is None:
+                    u = jax.random.uniform(key_t, dtype=rdtype)
+                    k = jnp.argmin(jnp.abs(cdf_n - u))
+                    return grid_x[k], S[k], jnp.asarray(0.0, rdtype), cdf_n
+                # rejection sampling within threshold*WMAD of the median
+                kmed = jnp.argmin(jnp.abs(cdf_n - 0.5))
+                med = grid_x[kmed]
+                wmad = _weighted_median_abs_dev(grid_x, probs_n, med)
+
+                def trial(carry, key_u):
+                    k_acc, found = carry
+                    u = jax.random.uniform(key_u, dtype=rdtype)
+                    k_new = jnp.argmin(jnp.abs(cdf_n - u))
+                    ok = jnp.abs(grid_x[k_new] - med) \
+                        < rejection_threshold * wmad
+                    take = (~found)
+                    k_acc = jnp.where(take, k_new, k_acc)
+                    found = found | ok
+                    return (k_acc, found), None
+
+                keys_t = jax.random.split(key_t, max_trials)
+                (k, _), _ = jax.lax.scan(trial, (kmed, jnp.asarray(False)),
+                                         keys_t)
+                return grid_x[k], S[k], wmad, cdf_n
+
+            raise ValueError(f"unknown method {method!r}")
 
         # ---- backward trace-metric environments ----
         e0 = jnp.zeros((chi,), dtype).at[0].set(1.0)
@@ -176,7 +233,7 @@ def make_impute_kernel(T: int, chi: int, d: int, G: int,
                                   known_mask[::-1]))
         # R_envs[t] = metric to the right of site t-1, i.e. R at slot t;
         # index [t+1] when at site t
-        R_envs = jnp.concatenate([Rs_rev[::-1], R_T[None]], axis=0)  # [T+1,chi,chi]
+        R_envs = jnp.concatenate([Rs_rev[::-1], R_T[None]], axis=0)
 
         v0 = e0
         keys = jax.random.split(key, T)
@@ -189,17 +246,18 @@ def make_impute_kernel(T: int, chi: int, d: int, G: int,
             def known_branch(_):
                 v2 = jnp.einsum("a,aib,i->b", v, W, phis_c[t])
                 zcdf = jnp.zeros((G,), rdtype)
-                return v2, known_x[t].astype(rdtype), jnp.asarray(0.0, rdtype), \
-                    zcdf, x_prev
+                return v2, known_x[t].astype(rdtype), \
+                    jnp.asarray(0.0, rdtype), zcdf, x_prev
 
             def missing_branch(_):
                 A = jnp.einsum("a,aib->ib", v, W)
-                rdm = jnp.einsum("ib,bc,jc->ij", A, R_envs[t + 1], jnp.conj(A))
+                rdm = jnp.einsum("ib,bc,jc->ij", A, R_envs[t + 1],
+                                 jnp.conj(A))
                 S = site_states(t)
                 x_star, state, err, cdf = estimator(rdm, S, x_prev, keys[t])
                 if method == "mean":
                     # exact encoding at the expectation (sampling_utils.jl:87)
-                    state = encode_at(x_star, t)
+                    state = encode_at(x_star, t, enc_args, dtype)
                 v2 = jnp.einsum("ib,i->b", A, jnp.conj(state.astype(dtype)))
                 cdf_out = cdf if want_cdf else jnp.zeros((G,), rdtype)
                 return v2, x_star.astype(rdtype), \
@@ -215,7 +273,38 @@ def make_impute_kernel(T: int, chi: int, d: int, G: int,
             fwd_step, (v0, jnp.asarray(x_prev0, rdtype)), jnp.arange(T))
         return ImputeResult(xs, errs, cdfs)
 
-    return jax.jit(kernel)
+    if variant == "single":
+        fn = jax.jit(kernel)
+    elif variant == "batch":
+        fn = jax.jit(jax.vmap(
+            kernel,
+            in_axes=(None, None, None, None, None, 0, None, 0, 0, 0)))
+    elif variant == "windows":
+        vkern = jax.vmap(
+            kernel, in_axes=(None, None, None, None, None, 0, None, 0, 0, 0))
+
+        def windows_fn(grid_x, dx, grid_states, enc_args, cores_full,
+                       scaled, known, x_prev0, keys):
+            cdtype = cores_full.dtype
+            W_, B_, T_ = scaled.shape
+            phis = encode_batch(scaled.reshape(W_ * B_, T_), d, enc_args)
+            phis_c = jnp.conj(jnp.asarray(phis)).astype(cdtype).reshape(
+                (W_, B_, T_, d))
+
+            def body(xs):
+                ph, km, sc, xp, ky = xs
+                return vkern(grid_x, dx, grid_states, enc_args, cores_full,
+                             ph, km, sc, xp, ky).x_samps
+
+            return jax.lax.map(body, (phis_c, known, scaled, x_prev0, keys))
+
+        fn = jax.jit(windows_fn)
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
+
+    if cacheable:
+        _KERNEL_CACHE[cache_key] = fn
+    return fn
 
 
 def reverse_problem(cores_full: jnp.ndarray) -> jnp.ndarray:

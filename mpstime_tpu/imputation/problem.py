@@ -70,55 +70,55 @@ class ImputationProblem:
         return self.enc_args
 
     # ------------------------------------------------------------------
-    def _encode_at_fn(self, ci: int) -> Callable:
-        """jax-traceable encode of a scalar at site t (for the :mean estimator)."""
-        spec = self.spec()
-        args = self.class_enc_args(ci)
-        d = self.opts.d
-        T = self.T
-        dtype = self.cores_full[0].dtype
-
-        if spec.is_time_dependent:
-            def encode_at(x, t):
-                xx = jnp.zeros((1, T), jnp.result_type(x, jnp.float32)).at[0, t].set(x)
-                return spec.encode_batch(xx, d, args)[0, t].astype(dtype)
-        else:
-            def encode_at(x, t):
-                xx = jnp.reshape(x, (1, 1))
-                return spec.encode_batch(xx, d, args)[0, 0].astype(dtype)
-        return encode_at
+    def _spec_enc_key(self):
+        """Hashable identity of the encoding's encode_batch for the engine's
+        module-level kernel cache; None (uncacheable) for custom specs."""
+        if self.custom_encoding is not None:
+            return None
+        from ..encodings.registry import canonical_encoding_name
+        return (canonical_encoding_name(self.opts.encoding),
+                bool(self.opts.projected_basis))
 
     def kernel(self, ci: int, method: str, impute_order: str = "forwards",
                want_cdf: bool = False, get_err: bool = True,
                max_jump: Optional[float] = None,
-               rejection_threshold=None, max_trials: int = 10):
+               rejection_threshold=None, max_trials: int = 10,
+               variant: str = "single"):
+        """A jitted kernel bound to this problem's (grid, enc_args): the
+        underlying compiled program lives in the engine's module-level cache
+        keyed on geometry only, so fresh problems of the same geometry (e.g.
+        hyperopt trials) skip retracing entirely."""
         if rejection_threshold in (None, "none", ":none"):
             rejection_threshold = None
         key = (ci, method, impute_order, want_cdf, get_err, max_jump,
-               rejection_threshold, max_trials)
+               rejection_threshold, max_trials, variant)
         if key in self._kernels:
             return self._kernels[key]
         cores = self.cores_full[ci]
         gs = self.grid_states[ci]
-        encode_at = self._encode_at_fn(ci)
+        reverse_t = False
         if impute_order == "backwards":
             cores = reverse_problem(cores)
             if self.timedep:
                 # site axis is reversed: evaluate time-dependent bases at
                 # the ORIGINAL site T-1-t, like the reversed grid states
                 gs = gs[::-1]
-                fwd_encode_at, Tm1 = encode_at, self.T - 1
-                encode_at = lambda x, t: fwd_encode_at(x, Tm1 - t)
+                reverse_t = True
         elif impute_order != "forwards":
             raise ValueError("impute_order must be 'forwards' or 'backwards'")
         T, chi, d, _ = cores.shape
-        kern = make_impute_kernel(
-            T, chi, d, len(self.grid_x), self.grid_x, self.dx, gs,
-            encode_at=encode_at, method=method,
+        spec = self.spec()
+        fn = make_impute_kernel(
+            T, chi, d, len(self.grid_x), method=method,
             timedep=self.timedep, want_cdf=want_cdf, get_err=get_err,
             max_jump=max_jump, rejection_threshold=rejection_threshold,
-            max_trials=max_trials)
-        self._kernels[key] = (kern, cores)
+            max_trials=max_trials, encode_batch=spec.encode_batch,
+            enc_key=self._spec_enc_key(), reverse_t=reverse_t,
+            variant=variant)
+        from functools import partial as _partial
+        bound = _partial(fn, jnp.asarray(self.grid_x), self.dx, gs,
+                         self.class_enc_args(ci))
+        self._kernels[key] = (bound, cores)
         return self._kernels[key]
 
 
@@ -495,22 +495,9 @@ def impute_batch(imp: ImputationProblem, class_label,
     else:
         x_prev0 = np.full(B, np.nan)
 
-    mname = {"median": "median", "mean": "mean", "mode": "mode",
-             "ITS": "its", "its": "its"}[method.lstrip(":")]
-    kern_kwargs = {"get_err": False}
-    if mname == "mode":
-        kern_kwargs["max_jump"] = kwargs.get("max_jump")
-    if mname == "its":
-        kern_kwargs["rejection_threshold"] = kwargs.get("rejection_threshold")
-        kern_kwargs["max_trials"] = kwargs.get("max_trials", 10)
-
-    key = (ci, mname, "batch") + tuple(sorted(kern_kwargs.items(),
-                                              key=lambda kv: kv[0]))
-    if key not in imp._kernels:
-        kern, cores = imp.kernel(ci, mname, "forwards", **kern_kwargs)
-        imp._kernels[key] = (jax.vmap(kern, in_axes=(None, 0, None, 0, 0, 0)),
-                             cores)
-    vkern, cores = imp._kernels[key]
+    mname, kern_kwargs = _method_kernel_kwargs(method, kwargs)
+    vkern, cores = imp.kernel(ci, mname, "forwards", variant="batch",
+                              **kern_kwargs)
 
     keys = jax.random.split(jax.random.PRNGKey(rseed), B)
     res = vkern(cores, phis_c, jnp.asarray(known_mask), jnp.asarray(scaled),
@@ -524,6 +511,78 @@ def impute_batch(imp: ImputationProblem, class_label,
     out = np.stack([invert_test_transform(xs[i], oob_by_row[i], imp.norms,
                                           opts) for i in range(B)])
     return out, targets_raw
+
+
+def _method_kernel_kwargs(method: str, kwargs) -> Tuple[str, Dict]:
+    mname = {"median": "median", "mean": "mean", "mode": "mode",
+             "ITS": "its", "its": "its"}[method.lstrip(":")]
+    kern_kwargs = {"get_err": False}
+    if mname == "mode":
+        kern_kwargs["max_jump"] = kwargs.get("max_jump")
+    if mname == "its":
+        kern_kwargs["rejection_threshold"] = kwargs.get("rejection_threshold")
+        kern_kwargs["max_trials"] = kwargs.get("max_trials", 10)
+    return mname, kern_kwargs
+
+
+def impute_windows(imp: ImputationProblem, class_label,
+                   instances: Sequence[int],
+                   windows: Sequence[Sequence[int]],
+                   method: str = "median", *, rseed: int = 1,
+                   invert_transform: bool = True, **kwargs):
+    """Impute MANY missing-site windows across many instances of one class
+    in a SINGLE fused device call.
+
+    ``lax.map`` runs the W windows sequentially on device around the
+    per-instance vmapped kernel, with the target encoding computed inside
+    the same jit, so a whole fold-evaluation workload (the hyperopt
+    ``ImputationLoss`` inner loop — the reference's nested sequential
+    (instance, window) loop, hyperopt_utils.jl:201-227) pays ONE dispatch
+    instead of W.  Each window's known-site pattern stays a runtime branch
+    (the mask is a mapped input, not a vmapped axis), so known sites still
+    do no guess-grid work.
+
+    Returns (ts [W, B, T] imputed series in data units, targets [B, T]).
+    """
+    windows = [np.asarray(w, dtype=int) for w in windows]
+    instances = np.asarray(instances, dtype=int)
+    ci = imp.class_index(class_label)
+    opts = imp.opts
+    T = imp.T
+    W = len(windows)
+    cl_inds = np.where(imp.y_test == class_label)[0]
+    targets_raw = imp.X_test[cl_inds[instances]].astype(np.float64)   # [B, T]
+    B = targets_raw.shape[0]
+    fill = float(np.mean(imp.X_train))
+
+    filled = np.tile(targets_raw[None], (W, 1, 1))
+    known = np.ones((W, T), dtype=bool)
+    for iw, sites in enumerate(windows):
+        filled[iw][:, sites] = fill
+        known[iw, sites] = False
+    scaled_flat, oob = transform_test_data(filled.reshape(W * B, T),
+                                           imp.norms, opts)
+    scaled = scaled_flat.reshape(W, B, T)
+
+    x_prev0 = np.full((W, B), np.nan)
+    for iw, sites in enumerate(windows):
+        m0 = int(np.sort(sites)[0]) - 1
+        if m0 >= 0 and known[iw, m0]:
+            x_prev0[iw] = scaled[iw, :, m0]
+
+    mname, kern_kwargs = _method_kernel_kwargs(method, kwargs)
+    multi, cores = imp.kernel(ci, mname, "forwards", variant="windows",
+                              **kern_kwargs)
+
+    keys = jax.random.split(jax.random.PRNGKey(rseed), W * B).reshape(W, B, -1)
+    xs = multi(cores, jnp.asarray(scaled), jnp.asarray(known),
+               jnp.asarray(x_prev0), keys)
+    xs = np.asarray(xs, np.float64).reshape(W * B, T)
+    if not invert_transform:
+        return (xs.reshape(W, B, T),
+                transform_test_data(targets_raw, imp.norms, opts)[0])
+    out = invert_test_transform(xs, oob, imp.norms, opts)
+    return out.reshape(W, B, T), targets_raw
 
 
 def sample_trajectories(trained, class_label=None, n: int = 1, *,

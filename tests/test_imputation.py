@@ -162,6 +162,70 @@ class TestImputationMethods:
         np.testing.assert_allclose(cdfs[:, 0], 0.0, atol=1e-9)
 
 
+class TestBatchedImputation:
+    """The hyperopt ImputationLoss hot paths: impute_batch (vmap over
+    instances) and impute_windows (one fused device call: lax.map over
+    windows x vmap over instances + in-jit encoding)."""
+
+    def test_impute_batch_matches_single_instance(self, imp, ecg200):
+        from mpstime_tpu.imputation import impute_batch
+        _, _, Xte, yte = ecg200
+        _, sites = mt.mar(Xte[0], 0.2, rng=3)
+        ts, targets = impute_batch(imp, 0, [0, 1, 2], sites, "median")
+        assert ts.shape == targets.shape == (3, Xte.shape[1])
+        for b in range(3):
+            single, _, target, _, _ = mt.mps_impute(
+                imp, 0, b, sites, "median", get_error_bars=False,
+                get_metrics=False)
+            np.testing.assert_allclose(ts[b], single[0], rtol=1e-8,
+                                       atol=1e-10)
+            np.testing.assert_allclose(targets[b], target, atol=1e-12)
+
+    @pytest.mark.parametrize("method", ["median", "mean", "mode"])
+    def test_impute_windows_matches_impute_batch(self, imp, ecg200, method):
+        from mpstime_tpu.imputation import impute_batch, impute_windows
+        _, _, Xte, yte = ecg200
+        rng = np.random.default_rng(5)
+        windows = [mt.mar(Xte[0], p, rng=rng)[1] for p in (0.1, 0.2, 0.3)]
+        inst = [0, 1, 2, 3]
+        ts_w, targets_w = impute_windows(imp, 1, inst, windows, method)
+        assert ts_w.shape == (3, 4, Xte.shape[1])
+        for iw, sites in enumerate(windows):
+            ts_b, targets_b = impute_batch(imp, 1, inst, sites, method)
+            np.testing.assert_allclose(ts_w[iw], ts_b, rtol=1e-8, atol=1e-10)
+            np.testing.assert_allclose(targets_w, targets_b, atol=1e-12)
+
+    def test_impute_windows_its_finite(self, imp, ecg200):
+        from mpstime_tpu.imputation import impute_windows
+        _, _, Xte, yte = ecg200
+        rng = np.random.default_rng(9)
+        windows = [mt.mar(Xte[0], 0.2, rng=rng)[1] for _ in range(2)]
+        ts, _ = impute_windows(imp, 0, [0, 1], windows, "ITS",
+                               rejection_threshold=2.5)
+        assert np.isfinite(ts).all()
+
+    def test_eval_loss_uses_fused_path(self, trained_ecg, ecg200):
+        # eval_loss(ImputationLoss) must equal the hand-rolled per-window
+        # MAE computed through impute_windows
+        from mpstime_tpu.imputation import impute_windows
+        _, _, Xte, yte = ecg200
+        rng = np.random.default_rng(11)
+        windows = [mt.mar(Xte[0], p, rng=rng)[1] for p in (0.15, 0.25)]
+        losses = mt.eval_loss(mt.ImputationLoss(), trained_ecg, Xte, yte,
+                              windows=windows)
+        imp2 = mt.init_imputation_problem(trained_ecg, Xte, yte,
+                                          verbosity=-5, test_encoding=False)
+        expect = np.zeros(len(windows))
+        for cls in np.unique(yte):
+            n_c = int(np.sum(yte == cls))
+            ts, targets = impute_windows(imp2, cls, np.arange(n_c), windows)
+            for iw, sites in enumerate(windows):
+                expect[iw] += np.mean(
+                    np.abs(ts[iw][:, sites] - targets[:, sites]),
+                    axis=1).sum()
+        np.testing.assert_allclose(losses, expect / len(yte), rtol=1e-9)
+
+
 class TestSampling:
     def test_trajectories_match_training_distribution(self):
         # trained on phase-randomised sines: samples should be in-range and
