@@ -130,6 +130,61 @@ def _impute_batch_time(Xtr, ytr, Xte, yte, reps=3):
     return float(np.median(times)), B, mae
 
 
+def _fold_eval_time(Xtr, ytr, Xte, yte, n_windows=10, reps=5):
+    """Wall-clock of one hyperopt fold evaluation: eval_loss(ImputationLoss)
+    over n_windows MAR windows x all test instances of both classes — ONE
+    fused impute_windows device call per class.  Reference anchor: ~1.9 s
+    per fold loss-eval on CPU (docs/src/hyperparameters.md:66-74), with a
+    sequential per-(instance, window) MPS_impute loop
+    (hyperopt_utils.jl:201-227)."""
+    import mpstime_tpu as mt
+
+    opts = mt.MPSOptions(nsweeps=3, chi_max=25, d=5, verbosity=-1,
+                         log_level=-1, dtype="float32")
+    trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+    rng = np.random.default_rng(42)
+    windows = [mt.mar(Xte[0], p, rng=rng)[1]
+               for p in np.linspace(0.05, 0.5, n_windows)]
+    loss = mt.eval_loss(mt.ImputationLoss(), trained, Xte, yte,
+                        windows=windows)                         # warm
+    assert np.isfinite(loss).all()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        mt.eval_loss(mt.ImputationLoss(), trained, Xte, yte, windows=windows)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _tune_fold_train_time(reps=3):
+    """Train one tuning-demo fold at the reference's documented shape (IPD
+    4/5 split: N=54, T=24, chi_max=37, d=8, 10 sweeps) — the reference
+    reports ~127-129 s per fold train on CPU
+    (docs/src/hyperparameters.md:66-74).  Synthetic IPD-shaped data (real
+    IPD is not vendorable offline); full fit_mps wall-clock including
+    preprocessing + encoding, fused-sweep path."""
+    import mpstime_tpu as mt
+
+    rng = np.random.default_rng(1)
+    T = 24
+    t_ax = np.linspace(0, 2 * np.pi, T)
+    X = np.concatenate([
+        np.sin(t_ax[None] + rng.uniform(0, 6, (27, 1))),
+        np.sin(3 * t_ax[None] + rng.uniform(0, 6, (27, 1)))])
+    X += 0.1 * rng.standard_normal(X.shape)
+    y = np.repeat([0, 1], 27)
+    opts = mt.MPSOptions(nsweeps=10, chi_max=37, d=8, verbosity=-1,
+                         log_level=-1, dtype="float32")
+    mt.fit_mps(X, y, opts=opts)                                  # warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        trained, _, _ = mt.fit_mps(X, y, opts=opts)
+        times.append(time.perf_counter() - t0)
+    acc = float(np.mean(mt.classify(trained, X) == y))
+    return float(np.median(times)), acc
+
+
 _MESH_CHILD = r"""
 import json, os, time
 flags = os.environ.get("XLA_FLAGS", "")
@@ -240,6 +295,8 @@ def main():
                                      measure_percall=False)
 
     t_imp, B_imp, mae_imp = _impute_batch_time(X, y, Xte, yte)
+    t_fold_eval = _fold_eval_time(X, y, Xte, yte)
+    t_fold_train, acc_fold = _tune_fold_train_time()
     mesh = _mesh_datapoint()
 
     baseline = 0.80  # s/sweep, Julia reference anchor (module docstring)
@@ -259,6 +316,11 @@ def main():
         "ecg200_impute_batch_time": round(t_imp, 5),
         "impute_batch_B": B_imp,
         "impute_batch_mae": round(mae_imp, 4),
+        "ecg200_fold_eval_time": round(t_fold_eval, 5),
+        "fold_eval_vs_ref_1.9s": round(1.9 / t_fold_eval, 1),
+        "tune_fold_train_time": round(t_fold_train, 5),
+        "tune_fold_train_vs_ref_128s": round(128.0 / t_fold_train, 0),
+        "tune_fold_train_acc": round(acc_fold, 4),
         "device": str(jax.devices()[0]),
         "shapes": {"T": 96, "N": 100, "chi": 64, "d": 5},
     }

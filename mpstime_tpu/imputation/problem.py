@@ -468,49 +468,13 @@ def impute_batch(imp: ImputationProblem, class_label,
     a single vmapped kernel call (the hyperopt ImputationLoss hot path —
     the reference loops MPS_impute per instance, hyperopt_utils.jl:215-227).
 
-    Returns (ts [B, T] imputed series, targets [B, T] ground truth)."""
-    missing_sites = np.asarray(missing_sites, dtype=int)
-    instances = np.asarray(instances, dtype=int)
-    ci = imp.class_index(class_label)
-    opts = imp.opts
-    T = imp.T
-    cl_inds = np.where(imp.y_test == class_label)[0]
-    targets_raw = imp.X_test[cl_inds[instances]].astype(np.float64)   # [B, T]
-    B = targets_raw.shape[0]
-
-    filled = targets_raw.copy()
-    filled[:, missing_sites] = float(np.mean(imp.X_train))
-    scaled, oob = transform_test_data(filled, imp.norms, opts)
-
-    spec = imp.spec()
-    enc_args = imp.class_enc_args(ci)
-    phis = spec.encode_batch(jnp.asarray(scaled), opts.d, enc_args)
-    phis_c = jnp.conj(jnp.asarray(phis, dtype=imp.cores_full[0].dtype))
-
-    known_mask = np.ones(T, dtype=bool)
-    known_mask[missing_sites] = False
-    m0 = np.sort(missing_sites)[0] - 1
-    if m0 >= 0 and known_mask[m0]:
-        x_prev0 = scaled[:, m0]
-    else:
-        x_prev0 = np.full(B, np.nan)
-
-    mname, kern_kwargs = _method_kernel_kwargs(method, kwargs)
-    vkern, cores = imp.kernel(ci, mname, "forwards", variant="batch",
-                              **kern_kwargs)
-
-    keys = jax.random.split(jax.random.PRNGKey(rseed), B)
-    res = vkern(cores, phis_c, jnp.asarray(known_mask), jnp.asarray(scaled),
-                jnp.asarray(x_prev0), keys)
-    xs = np.asarray(res.x_samps, np.float64)                          # [B, T]
-    if not invert_transform:
-        return xs, transform_test_data(targets_raw, imp.norms, opts)[0]
-    oob_by_row = {i: [] for i in range(B)}
-    for (i, sh, sc) in oob:
-        oob_by_row[i].append((0, sh, sc))
-    out = np.stack([invert_test_transform(xs[i], oob_by_row[i], imp.norms,
-                                          opts) for i in range(B)])
-    return out, targets_raw
+    Returns (ts [B, T] imputed series, targets [B, T] ground truth).
+    Delegates to :func:`impute_windows` with a single window (one fused
+    device call, encoding in-jit)."""
+    ts, targets = impute_windows(imp, class_label, instances,
+                                 [missing_sites], method, rseed=rseed,
+                                 invert_transform=invert_transform, **kwargs)
+    return ts[0], targets
 
 
 def _method_kernel_kwargs(method: str, kwargs) -> Tuple[str, Dict]:
