@@ -59,6 +59,16 @@ def validate_range(X_scaled: np.ndarray, spec: EncodingSpec) -> None:
             f"Data must be rescaled between {a} and {b} before a {spec.name} encoding.")
 
 
+def _pad_enc(X_enc, opts: MPSOptions):
+    """Zero-pad the feature axis from opts.d to opts.pad_to[1] (the
+    shape-polymorphic path; padded basis directions carry exactly zero)."""
+    if opts.pad_to is None or opts.pad_to[1] == X_enc.shape[-1]:
+        return X_enc
+    pad = opts.pad_to[1] - X_enc.shape[-1]
+    widths = [(0, 0)] * (X_enc.ndim - 1) + [(0, pad)]
+    return jnp.pad(X_enc, widths)
+
+
 def encode_dataset(X_orig: np.ndarray, X_scaled: np.ndarray, y: np.ndarray,
                    opts: MPSOptions, spec: Optional[EncodingSpec] = None,
                    labels: Optional[np.ndarray] = None,
@@ -84,7 +94,8 @@ def encode_dataset(X_orig: np.ndarray, X_scaled: np.ndarray, y: np.ndarray,
 
     if N == 0:
         C = len(labels)
-        return EncodedDataset(jnp.zeros((0, 0, opts.d), dtype=dtype),
+        d_out = opts.d if opts.pad_to is None else opts.pad_to[1]
+        return EncodedDataset(jnp.zeros((0, 0, d_out), dtype=dtype),
                               np.zeros(0, np.int64), labels,
                               X_orig, X_scaled, np.zeros(C, np.int64),
                               training_enc_args, opts.encode_classes_separately)
@@ -119,7 +130,8 @@ def encode_dataset(X_orig: np.ndarray, X_scaled: np.ndarray, y: np.ndarray,
             start += cnt
         X_enc = jnp.asarray(np.concatenate(parts, axis=0) if parts
                             else np.zeros((0, T, opts.d)), dtype=dtype)
-        return EncodedDataset(X_enc, y_idx_s, labels, X_orig_s, X_scaled_s,
+        return EncodedDataset(_pad_enc(X_enc, opts), y_idx_s, labels,
+                              X_orig_s, X_scaled_s,
                               class_distribution, enc_args, True)
 
     if is_train:
@@ -130,8 +142,8 @@ def encode_dataset(X_orig: np.ndarray, X_scaled: np.ndarray, y: np.ndarray,
 
     X_enc = jnp.asarray(spec.encode_batch(jnp.asarray(X_scaled_s), opts.d, enc_args),
                         dtype=dtype)
-    return EncodedDataset(X_enc, y_idx_s, labels, X_orig_s, X_scaled_s,
-                          class_distribution, enc_args, False)
+    return EncodedDataset(_pad_enc(X_enc, opts), y_idx_s, labels, X_orig_s,
+                          X_scaled_s, class_distribution, enc_args, False)
 
 
 def encode_series(x_scaled: np.ndarray, opts: MPSOptions, enc_args: Any,
@@ -145,4 +157,5 @@ def encode_series(x_scaled: np.ndarray, opts: MPSOptions, enc_args: Any,
     args = enc_args[class_idx] if (opts.encode_classes_separately and
                                    isinstance(enc_args, list)) else enc_args
     X = jnp.asarray(np.asarray(x_scaled, dtype=np.float64))[None, :]
-    return jnp.asarray(spec.encode_batch(X, opts.d, args), dtype=dtype)[0]
+    out = jnp.asarray(spec.encode_batch(X, opts.d, args), dtype=dtype)[0]
+    return _pad_enc(out, opts)

@@ -118,7 +118,10 @@ def eval_loss(objective: TuningLoss, mps: TrainedMPS, X_val: np.ndarray,
         for cls in np.unique(y_val):
             n_c = int(np.sum(y_val == cls))
             rel = np.arange(n_c)
-            ts, targets = impute_windows(imp, cls, rel, windows, method)
+            # pad_b_to: val-fold class counts vary by +-1 across folds; one
+            # compiled program serves them all
+            ts, targets = impute_windows(imp, cls, rel, windows, method,
+                                         pad_b_to=8)
             for iw, sites in enumerate(windows):
                 sites = np.asarray(sites, dtype=int)
                 mae_per = np.mean(np.abs(ts[iw][:, sites] -

@@ -103,6 +103,27 @@ def _parse_parameters(parameters: Dict[str, Any], opts0: MPSOptions,
             pick(value_map))
 
 
+def _padded_caps(parameters: Dict[str, Any], opts0: MPSOptions):
+    """Upper bounds of the (chi_max, d) search space, for shape-polymorphic
+    trials (MPSOptions.pad_to).  None when a bound cannot be derived
+    (unbounded spec) or when neither shape parameter is tuned."""
+    if not ("chi_max" in parameters or "d" in parameters):
+        return None
+    caps = {}
+    for key in ("chi_max", "d"):
+        if key in parameters:
+            val = parameters[key]
+            if isinstance(val, (list, np.ndarray)) and len(val):
+                caps[key] = int(max(val))
+            elif isinstance(val, tuple) and len(val) in (2, 3):
+                caps[key] = int(val[-1])
+            else:
+                return None
+        else:
+            caps[key] = int(getattr(opts0, key))
+    return caps["chi_max"], caps["d"]
+
+
 def _safe_paramlist(optslist, fields, types, value_map, logspace_eta,
                     verbose=False):
     """Map raw optimiser values to legal hyperparameter values (reference
@@ -142,12 +163,21 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
          n_workers: int = 0,
          devices=None,
          impute_method: str = "median",
+         padded_trials: bool = True,
          pre_string: str = "") -> Tuple[Dict[str, Any], Dict]:
     """nfolds-fold hyperparameter tuning (reference tune, tuning.jl:354-512).
 
     ``devices``: farm CV folds across local devices — True/"all" for every
     local device, or an explicit list of jax devices (the Distributed.jl
     ``distribute_folds`` analog, tuning.jl:112).
+
+    ``padded_trials``: run every trial at the search space's
+    (chi_max, d) upper bounds via zero-padding, with the trial's chi_max as
+    a runtime truncation cap (MPSOptions.pad_to) — every trial then shares
+    ONE compiled program per engine instead of paying a fresh XLA compile
+    per distinct (chi_max, d); the compute overhead of cap-sized shapes is
+    negligible next to the compiles it saves.  Ignored when the bounds
+    cannot be derived.
 
     Returns (best_params dict, cache dict mapping hyperparameter tuples to
     mean CV loss)."""
@@ -190,6 +220,8 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
 
     folds = foldmethod(Xs, ys, nfolds, rng=g) if callable(foldmethod) \
         else foldmethod
+
+    pad_caps = _padded_caps(dict(parameters), opts0) if padded_trials else None
 
     cache: Dict[tuple, float] = {}
     state = {"iters": 0, "hits": 0}
@@ -258,6 +290,8 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
         state["hits"] = 0
         state["iters"] += 1
         opts = opts0.replace(**hparams)
+        if pad_caps is not None:
+            opts = opts.replace(pad_to=pad_caps)
         if farm is not None:
             losses = farm.map(lambda f: cvloss(f, hparams, opts),
                               range(len(folds)))

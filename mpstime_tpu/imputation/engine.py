@@ -88,7 +88,8 @@ def make_impute_kernel(T: int, chi: int, d: int, G: int,
                        encode_batch: Optional[Callable] = None,
                        enc_key=None,
                        reverse_t: bool = False,
-                       variant: str = "single"):
+                       variant: str = "single",
+                       enc_d: Optional[int] = None):
     """Build (or fetch from the module cache) a jitted imputation kernel for
     one (T, chi, d, G) problem geometry.
 
@@ -117,21 +118,31 @@ def make_impute_kernel(T: int, chi: int, d: int, G: int,
         raise ValueError(f"method={method!r}/variant={variant!r} requires "
                          "a jax-traceable encode_batch")
     cacheable = (not needs_encode) or (enc_key is not None)
+    if enc_d is None:
+        enc_d = d
     cache_key = (T, chi, d, G, method, timedep, want_cdf, get_err, max_jump,
-                 rejection_threshold, max_trials, enc_key, reverse_t, variant)
+                 rejection_threshold, max_trials, enc_key, reverse_t, variant,
+                 enc_d)
     if cacheable and cache_key in _KERNEL_CACHE:
         return _KERNEL_CACHE[cache_key]
+
+    def _pad_d(v):
+        # shape-polymorphic path: the encoding produces enc_d features but
+        # the model runs at padded d; padded directions are exact zeros
+        if enc_d == d:
+            return v
+        return jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, d - enc_d)])
 
     if timedep:
         def encode_at(x, t, enc_args, dtype):
             tt = (T - 1 - t) if reverse_t else t
             xx = jnp.zeros((1, T),
                            jnp.result_type(x, jnp.float32)).at[0, tt].set(x)
-            return encode_batch(xx, d, enc_args)[0, tt].astype(dtype)
+            return _pad_d(encode_batch(xx, enc_d, enc_args)[0, tt]).astype(dtype)
     else:
         def encode_at(x, t, enc_args, dtype):
             xx = jnp.reshape(x, (1, 1))
-            return encode_batch(xx, d, enc_args)[0, 0].astype(dtype)
+            return _pad_d(encode_batch(xx, enc_d, enc_args)[0, 0]).astype(dtype)
 
     def kernel(grid_x, dx, grid_states, enc_args, cores_full, phis_c,
                known_mask, known_x, x_prev0, key):
@@ -287,9 +298,9 @@ def make_impute_kernel(T: int, chi: int, d: int, G: int,
                        scaled, known, x_prev0, keys):
             cdtype = cores_full.dtype
             W_, B_, T_ = scaled.shape
-            phis = encode_batch(scaled.reshape(W_ * B_, T_), d, enc_args)
-            phis_c = jnp.conj(jnp.asarray(phis)).astype(cdtype).reshape(
-                (W_, B_, T_, d))
+            phis = _pad_d(jnp.asarray(
+                encode_batch(scaled.reshape(W_ * B_, T_), enc_d, enc_args)))
+            phis_c = jnp.conj(phis).astype(cdtype).reshape((W_, B_, T_, d))
 
             def body(xs):
                 ph, km, sc, xp, ky = xs

@@ -114,7 +114,7 @@ class ImputationProblem:
             max_jump=max_jump, rejection_threshold=rejection_threshold,
             max_trials=max_trials, encode_batch=spec.encode_batch,
             enc_key=self._spec_enc_key(), reverse_t=reverse_t,
-            variant=variant)
+            variant=variant, enc_d=self.opts.d)
         from functools import partial as _partial
         bound = _partial(fn, jnp.asarray(self.grid_x), self.dx, gs,
                          self.class_enc_args(ci))
@@ -189,13 +189,16 @@ def init_imputation_problem(mps: TrainedMPS, X_test: np.ndarray,
         args = train.enc_args[ci] if (opts.encode_classes_separately and
                                       isinstance(train.enc_args, list)) \
             else train.enc_args
+        from ..encodings.pipeline import _pad_enc
         if timedep:
             Xg = np.tile(grid_x[:, None], (1, T))                 # [G, T]
             enc = spec.encode_batch(jnp.asarray(Xg), opts.d, args)  # [G, T, d]
-            grid_states.append(jnp.asarray(enc, dtype=dtype).swapaxes(0, 1))
+            enc = _pad_enc(jnp.asarray(enc, dtype=dtype), opts)
+            grid_states.append(enc.swapaxes(0, 1))
         else:
             enc = spec.encode_batch(jnp.asarray(grid_x[None, :]), opts.d, args)
-            grid_states.append(jnp.asarray(enc, dtype=dtype)[0])   # [G, d]
+            enc = _pad_enc(jnp.asarray(enc, dtype=dtype), opts)
+            grid_states.append(enc[0])                             # [G, d]
         if not opts.encode_classes_separately:
             grid_states = grid_states * n_cls
             break
@@ -358,9 +361,29 @@ def get_predictions(imp: ImputationProblem, class_label, instance: int,
         return xs, errs
 
     base_key = jax.random.PRNGKey(kwargs.get("rseed", 1))
-    if mname == "its":
-        n_traj = kwargs.get("num_trajectories", 1)
-        results = [run(jax.random.fold_in(base_key, i)) for i in range(n_traj)]
+    n_traj = kwargs.get("num_trajectories", 1) if mname == "its" else 1
+    if n_traj > 1:
+        # all trajectories in ONE vmapped device call (the reference runs
+        # impute_ITS's trajectory loop sequentially, MPS_methods.jl:304-347)
+        vkern, _ = imp.kernel(ci, mname, impute_order, variant="batch",
+                              **kern_kwargs)
+        pc, km, kx = phis_c, known_mask, known_x
+        if impute_order == "backwards":
+            pc, km, kx = phis_c[::-1], known_mask[::-1], known_x[::-1]
+        keys = jnp.stack([jax.random.fold_in(base_key, i)
+                          for i in range(n_traj)])
+        kx_b = jnp.broadcast_to(jnp.asarray(kx), (n_traj,) + np.shape(kx))
+        pc_b = jnp.broadcast_to(pc, (n_traj,) + pc.shape)
+        xp_b = jnp.full((n_traj,), x_prev0)
+        res = vkern(cores, pc_b, jnp.asarray(km), kx_b, xp_b, keys)
+        xs_all = np.asarray(res.x_samps, np.float64)
+        errs_all = np.asarray(res.errs, np.float64)
+        if impute_order == "backwards":
+            xs_all = xs_all[:, ::-1].copy()
+            errs_all = errs_all[:, ::-1].copy()
+        results = [(xs_all[i], errs_all[i]) for i in range(n_traj)]
+    elif mname == "its":
+        results = [run(jax.random.fold_in(base_key, 0))]
     else:
         results = [run(base_key)]
 
@@ -507,9 +530,20 @@ def impute_windows(imp: ImputationProblem, class_label,
     do no guess-grid work.
 
     Returns (ts [W, B, T] imputed series in data units, targets [B, T]).
+
+    ``pad_b_to``: round the instance-batch axis up to a multiple (repeating
+    the last instance; padded rows are dropped from the result) so callers
+    whose batch sizes vary slightly (CV folds) share one compiled program.
     """
     windows = [np.asarray(w, dtype=int) for w in windows]
     instances = np.asarray(instances, dtype=int)
+    pad_b_to = kwargs.pop("pad_b_to", None)
+    n_real = len(instances)
+    if pad_b_to:
+        npad = (-n_real) % int(pad_b_to)
+        if npad:
+            instances = np.concatenate([instances,
+                                        np.repeat(instances[-1:], npad)])
     ci = imp.class_index(class_label)
     opts = imp.opts
     T = imp.T
@@ -543,10 +577,11 @@ def impute_windows(imp: ImputationProblem, class_label,
                jnp.asarray(x_prev0), keys)
     xs = np.asarray(xs, np.float64).reshape(W * B, T)
     if not invert_transform:
-        return (xs.reshape(W, B, T),
-                transform_test_data(targets_raw, imp.norms, opts)[0])
+        return (xs.reshape(W, B, T)[:, :n_real],
+                transform_test_data(targets_raw, imp.norms,
+                                    opts)[0][:n_real])
     out = invert_test_transform(xs, oob, imp.norms, opts)
-    return out.reshape(W, B, T), targets_raw
+    return out.reshape(W, B, T)[:, :n_real], targets_raw[:n_real]
 
 
 def sample_trajectories(trained, class_label=None, n: int = 1, *,
@@ -570,14 +605,19 @@ def sample_trajectories(trained, class_label=None, n: int = 1, *,
     imp = init_imputation_problem(
         trained, dummy, np.asarray([class_label]), dx=dx, verbosity=-1,
         test_encoding=False)
-    out = []
-    for i in range(n):
+    if n == 1:
         ts, _, _ = get_predictions(
             imp, class_label, 0, np.arange(T), "ITS",
-            invert_transform=invert_transform, rseed=rseed + i,
+            invert_transform=invert_transform, rseed=rseed,
             rejection_threshold=rejection_threshold, max_trials=max_trials)
-        out.append(ts[0])
-    return np.stack(out)
+        return np.stack([ts[0]])
+    # all n trajectories in one vmapped device call
+    ts, _, _ = get_predictions(
+        imp, class_label, 0, np.arange(T), "ITS",
+        invert_transform=invert_transform, rseed=rseed,
+        num_trajectories=n, rejection_threshold=rejection_threshold,
+        max_trials=max_trials)
+    return np.stack(ts)
 
 
 def get_cdfs(imp: ImputationProblem, class_label, instance: int,

@@ -79,11 +79,15 @@ class MPS:
 
 
 def random_mps(seed: int, T: int, d: int, num_classes: int, chi_init: int,
-               chi_max: int, dtype=np.float32) -> MPS:
+               chi_max: int, dtype=np.float32, pad_d: int = None) -> MPS:
     """Seeded random MPS in right-canonical-to-the-last-site form with the
     label axis attached to the last site (reference
     RealRealHighDimension.jl:1-41).  Host-side numpy at the true (unpadded)
-    bond dims, then zero-padded to chi_max."""
+    bond dims, then zero-padded to chi_max.
+
+    ``pad_d``: allocate the site axis at this padded size with exact zeros
+    beyond ``d`` (shape-polymorphic training; same seed => same effective
+    values as the unpadded MPS)."""
     rng = np.random.default_rng(seed)
     dtype = np.dtype(dtype)
     is_complex = dtype.kind == "c"
@@ -132,12 +136,13 @@ def random_mps(seed: int, T: int, d: int, num_classes: int, chi_init: int,
     label_site = label_site / np.linalg.norm(label_site)
 
     chi = chi_max
-    cores = np.zeros((T, chi, d, chi), dtype=dtype)
+    d_out = d if pad_d is None else int(pad_d)
+    cores = np.zeros((T, chi, d_out, chi), dtype=dtype)
     for t in range(T - 1):
         A = site_tensors[t]
-        cores[t, :A.shape[0], :, :A.shape[2]] = A
-    center = np.zeros((chi, d, chi, num_classes), dtype=dtype)
-    center[:label_site.shape[0], :, :1, :] = label_site
+        cores[t, :A.shape[0], :d, :A.shape[2]] = A
+    center = np.zeros((chi, d_out, chi, num_classes), dtype=dtype)
+    center[:label_site.shape[0], :d, :1, :] = label_site
 
     return MPS(jnp.asarray(cores), jnp.asarray(center), T - 1)
 

@@ -27,12 +27,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _trunc_mask(w_desc: jnp.ndarray, keep: int, cutoff) -> jnp.ndarray:
+def _trunc_mask(w_desc: jnp.ndarray, keep: int, cutoff,
+                max_rank=None) -> jnp.ndarray:
     """Truncation mask over descending squared singular values.
 
     ITensor keeps the minimal rank r with sum_{k>r} p_k <= cutoff * sum(p)
     (relative truncation error on squared singular values); additionally
-    r <= keep.  Returns a 0/1 mask of length len(w_desc)."""
+    r <= keep.  ``max_rank`` (optional, may be a TRACED scalar) caps the
+    rank further at runtime — the shape-polymorphic path runs at a padded
+    static ``keep`` = chi_cap with the trial's chi_max as max_rank.
+    Returns a 0/1 mask of length len(w_desc)."""
     w = jnp.maximum(w_desc.real, 0.0)
     total = jnp.sum(w)
     # suffix[i] = sum_{k>=i} w_k ; discard index i iff suffix[i] <= cutoff*total
@@ -40,6 +44,8 @@ def _trunc_mask(w_desc: jnp.ndarray, keep: int, cutoff) -> jnp.ndarray:
     keep_cut = suffix > cutoff * total
     idx = jnp.arange(w.shape[0])
     mask = keep_cut & (idx < keep) & (w > 0)
+    if max_rank is not None:
+        mask = mask & (idx < max_rank)
     return mask.astype(w.dtype)
 
 
@@ -61,8 +67,8 @@ def _sketch_k(keep: int, other: int) -> int:
     return min(keep + max(keep // 8, 8), other)
 
 
-def randomized_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2
-                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def randomized_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
+                          max_rank=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Randomized truncated split (column side): find an orthonormal basis of
     the dominant right-singular subspace by sketched power iteration, then
     Rayleigh-Ritz for ordering/cutoff.
@@ -76,7 +82,7 @@ def randomized_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2
     R, C = M.shape
     k = _sketch_k(keep, C)
     if k >= C:
-        return split_bond_left(M, keep, cutoff, "gram_eigh")
+        return split_bond_left(M, keep, cutoff, "gram_eigh", max_rank=max_rank)
     Psi = _fixed_sketch((R, k), M.dtype)
     Y = M.conj().T @ (M @ (M.conj().T @ Psi))     # (M^H M)^1 M^H Psi
     for _ in range(q - 1):
@@ -91,7 +97,7 @@ def randomized_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2
     w, W = jnp.linalg.eigh(S)
     w = w[::-1]
     W = W[:, ::-1]
-    mask = _trunc_mask(w, keep, cutoff)
+    mask = _trunc_mask(w, keep, cutoff, max_rank)
     Qt = Q @ (W[:, :keep] * mask[:keep])          # [C, keep] masked ritz basis
     US = M @ Qt
     Vh = Qt.conj().T
@@ -101,14 +107,14 @@ def randomized_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2
     return US, Vh
 
 
-def randomized_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2
-                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def randomized_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
+                           max_rank=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mirror of :func:`randomized_split_left` on the row side: orthonormal
     U [R, keep] spanning the dominant left-singular subspace, SVh = U^H M."""
     R, C = M.shape
     k = _sketch_k(keep, R)
     if k >= R:
-        return split_bond_right(M, keep, cutoff, "gram_eigh")
+        return split_bond_right(M, keep, cutoff, "gram_eigh", max_rank=max_rank)
     Psi = _fixed_sketch((C, k), M.dtype)
     Y = M @ (M.conj().T @ (M @ Psi))
     for _ in range(q - 1):
@@ -121,7 +127,7 @@ def randomized_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2
     w, W = jnp.linalg.eigh(S)
     w = w[::-1]
     W = W[:, ::-1]
-    mask = _trunc_mask(w, keep, cutoff)
+    mask = _trunc_mask(w, keep, cutoff, max_rank)
     Ut = Q @ (W[:, :keep] * mask[:keep])
     SVh = Ut.conj().T @ M
     if keep > k:
@@ -130,8 +136,8 @@ def randomized_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2
     return Ut, SVh
 
 
-def lean_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def lean_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
+                    max_rank=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Randomized split without the Rayleigh-Ritz eigh.
 
     Key observation: the Ritz rotation never changes the *span* of the
@@ -168,7 +174,7 @@ def lean_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2
     w = jnp.sum(jnp.abs(B) ** 2, axis=0)          # column energies
     order = jnp.argsort(-w)
     w_desc = w[order]
-    mask = _trunc_mask(w_desc, keep, cutoff)
+    mask = _trunc_mask(w_desc, keep, cutoff, max_rank)
     keep_col = jnp.zeros((k,), w.dtype).at[order].set(mask)
     US = B * keep_col
     Vh = Q.conj().T * keep_col[:, None]
@@ -178,8 +184,8 @@ def lean_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2
     return US, Vh
 
 
-def lean_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def lean_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
+                     max_rank=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mirror of :func:`lean_split_left` on the row side."""
     R, C = M.shape
     k = min(keep, R)
@@ -194,7 +200,7 @@ def lean_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2
     w = jnp.sum(jnp.abs(B) ** 2, axis=1)
     order = jnp.argsort(-w)
     w_desc = w[order]
-    mask = _trunc_mask(w_desc, keep, cutoff)
+    mask = _trunc_mask(w_desc, keep, cutoff, max_rank)
     keep_col = jnp.zeros((k,), w.dtype).at[order].set(mask)
     U = Q * keep_col
     SVh = B * keep_col[:, None]
@@ -205,7 +211,7 @@ def lean_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2
 
 
 def warm_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
-                    q: int = 1, refresh: bool = True
+                    q: int = 1, refresh: bool = True, max_rank=None
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Warm-started eigh-free split (column side).
 
@@ -236,7 +242,7 @@ def warm_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
     B = M @ Q
     w = jnp.sum(jnp.abs(B) ** 2, axis=0)
     order = jnp.argsort(-w)
-    mask = _trunc_mask(w[order], keep, cutoff)
+    mask = _trunc_mask(w[order], keep, cutoff, max_rank)
     keep_col = jnp.zeros((k,), w.dtype).at[order].set(mask)
     US = B * keep_col
     Vh = Q.conj().T * keep_col[:, None]
@@ -248,7 +254,7 @@ def warm_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
 
 
 def warm_split_right(M: jnp.ndarray, U0: jnp.ndarray, keep: int, cutoff,
-                     q: int = 1, refresh: bool = True
+                     q: int = 1, refresh: bool = True, max_rank=None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Mirror of :func:`warm_split_left` on the row side; U0 [R, keep]."""
     R = M.shape[0]
@@ -265,7 +271,7 @@ def warm_split_right(M: jnp.ndarray, U0: jnp.ndarray, keep: int, cutoff,
     B = Q.conj().T @ M
     w = jnp.sum(jnp.abs(B) ** 2, axis=1)
     order = jnp.argsort(-w)
-    mask = _trunc_mask(w[order], keep, cutoff)
+    mask = _trunc_mask(w[order], keep, cutoff, max_rank)
     keep_col = jnp.zeros((k,), w.dtype).at[order].set(mask)
     U = Q * keep_col
     SVh = B * keep_col[:, None]
@@ -290,18 +296,19 @@ def warm_sketch_init(n: int, keep: int, dtype) -> jnp.ndarray:
 
 
 def split_bond_left(M: jnp.ndarray, keep: int, cutoff,
-                    alg: str = "gram_eigh") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    alg: str = "gram_eigh",
+                    max_rank=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Split M [R, C] -> (US [R, keep], Vh [keep, C]) with V column-orthonormal,
     truncated+masked.  Used going left: U*S is absorbed into the new center
     (reference RealRealHighDimension.jl:171-173)."""
     R, C = M.shape
     if alg == "randomized":
-        return randomized_split_left(M, keep, cutoff)
+        return randomized_split_left(M, keep, cutoff, max_rank=max_rank)
     if alg == "randomized_lean":
-        return lean_split_left(M, keep, cutoff)
+        return lean_split_left(M, keep, cutoff, max_rank=max_rank)
     if alg == "svd":
         U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
-        mask = _trunc_mask(S * S, keep, cutoff)
+        mask = _trunc_mask(S * S, keep, cutoff, max_rank)
         k = min(keep, S.shape[0])
         US = (U[:, :k] * (S[:k] * mask[:k]))
         Vh_m = Vh[:k] * mask[:k, None]
@@ -315,7 +322,7 @@ def split_bond_left(M: jnp.ndarray, keep: int, cutoff,
     w, V = jnp.linalg.eigh(G)               # ascending
     w = w[::-1]
     V = V[:, ::-1]
-    mask = _trunc_mask(w, keep, cutoff)
+    mask = _trunc_mask(w, keep, cutoff, max_rank)
     k = min(keep, C)
     Vk = V[:, :k] * mask[:k]
     US = M @ Vk                              # = U * S on kept directions
@@ -327,18 +334,19 @@ def split_bond_left(M: jnp.ndarray, keep: int, cutoff,
 
 
 def split_bond_right(M: jnp.ndarray, keep: int, cutoff,
-                     alg: str = "gram_eigh") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     alg: str = "gram_eigh",
+                     max_rank=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Split M [R, C] -> (U [R, keep], SVh [keep, C]) with U column-orthonormal,
     truncated+masked.  Used going right: S*Vh is absorbed into the new center
     (reference RealRealHighDimension.jl:189-191)."""
     R, C = M.shape
     if alg == "randomized":
-        return randomized_split_right(M, keep, cutoff)
+        return randomized_split_right(M, keep, cutoff, max_rank=max_rank)
     if alg == "randomized_lean":
-        return lean_split_right(M, keep, cutoff)
+        return lean_split_right(M, keep, cutoff, max_rank=max_rank)
     if alg == "svd":
         U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
-        mask = _trunc_mask(S * S, keep, cutoff)
+        mask = _trunc_mask(S * S, keep, cutoff, max_rank)
         k = min(keep, S.shape[0])
         U_m = U[:, :k] * mask[:k]
         SVh = (S[:k] * mask[:k])[:, None] * Vh[:k]
@@ -352,7 +360,7 @@ def split_bond_right(M: jnp.ndarray, keep: int, cutoff,
     w, U = jnp.linalg.eigh(G)
     w = w[::-1]
     U = U[:, ::-1]
-    mask = _trunc_mask(w, keep, cutoff)
+    mask = _trunc_mask(w, keep, cutoff, max_rank)
     k = min(keep, R)
     Uk = U[:, :k] * mask[:k]
     SVh = Uk.conj().T @ M

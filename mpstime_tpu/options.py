@@ -141,6 +141,17 @@ class MPSOptions:
     # interval (closed-form encodings derive it from the name instead).
     custom_encoding_range: Optional[Tuple[float, float]] = None
 
+    # Shape-polymorphic padding (chi_cap, d_cap): run training/inference at
+    # these PADDED static shapes — encodings zero-padded from d to d_cap,
+    # cores allocated at chi_cap with chi_max applied as a *runtime*
+    # truncation-rank cap.  Zero-padding is exact (padded directions carry
+    # no energy, the cutoff mask ignores them), so results match the
+    # unpadded run up to degenerate-eigenbasis noise while every
+    # (chi_max, d) <= (chi_cap, d_cap) shares ONE compiled program.  This is
+    # how ``tune`` avoids paying a fresh XLA compile per hyperparameter
+    # trial.  None (default) = exact shapes.
+    pad_to: Optional[Tuple[int, int]] = None
+
     # Debug
     return_encoding_meta_info: bool = False
 
@@ -168,6 +179,15 @@ class MPSOptions:
         if isinstance(self.custom_encoding_range, list):
             object.__setattr__(self, "custom_encoding_range",
                                tuple(self.custom_encoding_range))
+        if self.pad_to is not None:
+            pt = tuple(int(v) for v in self.pad_to)
+            if len(pt) != 2:
+                raise ValueError("pad_to must be (chi_cap, d_cap)")
+            if pt[0] < self.chi_max or pt[1] < self.d:
+                raise ValueError(
+                    f"pad_to {pt} must dominate (chi_max, d) = "
+                    f"({self.chi_max}, {self.d})")
+            object.__setattr__(self, "pad_to", pt)
 
     # ---- dtype resolution -------------------------------------------------
     def resolved_dtype(self) -> np.dtype:

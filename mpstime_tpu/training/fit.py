@@ -124,8 +124,21 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
     if verb > -1:
         print(f"Generating initial weight MPS with bond dimension chi_init = "
               f"{opts.chi_init} using random state {opts.init_rng}.")
+    # shape-polymorphic padding: allocate at (chi_cap, d_cap) with chi_max
+    # as a runtime truncation cap, so every (chi_max, d) under the caps
+    # shares one compiled sweep program (see MPSOptions.pad_to)
+    pad = opts.pad_to
+    chi_pad = opts.chi_max if pad is None else pad[0]
+    d_pad = opts.d if pad is None else pad[1]
+    # always traced when padding (a None<->scalar flip would fork the jit
+    # cache between cap-sized and smaller trials)
+    max_rank = None if pad is None else jnp.asarray(opts.chi_max, jnp.int32)
+    if pad is not None and mesh is not None:
+        raise ValueError("pad_to (shape-polymorphic trials) does not "
+                         "combine with mesh sharding; use one or the other")
     mps = random_mps(opts.init_rng, T, opts.d, num_classes, opts.chi_init,
-                     opts.chi_max, dtype=dtype)
+                     chi_pad, dtype=dtype,
+                     pad_d=None if pad is None else d_pad)
 
     # ---- training tensors -------------------------------------------------
     phis_c = jnp.conj(train_ds.X_enc).swapaxes(0, 1)          # [T, N, d]
@@ -139,19 +152,31 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
         w = np.full(N, 1.0 / N)
     class_weight = jnp.asarray(w, dtype=real_dt)
 
+    if pad is not None:
+        # pad the sample axis to a multiple of 8 with zero-weight copies so
+        # CV folds whose sizes differ by +-1 share one compiled program
+        npad = (-N) % 8
+        if npad:
+            phis_c = jnp.concatenate(
+                [phis_c, jnp.repeat(phis_c[:, :1], npad, axis=1)], axis=1)
+            y_onehot = jnp.concatenate(
+                [y_onehot, jnp.repeat(y_onehot[:1], npad, axis=0)], axis=0)
+            class_weight = jnp.concatenate(
+                [class_weight, jnp.zeros((npad,), real_dt)], axis=0)
+
     if mesh is not None:
         from ..parallel import replicate, shard_train_arrays
         n_dev = int(np.prod(list(mesh.shape.values())))
-        pad = (-N) % n_dev
-        if pad:
+        mesh_pad = (-N) % n_dev
+        if mesh_pad:
             # zero-weight copies of the first sample keep every shard's
             # contractions finite while contributing nothing to loss/grad
             phis_c = jnp.concatenate(
-                [phis_c, jnp.repeat(phis_c[:, :1], pad, axis=1)], axis=1)
+                [phis_c, jnp.repeat(phis_c[:, :1], mesh_pad, axis=1)], axis=1)
             y_onehot = jnp.concatenate(
-                [y_onehot, jnp.repeat(y_onehot[:1], pad, axis=0)], axis=0)
+                [y_onehot, jnp.repeat(y_onehot[:1], mesh_pad, axis=0)], axis=0)
             class_weight = jnp.concatenate(
-                [class_weight, jnp.zeros((pad,), real_dt)], axis=0)
+                [class_weight, jnp.zeros((mesh_pad,), real_dt)], axis=0)
         phis_c, y_onehot, class_weight = shard_train_arrays(
             mesh, phis_c, y_onehot, class_weight)
 
@@ -220,12 +245,13 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
             cores, center = full_sweeps(
                 cores, center, phis_c, y_onehot, class_weight, eta_a,
                 cutoff_a, nsweeps=opts.nsweeps, platform=platform,
-                refresh_every=opts.subspace_refresh_every, **sweep_kw)
+                refresh_every=opts.subspace_refresh_every,
+                max_rank=max_rank, **sweep_kw)
         jax.block_until_ready(center)
         mps = MPS(cores, center, T - 1)
     else:
         warm = sweep_kw["svd_alg"] == "randomized_warm"
-        subspaces = (init_subspaces(T, opts.chi_max, opts.d, dtype)
+        subspaces = (init_subspaces(T, chi_pad, d_pad, dtype)
                      if warm else None)
         if mesh is not None:
             from ..parallel.mesh import (sharded_full_sweep,
@@ -249,7 +275,8 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
                 out = full_sweep_warm(
                     cores, center, subspaces, phis_c, y_onehot, class_weight,
                     eta_a, cutoff_a, refresh=refresh, platform=platform,
-                    track_cost=opts.track_cost, **sweep_kw)
+                    track_cost=opts.track_cost, max_rank=max_rank,
+                    **sweep_kw)
                 cores, center, subspaces = out[0], out[1], out[2]
                 if opts.track_cost:
                     costs = out[3]
@@ -264,7 +291,7 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
                 out = full_sweep(
                     cores, center, phis_c, y_onehot, class_weight,
                     eta_a, cutoff_a, track_cost=opts.track_cost,
-                    platform=platform, **sweep_kw)
+                    platform=platform, max_rank=max_rank, **sweep_kw)
                 cores, center = out[0], out[1]
                 if opts.track_cost:
                     costs = out[2]

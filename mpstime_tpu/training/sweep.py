@@ -116,7 +116,8 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 update_iters: int, rescale: Tuple[bool, bool], svd_alg: str,
                 refresh: bool = True, track_cost: bool = False,
                 axis_name: Optional[str] = None,
-                platform: Optional[str] = None):
+                platform: Optional[str] = None,
+                max_rank=None):
     """One full sweep; center at site T-1 on entry and exit.
 
     LE [T, N, chi] / LE_ls [T, N]: left environments of the current cores
@@ -139,7 +140,9 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     dtype = cores.dtype
     rdtype = phis_c.real.dtype
     warm = svd_alg == "randomized_warm"
-    pallas = (not track_cost) and _pallas_eligible(
+    # the fused Mosaic kernels have the rank cap baked in statically; the
+    # shape-polymorphic path (runtime max_rank) takes the XLA bond step
+    pallas = (not track_cost) and max_rank is None and _pallas_eligible(
         dtype, loss, bbopt, update_iters, rescale, svd_alg,
         platform=platform)
 
@@ -181,9 +184,11 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
             M = BT.transpose(0, 1, 4, 2, 3).reshape(chi * d * C, d * chi)
             if warm:
                 US, Vh, Qv = warm_split_left(M, x["vb"], chi, cutoff,
-                                             refresh=refresh)
+                                             refresh=refresh,
+                                             max_rank=max_rank)
             else:
-                US, Vh = split_bond_left(M, chi, cutoff, svd_alg)
+                US, Vh = split_bond_left(M, chi, cutoff, svd_alg,
+                                         max_rank=max_rank)
                 Qv = None
             center = US.reshape(chi, d, C, chi).transpose(0, 1, 3, 2)
             V = Vh.reshape(chi, d, chi)
@@ -237,9 +242,11 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
             M = BT.reshape(chi * d, d * chi * C)
             if warm:
                 U, SVh, Qu = warm_split_right(M, x["uf"], chi, cutoff,
-                                              refresh=refresh)
+                                              refresh=refresh,
+                                              max_rank=max_rank)
             else:
-                U, SVh = split_bond_right(M, chi, cutoff, svd_alg)
+                U, SVh = split_bond_right(M, chi, cutoff, svd_alg,
+                                          max_rank=max_rank)
                 Qu = None
             Unew = U.reshape(chi, d, chi)
             center = SVh.reshape(chi, d, chi, C)
@@ -273,7 +280,7 @@ def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
                 rescale: Tuple[bool, bool], svd_alg: str, subspaces=None,
                 refresh: bool = True, track_cost: bool = False,
                 axis_name: Optional[str] = None,
-                platform: Optional[str] = None):
+                platform: Optional[str] = None, max_rank=None):
     """Single self-contained sweep (builds the left environments itself).
 
     Returns (cores, center) — plus ``subspaces`` when
@@ -289,7 +296,8 @@ def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
         cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot, class_weight,
         eta, cutoff, loss=loss, bbopt=bbopt, update_iters=update_iters,
         rescale=rescale, svd_alg=svd_alg, refresh=refresh,
-        track_cost=track_cost, axis_name=axis_name, platform=platform)
+        track_cost=track_cost, axis_name=axis_name, platform=platform,
+        max_rank=max_rank)
     if warm:
         out = (cores, center, (VB, UF))
     else:
@@ -307,7 +315,7 @@ def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
                eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
                rescale: Tuple[bool, bool], svd_alg: str,
                track_cost: bool = False, axis_name: Optional[str] = None,
-               platform: Optional[str] = None
+               platform: Optional[str] = None, max_rank=None
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One full sweep per device call (cores, center) -> (cores, center).
 
@@ -319,7 +327,8 @@ def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
                       eta, cutoff, loss=loss, bbopt=bbopt,
                       update_iters=update_iters, rescale=rescale,
                       svd_alg=svd_alg, track_cost=track_cost,
-                      axis_name=axis_name, platform=platform)
+                      axis_name=axis_name, platform=platform,
+                      max_rank=max_rank)
     if track_cost:
         return out[0], out[1], out[-1]
     return out[0], out[1]
@@ -333,7 +342,7 @@ def full_sweep_warm(cores, center, subspaces, phis_c, y_onehot, class_weight,
                     rescale: Tuple[bool, bool], svd_alg: str,
                     refresh: bool = True, track_cost: bool = False,
                     axis_name: Optional[str] = None,
-                    platform: Optional[str] = None):
+                    platform: Optional[str] = None, max_rank=None):
     """One sweep with explicit warm-subspace state: pass the ``subspaces``
     returned by the previous call (init with :func:`init_subspaces`) so the
     caches accumulate across per-sweep host calls (fit_mps's logging path).
@@ -345,7 +354,7 @@ def full_sweep_warm(cores, center, subspaces, phis_c, y_onehot, class_weight,
                        bbopt=bbopt, update_iters=update_iters,
                        rescale=rescale, svd_alg=svd_alg, refresh=refresh,
                        track_cost=track_cost, axis_name=axis_name,
-                       platform=platform)
+                       platform=platform, max_rank=max_rank)
 
 
 def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
@@ -355,7 +364,7 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
                       update_iters: int, rescale: Tuple[bool, bool],
                       svd_alg: str, refresh_every: int = 1,
                       axis_name: Optional[str] = None,
-                      platform: Optional[str] = None
+                      platform: Optional[str] = None, max_rank=None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``nsweeps`` full sweeps in ONE compiled call.
 
@@ -374,7 +383,7 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
     warm = svd_alg == "randomized_warm"
     kw = dict(loss=loss, bbopt=bbopt, update_iters=update_iters,
               rescale=rescale, svd_alg=svd_alg, axis_name=axis_name,
-              platform=platform)
+              platform=platform, max_rank=max_rank)
     LE, LE_ls = init_left_env_state(cores, phis_c)
     if warm:
         VB, UF = init_subspaces(T, chi, d, cores.dtype)
