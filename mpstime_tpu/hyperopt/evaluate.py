@@ -20,7 +20,7 @@ from .losses import (ImputationLoss, MisclassificationRate, TuningLoss,
                      BalancedMisclassificationRate, eval_loss,
                      make_stratified_cvfolds, make_windows)
 from .random_search import MPSRandomSearch
-from .tuning import tune
+from .tuning import _padded_caps, tune
 
 
 def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
@@ -43,6 +43,7 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
              impute_method: str = "median",
              n_workers: int = 0,
              devices=None,
+             padded_trials: bool = True,
              write: bool = False,
              writedir: str = "evals",
              simname: Optional[str] = None,
@@ -146,9 +147,18 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
             maxiters=tuning_maxiters, verbosity=verbosity, rng=g_inner,
             foldmethod=tuning_foldmethod, impute_method=impute_method,
             n_workers=n_workers, devices=inner_devices,
+            padded_trials=padded_trials,
             pre_string=f"Fold {fold}: ")
 
         opts = opts0.replace(**best_params)
+        if padded_trials:
+            # the final refit reuses the tune caps so every fold's refit +
+            # test eval also share one compiled program
+            caps = _padded_caps(dict(tuning_parameters), tuning_opts0
+                                if tuning_opts0 is not None else opts0)
+            if caps is not None and caps[0] >= opts.chi_max \
+                    and caps[1] >= opts.d:
+                opts = opts.replace(pad_to=caps)
         if verbosity >= 1:
             print(f"fold {fold}: t={time.time() - tstart:.2f}s: training MPS "
                   f"with {best_params}... ")
