@@ -63,7 +63,12 @@ class MPS:
         return MPS(self.cores, self.center / self.norm(), self.center_pos)
 
     def bond_dims(self) -> np.ndarray:
-        """Effective bond dimensions [T+1] measured from nonzero pattern."""
+        """Effective bond dimensions [T+1]: the COUNT of live (nonzero)
+        directions at each bond.  The sort-free split algorithms
+        (randomized_lean / randomized_warm and the Pallas kernels) zero
+        truncated directions in place without compacting the kept ones to
+        the front, so the count — the actual bond rank — is the meaningful
+        number, not the highest live index."""
         cores = np.asarray(self.cores)
         center = np.asarray(self.center)
         T, chi = self.T, self.chi
@@ -73,8 +78,7 @@ class MPS:
                 m = np.abs(center).sum(axis=(0, 1, 3))
             else:
                 m = np.abs(cores[t]).sum(axis=(0, 1))
-            nz = np.nonzero(m > 0)[0]
-            dims[t + 1] = (nz.max() + 1) if nz.size else 0
+            dims[t + 1] = int(np.count_nonzero(m > 0))
         return dims
 
 

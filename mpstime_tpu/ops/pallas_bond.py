@@ -383,8 +383,8 @@ def _k1_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
 # K2: Rayleigh quotients + cutoff mask + split factors + env step
 # --------------------------------------------------------------------------
 
-def _k2_project_mask(cutoff, bt_ref, Q, *, C: int, chi: int, d: int,
-                     forward: bool):
+def _k2_project_mask(cutoff, max_rank, bt_ref, Q, *, C: int, chi: int,
+                     d: int, forward: bool):
     """Shared K2 math: project the bond tensor onto Q, compute direction
     energies, and build the ITensor-style cutoff masks.  Returns
     (B, mask_row [1, chi], mask_col [chi, 1], Qm) where B is the projected
@@ -442,7 +442,12 @@ def _k2_project_mask(cutoff, bt_ref, Q, *, C: int, chi: int, d: int,
            | ((W_row == W_col) & (J_idx >= I_idx))).astype(f32)  # [chi, chi]
     s_col = jnp.sum(leq * W_row, axis=1, keepdims=True)       # [chi, 1]
     total = jnp.sum(wv)
-    mask_col = ((s_col > cutoff * total) & (wv_col > 0)).astype(f32)
+    # runtime rank cap (shape-polymorphic trials): direction i's 0-based
+    # sorted position is chi - cnt_i where cnt_i counts its suffix incl.
+    # itself; keep iff position < max_rank  <=>  cnt_i > chi - max_rank
+    cnt_col = jnp.sum(leq, axis=1, keepdims=True)             # [chi, 1]
+    mask_col = ((s_col > cutoff * total) & (wv_col > 0)
+                & (cnt_col > jnp.float32(chi) - max_rank)).astype(f32)
     mask_row = jnp.dot(jnp.ones((1, chi), f32), eye * mask_col,
                        preferred_element_type=f32)            # [1, chi]
     return B, mask_row, mask_col, Q * mask_row
@@ -500,8 +505,8 @@ def _k2_kernel(cutoff_ref, bt_ref, q_ref, env_ref, envls_ref, phi_ref,
               core = U [chi, d, keep], env advance = left step with
               (le, phi_l)."""
     B, mask_row, mask_col, Qm = _k2_project_mask(
-        cutoff_ref[0, 0], bt_ref, q_ref[:], C=C, chi=chi, d=d,
-        forward=forward)
+        cutoff_ref[0, 0], cutoff_ref[0, 1], bt_ref, q_ref[:], C=C, chi=chi,
+        d=d, forward=forward)
     _k2_emit(B, mask_row, mask_col, Qm, center_ref, core_ref,
              C=C, chi=chi, d=d, forward=forward)
     _k2_env_advance(Qm, env_ref[:], phi_ref[:], envls_ref, env2_ref,
@@ -513,8 +518,8 @@ def _k2_split_kernel(cutoff_ref, bt_ref, q_ref, center_ref, core_ref,
     """Replicated half of K2 for the dp path: split factors + masked
     isometry Qm (consumed by _k2_env_kernel on each shard)."""
     B, mask_row, mask_col, Qm = _k2_project_mask(
-        cutoff_ref[0, 0], bt_ref, q_ref[:], C=C, chi=chi, d=d,
-        forward=forward)
+        cutoff_ref[0, 0], cutoff_ref[0, 1], bt_ref, q_ref[:], C=C, chi=chi,
+        d=d, forward=forward)
     _k2_emit(B, mask_row, mask_col, Qm, center_ref, core_ref,
              C=C, chi=chi, d=d, forward=forward)
     qm_ref[:] = Qm
@@ -589,7 +594,7 @@ def _k2_env_call(Qm, env, env_ls, phi, *, chi, d, forward):
 
 def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
               eta, cutoff, *, forward: bool, refresh: bool = True,
-              axis_name: str = None
+              axis_name: str = None, max_rank=None
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
                          jnp.ndarray]:
     """One fused bond step (everything except the QR).
@@ -611,7 +616,9 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
     every device; each shard's environments advance locally."""
     C, chi, d, _ = center_c.shape
     eta2 = jnp.reshape(eta.astype(jnp.float32), (1, 1))
-    cut2 = jnp.reshape(cutoff.astype(jnp.float32), (1, 1))
+    mr = jnp.float32(chi) if max_rank is None else max_rank.astype(jnp.float32)
+    # [cutoff, max_rank] share one SMEM scalar block
+    cut2 = jnp.stack([cutoff.astype(jnp.float32), mr])[None, :]
     w2 = w[:, None]
 
     if forward:

@@ -140,9 +140,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     dtype = cores.dtype
     rdtype = phis_c.real.dtype
     warm = svd_alg == "randomized_warm"
-    # the fused Mosaic kernels have the rank cap baked in statically; the
-    # shape-polymorphic path (runtime max_rank) takes the XLA bond step
-    pallas = (not track_cost) and max_rank is None and _pallas_eligible(
+    pallas = (not track_cost) and _pallas_eligible(
         dtype, loss, bbopt, update_iters, rescale, svd_alg,
         platform=platform)
 
@@ -174,7 +172,8 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 center, V, v2, ls2, Qv = pallas_bond.bond_step(
                     x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["vb"], eta, cutoff,
-                    forward=False, refresh=refresh, axis_name=axis_name)
+                    forward=False, refresh=refresh, axis_name=axis_name,
+                    max_rank=max_rank)
                 return (center, v2, ls2), dict(V=V, re=v2, re_ls=ls2, qv=Qv)
             BT = jnp.einsum("aim,mkbc->aikbc", x["A"], center)
             cost, BT = upd(BT, x["le"], re_v, x["phi_l"].conj(),
@@ -232,7 +231,8 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 center, Unew, v2, ls2, Qu = pallas_bond.bond_step(
                     x["B"], center, le_v, x["re"], le_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["uf"], eta, cutoff,
-                    forward=True, refresh=refresh, axis_name=axis_name)
+                    forward=True, refresh=refresh, axis_name=axis_name,
+                    max_rank=max_rank)
                 return (center, v2, ls2), dict(U=Unew, le=v2, le_ls=ls2,
                                                qu=Qu)
             BT = jnp.einsum("aimc,mkb->aikbc", center, x["B"])

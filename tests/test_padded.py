@@ -97,6 +97,33 @@ class TestPaddedTraining:
         assert np.isfinite(np.asarray(ts[0])).all()
 
 
+class TestPaddedPallas:
+    def test_dynamic_rank_cap_in_fused_kernels(self, ecg200):
+        """The production engine (f32 + randomized_warm -> Pallas bond
+        kernels, interpreter mode on CPU) honors the runtime chi cap under
+        pad_to, so padded hyperopt trials run the SAME fused engine as
+        exact-shape training."""
+        from mpstime_tpu.ops import pallas_bond
+        Xtr, ytr, Xte, yte = ecg200
+        base = dict(nsweeps=3, chi_max=10, d=4, verbosity=-1,
+                    dtype="float32", log_level=0, svd_alg="randomized_warm")
+        pallas_bond.set_interpret(True)
+        try:
+            padded, _, _ = mt.fit_mps(Xtr[:40], ytr[:40],
+                                      opts=mt.MPSOptions(**base,
+                                                         pad_to=(16, 6)))
+        finally:
+            pallas_bond.set_interpret(False)
+        T = padded.mps.T
+        assert padded.mps.cores.shape == (T, 16, 6, 16)
+        assert int(np.max(padded.mps.bond_dims())) <= 10
+        c = np.asarray(padded.mps.cores)
+        frac = (np.abs(c[:, :, 4:, :]) ** 2).sum() / (np.abs(c) ** 2).sum()
+        assert frac < 1e-7    # f32 eigh/QR noise in dead directions only
+        preds = mt.classify(padded, Xtr[:40])
+        assert float(np.mean(preds == ytr[:40])) > 0.8
+
+
 class TestPaddedTune:
     def test_padded_trials_enumerate_same_search(self):
         X, y = _toy()

@@ -161,7 +161,8 @@ class TestPallasBondParity:
         # [11.5, 7.5, 5.5, 3.5, 1.5, 0.5]; cutoff*total = 4.5 keeps idx 0..2
         cutoff = jnp.float32(4.5 / w.sum())
         center, core, _, _ = _k2_call(
-            jnp.reshape(cutoff, (1, 1)), jnp.asarray(BT), jnp.asarray(Q),
+            jnp.stack([cutoff, jnp.float32(chi)])[None, :],
+            jnp.asarray(BT), jnp.asarray(Q),
             jnp.asarray(env), jnp.zeros((N, 1), jnp.float32),
             jnp.asarray(phi), C=C, chi=chi, d=d, forward=False)
         kept_kernel = np.abs(np.asarray(center[0]).reshape(chi * d, chi)
