@@ -36,7 +36,7 @@ def _sync(x):
     return float(jnp.linalg.norm(x))
 
 
-def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=3,
+def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
                        measure_percall=True):
     """Median s/sweep of the production training path: all sweeps fused into
     one compiled device call (training/sweep.py full_sweeps — what fit_mps
@@ -128,6 +128,26 @@ def _impute_batch_time(Xtr, ytr, Xte, yte, reps=3):
         times.append(time.perf_counter() - t0)
     mae = float(np.mean(np.abs(ts[:, win] - targets[:, win])))
     return float(np.median(times)), B, mae
+
+
+def _padded_fit_time(Xtr, ytr, reps=3):
+    """Wall-clock of a shape-polymorphic hyperopt-trial fit: chi_max=17,
+    d=5 trained at padded (40, 8) caps with the runtime rank cap through
+    the Pallas fused kernels — the per-trial training cost inside
+    tune(padded_trials=True) after the one-time compile."""
+    import mpstime_tpu as mt
+
+    opts = mt.MPSOptions(nsweeps=8, chi_max=17, d=5, verbosity=-1,
+                         log_level=-1, dtype="float32", pad_to=(40, 8))
+    trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)              # warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        times.append(time.perf_counter() - t0)
+    import numpy as _np
+    rank_ok = int(_np.max(trained.mps.bond_dims())) <= 17
+    return float(np.median(times)), rank_ok
 
 
 def _fold_eval_time(Xtr, ytr, Xte, yte, n_windows=10, reps=5):
@@ -297,6 +317,7 @@ def main():
     t_imp, B_imp, mae_imp = _impute_batch_time(X, y, Xte, yte)
     t_fold_eval = _fold_eval_time(X, y, Xte, yte)
     t_fold_train, acc_fold = _tune_fold_train_time()
+    t_padded_fit, padded_rank_ok = _padded_fit_time(X, y)
     mesh = _mesh_datapoint()
 
     baseline = 0.80  # s/sweep, Julia reference anchor (module docstring)
@@ -321,6 +342,8 @@ def main():
         "tune_fold_train_time": round(t_fold_train, 5),
         "tune_fold_train_vs_ref_128s": round(128.0 / t_fold_train, 0),
         "tune_fold_train_acc": round(acc_fold, 4),
+        "padded_trial_fit_time": round(t_padded_fit, 5),
+        "padded_rank_cap_ok": padded_rank_ok,
         "device": str(jax.devices()[0]),
         "shapes": {"T": 96, "N": 100, "chi": 64, "d": 5},
     }
