@@ -421,6 +421,8 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
     return out[0], out[1]
 
 
+# nsweeps is a TRACED fori trip count (not static): hyperopt trials that
+# differ only in sweep count share one compiled program
 full_sweeps = partial(jax.jit, static_argnames=(
-    "nsweeps", "loss", "bbopt", "update_iters", "rescale", "svd_alg",
+    "loss", "bbopt", "update_iters", "rescale", "svd_alg",
     "refresh_every", "axis_name", "platform"))(_full_sweeps_impl)
