@@ -154,8 +154,7 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
         if padded_trials:
             # the final refit reuses the tune caps so every fold's refit +
             # test eval also share one compiled program
-            caps = _padded_caps(dict(tuning_parameters), tuning_opts0
-                                if tuning_opts0 is not None else opts0)
+            caps = _padded_caps(dict(tuning_parameters), tuning_opts0)
             if caps is not None and caps[0] >= opts.chi_max \
                     and caps[1] >= opts.d:
                 opts = opts.replace(pad_to=caps)

@@ -118,8 +118,9 @@ def eval_loss(objective: TuningLoss, mps: TrainedMPS, X_val: np.ndarray,
         for cls in np.unique(y_val):
             n_c = int(np.sum(y_val == cls))
             rel = np.arange(n_c)
-            # pad_b_to: val-fold class counts vary by +-1 across folds; one
-            # compiled program serves them all
+            # pad_b_to buckets the instance axis so val folds whose class
+            # counts differ by +-1 usually share one compiled program
+            # (sizes straddling a bucket boundary cost one extra compile)
             ts, targets = impute_windows(imp, cls, rel, windows, method,
                                          pad_b_to=8)
             for iw, sites in enumerate(windows):

@@ -115,7 +115,14 @@ def _padded_caps(parameters: Dict[str, Any], opts0: MPSOptions):
             val = parameters[key]
             if isinstance(val, (list, np.ndarray)) and len(val):
                 caps[key] = int(max(val))
-            elif isinstance(val, tuple) and len(val) in (2, 3):
+            elif isinstance(val, tuple) and len(val) == 3:
+                # (lb, step, ub): the value map is arange(lb, ub + step/2,
+                # step), whose last value can EXCEED ub — cap on the actual
+                # reachable maximum, not the nominal bound
+                vm = np.arange(val[0], val[2] + val[1] / 2, val[1],
+                               dtype=np.float64)
+                caps[key] = int(round(vm.max())) if vm.size else int(val[2])
+            elif isinstance(val, tuple) and len(val) == 2:
                 caps[key] = int(val[-1])
             else:
                 return None
@@ -222,6 +229,24 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
         else foldmethod
 
     pad_caps = _padded_caps(dict(parameters), opts0) if padded_trials else None
+    # every padded-trial fold trains at the LARGEST fold's (8-rounded)
+    # sample count, so fold sizes that differ by +-1 share one program
+    pad_samples = None
+    if pad_caps is not None:
+        n_max = max(len(tr) for tr, _ in folds)
+        pad_samples = n_max + (-n_max) % 8
+    if pad_caps is not None:
+        # sanity: every trial pays cap-sized compute; for very wide chi
+        # ranges that cost can rival the compiles padding saves
+        chi_lo = parameters.get("chi_max", (pad_caps[0],))
+        chi_lo = min(chi_lo) if hasattr(chi_lo, "__len__") and len(chi_lo) \
+            else pad_caps[0]
+        if pad_caps[0] >= 8 * max(int(chi_lo), 1):
+            warnings.warn(pre_string + f"padded_trials: chi cap "
+                          f"{pad_caps[0]} is >=8x the smallest trial "
+                          f"({chi_lo}); small trials pay cap-sized compute. "
+                          "Pass padded_trials=False if trials are cheap to "
+                          "compile (e.g. on CPU).")
 
     cache: Dict[tuple, float] = {}
     state = {"iters": 0, "hits": 0}
@@ -236,7 +261,8 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
             print(f"{pre_string}iter {state['iters']}, cvfold {fold_i}: "
                   f"training MPS with {hparams}...")
         try:
-            mps, _, _ = fit_mps(X_tr, y_tr, opts=opts)
+            mps, _, _ = fit_mps(X_tr, y_tr, opts=opts,
+                                pad_samples_to=pad_samples)
             loss = float(np.mean(eval_loss(objective, mps, X_val, y_val,
                                            windows, method=impute_method)))
         except (FloatingPointError, np.linalg.LinAlgError) as e:

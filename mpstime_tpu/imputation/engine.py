@@ -71,6 +71,9 @@ def _weighted_median_abs_dev(grid_x, probs, x0):
 
 
 _KERNEL_CACHE: dict = {}
+_KERNEL_CACHE_MAX = 64   # FIFO-evicted; a compiled kernel (+ executables)
+                         # is tens of MB, and an unpadded search over many
+                         # (chi, d) shapes would otherwise grow unboundedly
 
 
 def clear_kernel_cache():
@@ -314,6 +317,8 @@ def make_impute_kernel(T: int, chi: int, d: int, G: int,
         raise ValueError(f"unknown variant {variant!r}")
 
     if cacheable:
+        while len(_KERNEL_CACHE) >= _KERNEL_CACHE_MAX:
+            _KERNEL_CACHE.pop(next(iter(_KERNEL_CACHE)))
         _KERNEL_CACHE[cache_key] = fn
     return fn
 

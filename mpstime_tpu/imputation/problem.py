@@ -72,8 +72,16 @@ class ImputationProblem:
     # ------------------------------------------------------------------
     def _spec_enc_key(self):
         """Hashable identity of the encoding's encode_batch for the engine's
-        module-level kernel cache; None (uncacheable) for custom specs."""
+        module-level kernel cache; None (uncacheable) when the encoding
+        cannot take its enc_args as traced values."""
         if self.custom_encoding is not None:
+            return None
+        if self.enc_args is not None:
+            # data-driven / projected / split encodings: their enc_args
+            # contain host-only values (bandwidths, index selections, bin
+            # edges) consumed with float()/np.asarray() inside
+            # encode_batch, so they must be CLOSED OVER concretely, not
+            # traced -> the kernel is per-problem, not module-cached
             return None
         from ..encodings.registry import canonical_encoding_name
         return (canonical_encoding_name(self.opts.encoding),
@@ -108,16 +116,26 @@ class ImputationProblem:
             raise ValueError("impute_order must be 'forwards' or 'backwards'")
         T, chi, d, _ = cores.shape
         spec = self.spec()
+        enc_key = self._spec_enc_key()
+        enc_args = self.class_enc_args(ci)
+        encode_batch = spec.encode_batch
+        traced_args = enc_args
+        if enc_key is None and enc_args is not None:
+            # enc_args contain host-only values (see _spec_enc_key): bind
+            # them concretely into encode_batch instead of tracing them
+            eb, ea = spec.encode_batch, enc_args
+            encode_batch = lambda X, dd, _ignored: eb(X, dd, ea)
+            traced_args = None
         fn = make_impute_kernel(
             T, chi, d, len(self.grid_x), method=method,
             timedep=self.timedep, want_cdf=want_cdf, get_err=get_err,
             max_jump=max_jump, rejection_threshold=rejection_threshold,
-            max_trials=max_trials, encode_batch=spec.encode_batch,
-            enc_key=self._spec_enc_key(), reverse_t=reverse_t,
+            max_trials=max_trials, encode_batch=encode_batch,
+            enc_key=enc_key, reverse_t=reverse_t,
             variant=variant, enc_d=self.opts.d)
         from functools import partial as _partial
         bound = _partial(fn, jnp.asarray(self.grid_x), self.dx, gs,
-                         self.class_enc_args(ci))
+                         traced_args)
         self._kernels[key] = (bound, cores)
         return self._kernels[key]
 

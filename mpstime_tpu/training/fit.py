@@ -49,7 +49,8 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
             y_test: Optional[np.ndarray] = None,
             opts: MPSOptions = None,
             custom_encoding: Optional[EncodingSpec] = None,
-            mesh=None, test_run: bool = False
+            mesh=None, test_run: bool = False,
+            pad_samples_to: Optional[int] = None
             ) -> Tuple[TrainedMPS, Dict[str, list], EncodedDataset]:
     """Train a label-indexed MPS (reference fitMPS :383).
 
@@ -152,10 +153,14 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
         w = np.full(N, 1.0 / N)
     class_weight = jnp.asarray(w, dtype=real_dt)
 
-    if pad is not None:
-        # pad the sample axis to a multiple of 8 with zero-weight copies so
-        # CV folds whose sizes differ by +-1 share one compiled program
-        npad = (-N) % 8
+    if pad is not None or pad_samples_to:
+        # pad the sample axis with zero-weight copies so CV folds of
+        # slightly different sizes share one compiled program.
+        # ``pad_samples_to`` (from tune, which knows every fold's size)
+        # guarantees sharing; the multiple-of-8 fallback only helps when
+        # the sizes don't straddle a bucket boundary.
+        target = max(N, pad_samples_to) if pad_samples_to else N + (-N) % 8
+        npad = target - N
         if npad:
             phis_c = jnp.concatenate(
                 [phis_c, jnp.repeat(phis_c[:, :1], npad, axis=1)], axis=1)

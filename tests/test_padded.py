@@ -143,6 +143,46 @@ class TestPaddedTune:
             assert abs(cache_p[k] - cache_u[k]) < 0.35
         assert set(best_p) == {"chi_max", "d", "eta"}
 
+    def test_step_range_cap_covers_value_map_overshoot(self):
+        # (lb, step, ub) value maps come from arange(lb, ub + step/2, step)
+        # and can exceed ub; the padded caps must cover the actual max or a
+        # trial above the nominal ub crashes opts.replace(pad_to=...)
+        from mpstime_tpu.hyperopt.tuning import _padded_caps
+        caps = _padded_caps({"chi_max": (2, 3, 10)},
+                            mt.MPSOptions(chi_max=5, d=4))
+        assert caps[0] >= 11   # arange gives [2, 5, 8, 11]
+        X, y = _toy(n=24, T=12)
+        best, cache = mt.tune(
+            X, y, nfolds=2, parameters={"chi_max": (2, 3, 10)},
+            method=mt.MPSRandomSearch("Exhaustive"),
+            objective=mt.MisclassificationRate(), rng=1, maxiters=4,
+            verbosity=0,
+            opts0=mt.MPSOptions(nsweeps=1, d=3, verbosity=-5, log_level=-1,
+                                dtype="float64"))
+        assert len(cache) == 4   # every arange value evaluated, incl. 11
+
+    def test_data_driven_encoding_through_fused_path(self, ecg200):
+        # data-driven enc_args (KDE bandwidths etc.) are consumed with
+        # float()/np.asarray() inside encode_batch -> they must be bound
+        # concretely, never traced, in the in-jit encode of impute_windows
+        # and the :mean estimator
+        from mpstime_tpu.imputation import impute_windows
+        Xtr, ytr, Xte, yte = ecg200
+        opts = mt.MPSOptions(nsweeps=2, chi_max=10, d=4, verbosity=-1,
+                             dtype="float64", log_level=0,
+                             encoding="sahand_legendre")
+        trained, _, _ = mt.fit_mps(Xtr[:40], ytr[:40], opts=opts)
+        imp = mt.init_imputation_problem(trained, Xte, yte, verbosity=-1,
+                                         test_encoding=False)
+        _, sites = mt.mar(Xte[0], 0.2, rng=2)
+        ts, _ = impute_windows(imp, 0, [0, 1], [sites], "median")
+        assert np.isfinite(ts).all()
+        ts2, _ = impute_windows(imp, 0, [0, 1], [sites], "mean")
+        assert np.isfinite(ts2).all()
+        loss = mt.eval_loss(mt.ImputationLoss(), trained, Xte[:20], yte[:20],
+                            windows=[sites])
+        assert np.isfinite(loss).all()
+
     def test_pad_b_to_roundtrip(self, ecg200):
         from mpstime_tpu.imputation import impute_windows
         Xtr, ytr, Xte, yte = ecg200
