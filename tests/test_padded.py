@@ -88,6 +88,20 @@ class TestPaddedTraining:
         assert np.isfinite(np.asarray(ts_p[0])).all()
         assert st_p[0]["MAE"] < 3 * st_e[0]["MAE"] + 0.2
 
+    def test_complex_fourier_padded(self, ecg200):
+        # complex encodings (Fourier -> complex cores, svd_alg='randomized')
+        # through the padded engine: zero-padded complex features + runtime
+        # rank cap in the Ritz split
+        Xtr, ytr, Xte, yte = ecg200
+        opts = mt.MPSOptions(nsweeps=4, chi_max=10, d=4, verbosity=-1,
+                             encoding="fourier", dtype="complex128",
+                             log_level=0, pad_to=(16, 6))
+        trained, _, _ = mt.fit_mps(Xtr[:40], ytr[:40], opts=opts)
+        assert trained.mps.cores.dtype == np.complex128
+        assert int(np.max(trained.mps.bond_dims())) <= 10
+        acc = float(np.mean(mt.classify(trained, Xtr[:40]) == ytr[:40]))
+        assert acc > 0.8
+
     def test_mean_method_in_jit_encode_pads(self, runs):
         # the :mean estimator re-encodes x* in-jit at enc_d and pads to d_cap
         _, padded, Xte, yte = runs
