@@ -52,6 +52,22 @@ from ..ops.env import (boundary_env, build_left_envs, env_step_left_scaled,
                        env_step_right_scaled)
 
 
+def _pallas_vmem_ok(C: int, chi: int, d: int, N: int) -> bool:
+    """Estimated VMEM footprint of the fused bond kernels.  The dominant
+    K1/K2 residents are the bond tensor [C, chi*d, d, chi], the subspace /
+    power-step buffers [chi*d, chi] x2, and the batch kron factors
+    [N, chi*d] x2 — plus roughly as much again in kernel temporaries.
+    Measured on v5e: chi=128 at ECG200 shapes (~4.5 MB estimated residents)
+    compiles, chi=192 (~9.8 MB) crashes the TPU compiler; the 6 MB bound
+    keeps a margin for the temporaries.  Larger problems take the XLA bond
+    step (chi=192: 0.098 s/sweep, chi=256: 0.161 s/sweep measured there)."""
+    f = 4  # f32 bytes
+    bt = C * chi * d * d * chi * f
+    subspace = 2 * (chi * d * chi) * f
+    batch = 2 * N * chi * d * f + 2 * N * chi * f
+    return (bt + subspace + batch) <= 6 * 2 ** 20
+
+
 def _pallas_eligible(dtype, loss, bbopt, update_iters, rescale, svd_alg,
                      platform: Optional[str] = None) -> bool:
     """The fused Pallas bond step covers the default hot path only:
@@ -140,9 +156,10 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     dtype = cores.dtype
     rdtype = phis_c.real.dtype
     warm = svd_alg == "randomized_warm"
-    pallas = (not track_cost) and _pallas_eligible(
-        dtype, loss, bbopt, update_iters, rescale, svd_alg,
-        platform=platform)
+    pallas = (not track_cost) \
+        and _pallas_vmem_ok(C, chi, d, N) \
+        and _pallas_eligible(dtype, loss, bbopt, update_iters, rescale,
+                             svd_alg, platform=platform)
 
     upd = partial(apply_update, eta=eta, loss=loss, bbopt=bbopt,
                   update_iters=update_iters, rescale=rescale,
