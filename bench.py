@@ -311,7 +311,9 @@ def main():
         np.sin(3 * t_ax[None] + rng.uniform(0, 6, (33, 1)))])
     Xi += 0.1 * rng.standard_normal(Xi.shape)
     yi = np.repeat([0, 1], [34, 33])
-    t_ipd, _, _ = _steady_sweep_time(Xi, yi, chi=25, d=5,
+    # tiny workload -> most sensitive to remote-service jitter; use more
+    # reps (measured swings up to 8x with 3 reps)
+    t_ipd, _, _ = _steady_sweep_time(Xi, yi, chi=25, d=5, reps=9,
                                      measure_percall=False)
 
     t_imp, B_imp, mae_imp = _impute_batch_time(X, y, Xte, yte)

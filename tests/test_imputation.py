@@ -130,7 +130,11 @@ class TestImputationMethods:
         opts = mt.MPSOptions(nsweeps=3, chi_max=12, d=4, encoding="SLTD",
                              verbosity=-1, dtype="float64")
         trained, _, _ = mt.fit_mps(Xtr[:60], ytr[:60], opts=opts)
-        imp_td = mt.init_imputation_problem(trained, Xte, yte, verbosity=-1)
+        # dx=1e-3: the regression is about basis INDEXING, not grid
+        # resolution — the default 1e-4 grid made this the slowest test in
+        # the suite (time-dependent grids trace at [G, T, d])
+        imp_td = mt.init_imputation_problem(trained, Xte, yte, verbosity=-1,
+                                            dx=1e-3)
         _, sites = mt.mar(Xte[6], 0.2, rng=13)
         ts_f, _, _, sf, _ = mt.mps_impute(imp_td, 0, 6, sites, "mean",
                                           NN_baseline=False, plot_fits=False)
