@@ -157,6 +157,32 @@ class TestPaddedTune:
             assert abs(cache_p[k] - cache_u[k]) < 0.35
         assert set(best_p) == {"chi_max", "d", "eta"}
 
+    def test_padded_with_classes_separately(self, ecg200):
+        # per-class training weights + per-class encoding both compose with
+        # the padded engine (zero-weight sample padding, zero-padded d)
+        Xtr, ytr, Xte, yte = ecg200
+        opts = mt.MPSOptions(nsweeps=3, chi_max=10, d=4, verbosity=-1,
+                             dtype="float64", log_level=0,
+                             train_classes_separately=True,
+                             encode_classes_separately=True,
+                             encoding="sahand_legendre", pad_to=(14, 6))
+        trained, _, _ = mt.fit_mps(Xtr[:40], ytr[:40], opts=opts)
+        assert int(np.max(trained.mps.bond_dims())) <= 10
+        acc = float(np.mean(mt.classify(trained, Xtr[:40]) == ytr[:40]))
+        assert acc > 0.8
+
+    def test_scipy_solver_padded(self):
+        X, y = _toy(n=24, T=12)
+        best, cache = mt.tune(
+            X, y, nfolds=2, parameters={"chi_max": (4, 10), "d": (3, 4)},
+            method=mt.ScipySolver("differential_evolution"),
+            objective=mt.MisclassificationRate(), rng=2, maxiters=4,
+            verbosity=0,
+            opts0=mt.MPSOptions(nsweeps=1, verbosity=-5, log_level=-1,
+                                dtype="float64"))
+        assert cache and all(np.isfinite(v) for v in cache.values())
+        assert 4 <= best["chi_max"] <= 10
+
     def test_step_range_cap_covers_value_map_overshoot(self):
         # (lb, step, ub) value maps come from arange(lb, ub + step/2, step)
         # and can exceed ub; the padded caps must cover the actual max or a
