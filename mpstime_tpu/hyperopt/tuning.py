@@ -284,14 +284,19 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
 
     farm_devs = resolve_devices(devices)
     farm = DeviceFarm(farm_devs) if farm_devs and len(farm_devs) > 1 else None
+    solver_route = not isinstance(method, MPSRandomSearch)
+    # with more devices than CV folds, farm the TRIAL axis instead (the
+    # reference's distribute_iters pmap over hyperparameter trials,
+    # random_search.jl:114-116): each trial runs its folds sequentially,
+    # pinned to one device, and the whole grid drains across devices
+    farm_trials = (farm is not None and not solver_route
+                   and len(folds) < len(farm.devices))
     if farm is not None and n_workers > 0:
         warnings.warn(pre_string + "devices=... and n_workers>0 are mutually "
                       "exclusive; folds farm one-per-device and n_workers is "
                       "ignored.")
     executor = ThreadPoolExecutor(n_workers) \
         if n_workers > 0 and farm is None else None
-
-    solver_route = not isinstance(method, MPSRandomSearch)
 
     class _SearchExhausted(Exception):
         """Raised to stop the search early: after max_cache_hits consecutive
@@ -318,7 +323,7 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
         opts = opts0.replace(**hparams)
         if pad_caps is not None:
             opts = opts.replace(pad_to=pad_caps)
-        if farm is not None:
+        if farm is not None and not farm_trials:
             losses = farm.map(lambda f: cvloss(f, hparams, opts),
                               range(len(folds)))
         elif executor is not None:
@@ -350,7 +355,8 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
                 _safe_paramlist(x0, fields, types, value_map, logspace_eta)
         else:
             sol = grid_search(g, tr_objective, method, lb, ub, is_disc,
-                              fields, maxiters)
+                              fields, maxiters,
+                              executor=farm if farm_trials else None)
             best = _safe_paramlist(sol, fields, types, value_map,
                                    logspace_eta)
     except _SearchExhausted as e:

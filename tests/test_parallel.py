@@ -307,6 +307,41 @@ def test_evaluate_nested_device_farming(two_class_sines, tmp_path,
     assert len(set(all_devs)) == 8
 
 
+def test_tune_farms_trial_axis(two_class_sines, monkeypatch):
+    """With more devices than CV folds, tune farms the TRIAL axis (the
+    reference's distribute_iters pmap over trials, random_search.jl:114):
+    the grid drains across devices with each trial's folds sequential, and
+    the result matches the sequential search exactly."""
+    import mpstime_tpu as mt
+    from mpstime_tpu.parallel.farm import DeviceFarm
+
+    calls = {"n": 0}
+    real_map = DeviceFarm.map
+
+    def counting_map(self, fn, items):
+        calls["n"] += 1
+        calls["items"] = len(list(items))
+        return real_map(self, fn, items)
+
+    monkeypatch.setattr(DeviceFarm, "map", counting_map)
+    Xtr, ytr, _, _ = two_class_sines
+    kw = dict(nfolds=2,
+              parameters={"chi_max": [6, 8, 10, 12], "d": [3]},
+              method=mt.MPSRandomSearch("Exhaustive"),
+              objective=mt.MisclassificationRate(), rng=5, maxiters=4,
+              verbosity=-1,
+              opts0=mt.MPSOptions(verbosity=-5, log_level=-1, nsweeps=2,
+                                  dtype="float64", sigmoid_transform=True))
+    best_f, cache_f = mt.tune(Xtr, ytr, devices="all", **kw)
+    # ONE farm.map over the 4 trials (not one per-trial map over folds)
+    assert calls["n"] == 1 and calls["items"] == 4
+    best_s, cache_s = mt.tune(Xtr, ytr, **kw)
+    assert best_f == best_s
+    assert set(cache_f) == set(cache_s)
+    for k in cache_f:
+        assert cache_f[k] == pytest.approx(cache_s[k], rel=1e-9)
+
+
 def test_evaluate_device_farm(two_class_sines, tmp_path):
     import mpstime_tpu as mt
 
