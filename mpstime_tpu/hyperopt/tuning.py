@@ -292,9 +292,10 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
     farm_trials = (farm is not None and not solver_route
                    and len(folds) < len(farm.devices))
     if farm is not None and n_workers > 0:
+        axis = "trials farm one-per-device" if farm_trials \
+            else "folds farm one-per-device"
         warnings.warn(pre_string + "devices=... and n_workers>0 are mutually "
-                      "exclusive; folds farm one-per-device and n_workers is "
-                      "ignored.")
+                      f"exclusive; {axis} and n_workers is ignored.")
     executor = ThreadPoolExecutor(n_workers) \
         if n_workers > 0 and farm is None else None
 
@@ -303,36 +304,58 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
         cache hits, or (solver route) after maxiters distinct evaluations —
         the reference's stop callback, tuning.jl:126-138, 184-199."""
 
+    # under trial farming, several workers can reach the same ROUNDED key
+    # concurrently (value-map duplicates in the raw grid); an in-flight
+    # registry makes later arrivals wait for the first computation instead
+    # of redundantly training nfolds models per duplicate
+    import threading
+    _ilock = threading.Lock()
+    _inflight: Dict[tuple, threading.Event] = {}
+
     def tr_objective(optslist) -> float:
         hparams = _safe_paramlist(optslist, fields, types, value_map,
                                   logspace_eta, verbose=verbosity >= 3)
         key = tuple(hparams[f] for f in fields)
-        if key in cache:
-            state["hits"] += 1
-            if verbosity >= 1 and state["hits"] <= 3:
-                print(f"{pre_string}iter {state['iters']}: cache hit at {hparams}")
-            if state["hits"] > max_cache_hits:
-                raise _SearchExhausted("max_cache_hits")
-            return cache[key]
-        if solver_route and state["iters"] >= maxiters:
-            # grid search enumerates exactly maxiters trials; a continuous
-            # solver needs the explicit evaluation cap
-            raise _SearchExhausted("maxiters")
-        state["hits"] = 0
-        state["iters"] += 1
-        opts = opts0.replace(**hparams)
-        if pad_caps is not None:
-            opts = opts.replace(pad_to=pad_caps)
-        if farm is not None and not farm_trials:
-            losses = farm.map(lambda f: cvloss(f, hparams, opts),
-                              range(len(folds)))
-        elif executor is not None:
-            losses = list(executor.map(
-                lambda f: cvloss(f, hparams, opts), range(len(folds))))
-        else:
-            losses = [cvloss(f, hparams, opts) for f in range(len(folds))]
-        loss = float(np.mean(losses))
-        cache[key] = loss
+        while True:
+            with _ilock:
+                if key in cache:
+                    state["hits"] += 1
+                    hits = state["hits"]
+                    if verbosity >= 1 and hits <= 3:
+                        print(f"{pre_string}iter {state['iters']}: cache hit "
+                              f"at {hparams}")
+                    if hits > max_cache_hits:
+                        raise _SearchExhausted("max_cache_hits")
+                    return cache[key]
+                if solver_route and state["iters"] >= maxiters:
+                    # grid search enumerates exactly maxiters trials; a
+                    # continuous solver needs the explicit evaluation cap
+                    raise _SearchExhausted("maxiters")
+                ev = _inflight.get(key)
+                if ev is None:
+                    _inflight[key] = threading.Event()
+                    state["hits"] = 0
+                    state["iters"] += 1
+                    break
+            ev.wait()
+        try:
+            opts = opts0.replace(**hparams)
+            if pad_caps is not None:
+                opts = opts.replace(pad_to=pad_caps)
+            if farm is not None and not farm_trials:
+                losses = farm.map(lambda f: cvloss(f, hparams, opts),
+                                  range(len(folds)))
+            elif executor is not None:
+                losses = list(executor.map(
+                    lambda f: cvloss(f, hparams, opts), range(len(folds))))
+            else:
+                losses = [cvloss(f, hparams, opts) for f in range(len(folds))]
+            loss = float(np.mean(losses))
+            with _ilock:
+                cache[key] = loss
+        finally:
+            with _ilock:
+                _inflight.pop(key).set()
         if verbosity >= 1:
             print(f"{pre_string}iter {state['iters']}, "
                   f"t={time.time() - tstart:.2f}s: Mean CV Loss: {loss:.6g}")

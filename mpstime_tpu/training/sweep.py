@@ -60,7 +60,7 @@ def _pallas_vmem_ok(C: int, chi: int, d: int, N: int) -> bool:
     Measured on v5e: chi=128 at ECG200 shapes (~4.5 MB estimated residents)
     compiles, chi=192 (~9.8 MB) crashes the TPU compiler; the 6 MB bound
     keeps a margin for the temporaries.  Larger problems take the XLA bond
-    step (chi=192: 0.098 s/sweep, chi=256: 0.161 s/sweep measured there)."""
+    step (chi=192: 0.095 s/sweep, chi=256: 0.158 s/sweep measured there)."""
     f = 4  # f32 bytes
     bt = C * chi * d * d * chi * f
     subspace = 2 * (chi * d * chi) * f
