@@ -10,7 +10,9 @@ Also reported:
  * the batched imputation kernel (impute_batch — the hyperopt
    ImputationLoss hot path, B=35 instances x 20% MAR, dx=1e-4),
  * a virtual 8-device CPU mesh datapoint (subprocess) certifying the
-   sharded production path end-to-end.
+   sharded production path end-to-end — CORRECTNESS ONLY (the virtual
+   devices share one host's cores, so its wall-clock is meaningless as a
+   perf number; keys are prefixed mesh_check_).
 
 Reference anchor: the Julia implementation's published sweep wall-clock is
 0.66-1.16 s/sweep (mean 0.80 s) on CPU for the IPD-sized run
@@ -261,8 +263,12 @@ t1, ok1 = t_of(lambda: full_sweeps(mps.cores, mps.center, phis_c, y1h, w,
                                    eta, cut, **kw))
 t8, ok8 = t_of(lambda: sharded_full_sweeps(mesh, rc, rce, sp, sy, sw,
                                            eta, cut, **kw))
-print(json.dumps({"mesh_ok": ok1 and ok8, "cpu1_sweep_s": round(t1, 5),
-                  "cpu8mesh_sweep_s": round(t8, 5)}))
+print(json.dumps({"mesh_check_ok": ok1 and ok8,
+                  "mesh_check_cpu1_sweep_s": round(t1, 5),
+                  "mesh_check_cpu8_sweep_s": round(t8, 5),
+                  "mesh_check_note": "correctness-only (8 VIRTUAL devices "
+                  "sharing one host's cores; slower than 1 device by "
+                  "construction — not a perf datapoint)"}))
 """
 
 
@@ -276,7 +282,7 @@ def _mesh_datapoint():
         line = out.stdout.strip().splitlines()[-1]
         return json.loads(line)
     except Exception as e:                               # noqa: BLE001
-        return {"mesh_ok": False, "mesh_error": str(e)[:200]}
+        return {"mesh_check_ok": False, "mesh_check_error": str(e)[:200]}
 
 
 def main():

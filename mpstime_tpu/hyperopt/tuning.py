@@ -123,7 +123,10 @@ def _padded_caps(parameters: Dict[str, Any], opts0: MPSOptions):
                                dtype=np.float64)
                 caps[key] = int(round(vm.max())) if vm.size else int(val[2])
             elif isinstance(val, tuple) and len(val) == 2:
-                caps[key] = int(val[-1])
+                # solver proposals are ROUNDED (_safe_paramlist), so a
+                # non-integer ub can round up past int(ub) — cap on the
+                # maximum reachable rounded value
+                caps[key] = int(round(val[-1]))
             else:
                 return None
         else:
@@ -238,9 +241,14 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
     if pad_caps is not None:
         # sanity: every trial pays cap-sized compute; for very wide chi
         # ranges that cost can rival the compiles padding saves
-        chi_lo = parameters.get("chi_max", (pad_caps[0],))
-        chi_lo = min(chi_lo) if hasattr(chi_lo, "__len__") and len(chi_lo) \
-            else pad_caps[0]
+        chi_spec = parameters.get("chi_max")
+        if isinstance(chi_spec, tuple) and len(chi_spec) == 3:
+            chi_lo = chi_spec[0]        # (lb, step, ub): step is NOT a value
+        elif chi_spec is not None and hasattr(chi_spec, "__len__") \
+                and len(chi_spec):
+            chi_lo = min(chi_spec)
+        else:
+            chi_lo = pad_caps[0]
         if pad_caps[0] >= 8 * max(int(chi_lo), 1):
             warnings.warn(pre_string + f"padded_trials: chi cap "
                           f"{pad_caps[0]} is >=8x the smallest trial "

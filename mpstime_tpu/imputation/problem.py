@@ -364,7 +364,15 @@ def get_predictions(imp: ImputationProblem, class_label, instance: int,
         kern_kwargs["max_trials"] = kwargs.get("max_trials", 10)
         kern_kwargs["get_err"] = False
 
-    kern, cores = imp.kernel(ci, mname, impute_order, **kern_kwargs)
+    base_key = jax.random.PRNGKey(kwargs.get("rseed", 1))
+    n_traj = kwargs.get("num_trajectories", 1) if mname == "its" else 1
+    # batch and single variants share the same (reversed) cores, so only the
+    # kernel actually invoked below is built/traced
+    if n_traj > 1:
+        kern, cores = imp.kernel(ci, mname, impute_order, variant="batch",
+                                 **kern_kwargs)
+    else:
+        kern, cores = imp.kernel(ci, mname, impute_order, **kern_kwargs)
 
     def run(key):
         pc, km, kx = phis_c, known_mask, known_x
@@ -378,13 +386,9 @@ def get_predictions(imp: ImputationProblem, class_label, instance: int,
             xs, errs = xs[::-1].copy(), errs[::-1].copy()
         return xs, errs
 
-    base_key = jax.random.PRNGKey(kwargs.get("rseed", 1))
-    n_traj = kwargs.get("num_trajectories", 1) if mname == "its" else 1
     if n_traj > 1:
         # all trajectories in ONE vmapped device call (the reference runs
         # impute_ITS's trajectory loop sequentially, MPS_methods.jl:304-347)
-        vkern, _ = imp.kernel(ci, mname, impute_order, variant="batch",
-                              **kern_kwargs)
         pc, km, kx = phis_c, known_mask, known_x
         if impute_order == "backwards":
             pc, km, kx = phis_c[::-1], known_mask[::-1], known_x[::-1]
@@ -393,7 +397,7 @@ def get_predictions(imp: ImputationProblem, class_label, instance: int,
         kx_b = jnp.broadcast_to(jnp.asarray(kx), (n_traj,) + np.shape(kx))
         pc_b = jnp.broadcast_to(pc, (n_traj,) + pc.shape)
         xp_b = jnp.full((n_traj,), x_prev0)
-        res = vkern(cores, pc_b, jnp.asarray(km), kx_b, xp_b, keys)
+        res = kern(cores, pc_b, jnp.asarray(km), kx_b, xp_b, keys)
         xs_all = np.asarray(res.x_samps, np.float64)
         errs_all = np.asarray(res.errs, np.float64)
         if impute_order == "backwards":

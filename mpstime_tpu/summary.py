@@ -3,8 +3,10 @@
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,11 +97,14 @@ def get_training_summary(mps: TrainedMPS, test_states, print_stats: bool = False
     true_te = test_states.y_idx
     acc_test = float(np.mean(preds_te == true_te))
 
-    overlapmat = np.zeros((C, C))
-    for i in range(C):
-        for j in range(C):
-            # <psi_i | psi_j>: contract the two class MPS
-            overlapmat[i, j] = abs(_mps_dot(Ws[i], Ws[j]))
+    # <psi_i | psi_j> for all class pairs in ONE device call.  The per-class
+    # MPSs from expand_label_index share the core chain and differ only in
+    # the center slice, so the chain transfer matrices are computed once
+    # (left scan + right scan) and only the final center contraction is
+    # pairwise.
+    centers = jnp.stack([w.center for w in Ws])
+    ov = _overlap_matrix(Ws[0].cores, centers, center_pos=Ws[0].center_pos)
+    overlapmat = np.abs(np.asarray(ov))
 
     conf = confusion_matrix(true_te, preds_te, C)
     prec, rec, spec, f1 = _per_class_prf(conf)
@@ -128,22 +133,41 @@ def get_training_summary(mps: TrainedMPS, test_states, print_stats: bool = False
     return stats
 
 
-def _mps_dot(A, B) -> complex:
-    """<A|B> for two SingleMPS with identical site structure."""
-    import jax
-    chi = A.chi
+def _overlap_matrix(cores: jnp.ndarray, centers: jnp.ndarray, *,
+                    center_pos: int) -> jnp.ndarray:
+    """Gram matrix O[i, j] = <psi_i | psi_j> of per-class MPSs that share
+    the core chain ``cores`` [T, chi, d, chi] and differ only in the center
+    tensor ``centers`` [C, chi, d, chi] at site ``center_pos`` (the
+    expand_label_index layout, reference utils.jl:356-370).
 
-    def step(E, t):
-        a = A.site(t)
-        b = B.site(t)
-        # E[p, q] -> E'[r, s] = conj(a[p,i,r]) E[p,q] b[q,i,s]
-        tmp = jnp.einsum("pq,qis->pis", E, b)
-        return jnp.einsum("pir,pis->rs", jnp.conj(a), tmp)
+    One jitted program: a left scan over sites < center_pos, a right scan
+    over sites > center_pos (both independent of the class pair), and a
+    single batched pairwise contraction of the centers through the two
+    transfer environments — replacing a per-pair per-site host dispatch
+    loop (C^2 * 2T eager einsums)."""
+    return _overlap_matrix_jit(cores, centers, center_pos)
 
-    E = jnp.zeros((chi, chi), dtype=A.cores.dtype).at[0, 0].set(1.0)
-    for t in range(A.T):
-        E = step(E, t)
-    return complex(E[0, 0])
+
+@partial(jax.jit, static_argnames=("center_pos",))
+def _overlap_matrix_jit(cores, centers, center_pos):
+    chi = cores.shape[1]
+    E0 = jnp.zeros((chi, chi), dtype=cores.dtype).at[0, 0].set(1.0)
+
+    def lstep(E, a):
+        # E[p, q] -> E'[r, s] = conj(a[p,i,r]) E[p,q] a[q,i,s]
+        tmp = jnp.einsum("pq,qis->pis", E, a)
+        return jnp.einsum("pir,pis->rs", jnp.conj(a), tmp), None
+
+    def rstep(R, a):
+        # R[r, s] -> R'[p, q] = conj(a[p,i,r]) a[q,i,s] R[r,s]
+        tmp = jnp.einsum("qis,rs->qir", a, R)
+        return jnp.einsum("pir,qir->pq", jnp.conj(a), tmp), None
+
+    L, _ = jax.lax.scan(lstep, E0, cores[:center_pos])
+    R, _ = jax.lax.scan(rstep, E0, cores[center_pos + 1:], reverse=True)
+    right = jnp.einsum("jqks,rs->jqkr", centers, R)
+    left = jnp.einsum("pq,jqkr->jpkr", L, right)
+    return jnp.einsum("ipkr,jpkr->ij", jnp.conj(centers), left)
 
 
 def sweep_summary(info: Dict[str, list], out=None) -> None:
