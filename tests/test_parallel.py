@@ -122,6 +122,79 @@ def test_sharded_sweeps_production_config_pallas(tiny_problem):
                                rtol=1e-2, atol=2e-3)
 
 
+@pytest.mark.parametrize("forward", [False, True])
+@pytest.mark.parametrize("n_dev", [1, 8])
+def test_single_bond_dp_matches_fused(tiny_problem, forward, n_dev):
+    """ONE bond update, tight contract: the dp-split kernels (per-shard
+    local gradient + psum + replicated update/split) must reproduce the
+    single-device fused kernel.  On a 1-device mesh the psum is an identity
+    so the split path performs the *same arithmetic* as the fused kernel —
+    compared at f32 roundoff (1e-7).  On 8 devices the psum's reduction
+    order differs from the single-device batch sum; that last-ulp gradient
+    noise is amplified through the power-step QR, bounding agreement at
+    ~1e-4 — still per-bond-tight, unlike the whole-sweep comparison
+    (test_sharded_sweeps_production_config_pallas) where truncation-edge
+    rank flips force order-1e-2 tolerances."""
+    from jax.sharding import PartitionSpec as P
+    from mpstime_tpu.ops import pallas_bond
+    from mpstime_tpu.ops.decomp import warm_sketch_init
+
+    mps, phis_c, y_onehot, w = tiny_problem
+    f32 = np.float32
+    T, chi, d, _ = mps.cores.shape
+    C = mps.center.shape[3]
+    N = phis_c.shape[1]
+    rng = np.random.default_rng(7)
+
+    # synthetic but normalized per-sample environments for one mid-chain bond
+    def unit_rows(n, m):
+        a = rng.standard_normal((n, m)).astype(f32)
+        return a / np.linalg.norm(a, axis=1, keepdims=True)
+
+    A = np.asarray(mps.cores[3], f32)
+    center_c = np.asarray(jnp.moveaxis(mps.center, 3, 0), f32)  # [C,chi,d,chi]
+    le, re = unit_rows(N, chi), unit_rows(N, chi)
+    env_ls = np.zeros((N,), f32)
+    phil = np.asarray(phis_c[3], f32)
+    phir = np.asarray(phis_c[4], f32)
+    y1h = np.asarray(y_onehot, f32)
+    wgt = np.asarray(w, f32)
+    nq = chi * d
+    V0 = np.asarray(warm_sketch_init(nq, chi, f32))
+    eta, cutoff = jnp.float32(0.05), jnp.float32(1e-10)
+
+    pallas_bond.set_interpret(True)
+    try:
+        jax.clear_caches()
+        ref = pallas_bond.bond_step(A, center_c, le, re, env_ls, phil, phir,
+                                    y1h, wgt, V0, eta, cutoff,
+                                    forward=forward)
+        mesh = make_mesh(n_dev)
+
+        def dp_body(A, center_c, le, re, env_ls, phil, phir, y1h, wgt, V0):
+            return pallas_bond.bond_step(A, center_c, le, re, env_ls, phil,
+                                         phir, y1h, wgt, V0, eta, cutoff,
+                                         forward=forward, axis_name="dp")
+
+        batch = P("dp")
+        rep = P()
+        fn = jax.jit(jax.shard_map(
+            dp_body, mesh=mesh,
+            in_specs=(rep, rep, batch, batch, batch, batch, batch, batch,
+                      batch, rep),
+            out_specs=(rep, rep, batch, batch, rep), check_vma=False))
+        got = fn(A, center_c, le, re, env_ls, phil, phir, y1h, wgt, V0)
+    finally:
+        pallas_bond.set_interpret(False)
+        jax.clear_caches()
+
+    atol = 1e-7 if n_dev == 1 else 1e-4
+    names = ("center", "core", "env", "env_ls", "Q")
+    for name, r, g in zip(names, ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=atol,
+                                   err_msg=f"single-bond dp mismatch: {name}")
+
+
 def test_fit_mps_mesh_production_config(ecg200):
     """End-to-end fit_mps(mesh=...) with the production accelerator config
     (randomized_warm; Pallas interpreted on CPU) — trains and classifies."""
