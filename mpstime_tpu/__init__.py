@@ -39,6 +39,7 @@ from .hyperopt.losses import is_omp_threading
 from .models.serialize import save_mps, load_mps, trained_mps_equal
 from .models.itensor_import import load_mpstime_jl
 from .models.classifier import MPSClassifier
+from .parallel import DeviceFarm, ProcessFarm
 from .vis import plot_encoding, plot_conf_mat, plot_training_summary
 
 __version__ = "0.1.0"
@@ -67,4 +68,5 @@ __all__ = [
     "make_stratified_cvfolds", "make_windows",
     "save_mps", "load_mps", "trained_mps_equal",
     "MPSClassifier", "plot_encoding", "plot_conf_mat", "plot_training_summary",
+    "DeviceFarm", "ProcessFarm",
 ]

@@ -86,9 +86,15 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
     if delete_tmps is None:
         delete_tmps = len(fold_inds) == nfolds
 
-    from ..parallel.farm import DeviceFarm, resolve_devices
+    from ..parallel.farm import (DeviceFarm, resolve_devices,
+                                 resolve_process_farm)
 
-    farm_devs = resolve_devices(devices)
+    # process backend: outer folds ship whole to spawned worker processes
+    # (the reference's evaluate worker-pool partitioning, evaluate.jl:270-297,
+    # with one process per fold job); each worker's inner tune runs in its
+    # own process and may still thread via n_workers
+    proc_farm = resolve_process_farm(devices)
+    farm_devs = None if proc_farm is not None else resolve_devices(devices)
     farming = bool(farm_devs) and len(farm_devs) > 1
     if farming and n_workers > 0:
         # threads spawned inside a fold's jax.default_device context do NOT
@@ -185,7 +191,9 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
             print(f"saved fold at {fname}")
         return res
 
-    if farming:
+    if proc_farm is not None:
+        results = proc_farm.map(_eval_fold, list(fold_inds))
+    elif farming:
         from ..parallel.farm import divide_devices
         sublists = divide_devices(farm_devs, len(fold_inds))
         # each fold's job runs pinned to one device of its sublist; when a

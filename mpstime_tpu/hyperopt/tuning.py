@@ -288,16 +288,24 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
                   f"finished in {time.time() - t0:.2f}s (loss={loss:.6g})")
         return loss
 
-    from ..parallel.farm import DeviceFarm, resolve_devices
+    from ..parallel.farm import (DeviceFarm, resolve_devices,
+                                 resolve_process_farm)
 
-    farm_devs = resolve_devices(devices)
-    farm = DeviceFarm(farm_devs) if farm_devs and len(farm_devs) > 1 else None
+    # process backend (the reference's actual Distributed.jl model): fold
+    # jobs ship to spawned worker processes; the trial axis stays in this
+    # process (its cache / in-flight dedup is shared-memory by design)
+    farm = resolve_process_farm(devices)
+    proc_farm = farm is not None
+    if farm is None:
+        farm_devs = resolve_devices(devices)
+        farm = DeviceFarm(farm_devs) if farm_devs and len(farm_devs) > 1 \
+            else None
     solver_route = not isinstance(method, MPSRandomSearch)
     # with more devices than CV folds, farm the TRIAL axis instead (the
     # reference's distribute_iters pmap over hyperparameter trials,
     # random_search.jl:114-116): each trial runs its folds sequentially,
     # pinned to one device, and the whole grid drains across devices
-    farm_trials = (farm is not None and not solver_route
+    farm_trials = (farm is not None and not proc_farm and not solver_route
                    and len(folds) < len(farm.devices))
     if farm is not None and n_workers > 0:
         axis = "trials farm one-per-device" if farm_trials \

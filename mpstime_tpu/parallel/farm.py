@@ -34,6 +34,22 @@ def resolve_devices(devices: Union[None, bool, str, Sequence]) -> Optional[List]
     return devs if devs else None
 
 
+def resolve_process_farm(devices):
+    """Recognize the process-backend spellings of the ``devices`` argument:
+    a :class:`ProcessFarm` instance passes through; ``"processes"`` /
+    ``"processes:N"`` builds one (N workers; default min(4, cpu_count)).
+    Returns None for every device-backend spelling."""
+    from .procfarm import ProcessFarm
+
+    if isinstance(devices, ProcessFarm):
+        return devices
+    if isinstance(devices, str) and (devices == "processes"
+                                     or devices.startswith("processes:")):
+        n = int(devices.split(":", 1)[1]) if ":" in devices else 0
+        return ProcessFarm(n)
+    return None
+
+
 def divide_devices(devices: Sequence, njobs: int) -> List[List]:
     """Partition a device list into ``njobs`` sublists (the reference's
     ``divide_procs`` worker-pool partitioning, hyperopt_utils.jl:49-60):
