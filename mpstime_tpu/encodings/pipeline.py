@@ -125,11 +125,14 @@ def encode_dataset(X_orig: np.ndarray, X_scaled: np.ndarray, y: np.ndarray,
             else:
                 args_c = enc_args[ci]
             if cnt:
-                parts.append(np.asarray(
-                    spec.encode_batch(jnp.asarray(Xc), opts.d, args_c)))
+                # stays ON device (complex encodings cannot cross the host
+                # boundary on the axon platform — utils/xfer.py)
+                parts.append(jnp.asarray(
+                    spec.encode_batch(jnp.asarray(Xc), opts.d, args_c),
+                    dtype=dtype))
             start += cnt
-        X_enc = jnp.asarray(np.concatenate(parts, axis=0) if parts
-                            else np.zeros((0, T, opts.d)), dtype=dtype)
+        X_enc = jnp.concatenate(parts, axis=0) if parts \
+            else jnp.zeros((0, T, opts.d), dtype=dtype)
         return EncodedDataset(_pad_enc(X_enc, opts), y_idx_s, labels,
                               X_orig_s, X_scaled_s,
                               class_distribution, enc_args, True)

@@ -44,17 +44,32 @@ class ScipySolver:
     def __repr__(self):
         return f"ScipySolver({self.method})"
 
+    @property
+    def supports_workers(self) -> bool:
+        """Whether :meth:`solve` can farm objective evaluations — true for
+        differential_evolution, whose population energies are independent."""
+        return self.method == "differential_evolution"
+
     def solve(self, objective: Callable[[np.ndarray], float],
               x0: np.ndarray, lb: np.ndarray, ub: np.ndarray, *,
               rng: Optional[np.random.Generator] = None,
-              maxiters: int = 250) -> np.ndarray:
+              maxiters: int = 250,
+              workers: Optional[Callable] = None) -> np.ndarray:
         """Minimise ``objective`` over the box [lb, ub] starting from x0.
 
         ``maxiters`` bounds the number of objective evaluations (the
         reference's callback counts evaluations the same way); the stop
         exceptions ``tune`` raises from inside the objective (max cache
         hits / maxiters) propagate out of scipy and are handled by
-        ``tune`` itself.  Returns the best raw parameter vector."""
+        ``tune`` itself.  Returns the best raw parameter vector.
+
+        ``workers``: a map-like ``(fn, iterable) -> list`` used by the
+        differential_evolution route to evaluate each generation's
+        population concurrently (``tune(devices=...)`` passes the
+        DeviceFarm's map).  DE always runs with ``updating="deferred"`` so
+        farmed and sequential searches follow the identical trajectory at
+        a fixed seed; other methods are inherently sequential and ignore
+        ``workers``."""
         import scipy.optimize as so
 
         lb = np.asarray(lb, dtype=np.float64)
@@ -67,14 +82,21 @@ class ScipySolver:
                     if isinstance(rng, np.random.Generator) else rng)
             opts = dict(self.options)
             ndim = len(lb)
-            popsize = opts.pop("popsize", max(4, min(15, maxiters // ndim)))
+            # deferred updating (fixed below for farmed==sequential
+            # reproducibility) trades per-generation progress for
+            # parallelism; smaller populations over more generations
+            # converge measurably better at equal budgets
+            popsize = opts.pop("popsize", max(4, min(8, maxiters // ndim)))
             # scipy evaluates ~popsize*ndim energies per generation plus the
             # initial population; size the generation count to the budget
             per_gen = max(popsize * ndim, 1)
+            if workers is not None:
+                opts.setdefault("workers", lambda f, xs: workers(f, list(xs)))
             res = so.differential_evolution(
                 objective, bounds=bounds, x0=x0, seed=seed,
                 maxiter=max(1, maxiters // per_gen - 1),
                 popsize=popsize, polish=False, tol=0.0,
+                updating="deferred",
                 init=opts.pop("init", "latinhypercube"), **opts)
             return np.asarray(res.x)
 

@@ -301,12 +301,19 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
         farm = DeviceFarm(farm_devs) if farm_devs and len(farm_devs) > 1 \
             else None
     solver_route = not isinstance(method, MPSRandomSearch)
+    # a solver that can evaluate its population concurrently (ScipySolver
+    # differential_evolution) farms the TRIAL axis: each energy job runs
+    # its folds sequentially on its device, the generation drains across
+    # devices (fold farming inside would nest two farms on the same pool)
+    solver_workers = (solver_route and farm is not None and not proc_farm
+                      and getattr(method, "supports_workers", False))
     # with more devices than CV folds, farm the TRIAL axis instead (the
     # reference's distribute_iters pmap over hyperparameter trials,
     # random_search.jl:114-116): each trial runs its folds sequentially,
     # pinned to one device, and the whole grid drains across devices
-    farm_trials = (farm is not None and not proc_farm and not solver_route
-                   and len(folds) < len(farm.devices))
+    farm_trials = solver_workers or (farm is not None and not proc_farm
+                                     and not solver_route
+                                     and len(folds) < len(farm.devices))
     if farm is not None and n_workers > 0:
         axis = "trials farm one-per-device" if farm_trials \
             else "folds farm one-per-device"
@@ -378,8 +385,11 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
         return loss
 
     def best_from_cache():
-        best_key = min(cache, key=lambda k: cache[k]
-                       if not np.isnan(cache[k]) else np.inf)
+        # ties broken by the key itself (not dict insertion order) so a
+        # farmed search — whose completion order is nondeterministic —
+        # returns exactly the sequential result
+        best_key = min(cache, key=lambda k: ((cache[k], k)
+                       if not np.isnan(cache[k]) else (np.inf, k)))
         return dict(zip(fields, best_key))
 
     try:
@@ -389,7 +399,11 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
             # the best point is read from the evaluation cache because the
             # solver's raw x may round to a different hyperparameter tuple
             # than the best one it actually evaluated
-            method.solve(tr_objective, x0, lb, ub, rng=g, maxiters=maxiters)
+            solve_kw = {}
+            if solver_workers:
+                solve_kw["workers"] = lambda f, xs: farm.map(f, xs)
+            method.solve(tr_objective, x0, lb, ub, rng=g, maxiters=maxiters,
+                         **solve_kw)
             best = best_from_cache() if cache else \
                 _safe_paramlist(x0, fields, types, value_map, logspace_eta)
         else:

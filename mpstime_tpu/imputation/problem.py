@@ -173,8 +173,11 @@ def init_imputation_problem(mps: TrainedMPS, X_test: np.ndarray,
                             labels=train.labels,
                             training_enc_args=train.enc_args,
                             dtype=opts.resolved_dtype())
-        if not np.allclose(np.asarray(ds.X_enc), np.asarray(train.X_enc),
-                           atol=1e-5):
+        # reduce on device: one scalar crosses the boundary (complex X_enc
+        # cannot transfer on the axon platform, utils/xfer.py)
+        enc_diff = float(jnp.max(jnp.abs(ds.X_enc - train.X_enc))) \
+            if ds.X_enc.size else 0.0
+        if enc_diff > 1e-5:
             raise RuntimeError(
                 "Could not reproduce the encoded training set from the "
                 "TrainedMPS. If using a custom encoding, double check it "

@@ -253,8 +253,8 @@ def load_mpstime_jl(path: str, *, key: str = "mps"):
         else:
             center = np.einsum("ab,bicl->aicl", R, center)
 
-    import jax.numpy as jnp
-    mps = MPS(jnp.asarray(cores), jnp.asarray(center), T - 1)
+    from ..utils.xfer import to_device
+    mps = MPS(to_device(cores), to_device(center), T - 1)
 
     # ---- rebuild the preprocessing/encoding record --------------------------
     X_train_scaled, norms = transform_train_data(X_train, opts)

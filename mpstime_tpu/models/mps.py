@@ -69,8 +69,10 @@ class MPS:
         truncated directions in place without compacting the kept ones to
         the front, so the count — the actual bond rank — is the meaningful
         number, not the highest live index."""
-        cores = np.asarray(self.cores)
-        center = np.asarray(self.center)
+        # abs on device: avoids a complex host transfer (unimplemented on
+        # the axon platform — see utils/xfer.py) and halves the bytes moved
+        cores = np.asarray(jnp.abs(self.cores))
+        center = np.asarray(jnp.abs(self.center))
         T, chi = self.T, self.chi
         dims = np.ones(T + 1, dtype=np.int64)
         for t in range(T - 1):
@@ -148,7 +150,8 @@ def random_mps(seed: int, T: int, d: int, num_classes: int, chi_init: int,
     center = np.zeros((chi, d_out, chi, num_classes), dtype=dtype)
     center[:label_site.shape[0], :d, :1, :] = label_site
 
-    return MPS(jnp.asarray(cores), jnp.asarray(center), T - 1)
+    from ..utils.xfer import to_device
+    return MPS(to_device(cores), to_device(center), T - 1)
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,7 @@ from ..encodings import EncodedDataset
 from ..options import MPSOptions
 from ..training.fit import TrainedMPS
 from ..utils.preprocessing import TransformNorms
+from ..utils.xfer import to_device, to_host
 from .mps import MPS
 
 
@@ -64,9 +65,9 @@ def save_mps(path: str, trained: TrainedMPS) -> None:
     serialize; the encode function itself is re-supplied at load time."""
     tr = trained.train_data
     arrays = {
-        "cores": np.asarray(trained.mps.cores),
-        "center": np.asarray(trained.mps.center),
-        "X_enc": np.asarray(tr.X_enc),
+        "cores": to_host(trained.mps.cores),
+        "center": to_host(trained.mps.center),
+        "X_enc": to_host(tr.X_enc),
         "y_idx": tr.y_idx,
         "labels": tr.labels,
         "X_orig": tr.X_orig,
@@ -103,10 +104,10 @@ def load_mps(path: str, custom_encoding=None) -> TrainedMPS:
                          "it to load_mps(custom_encoding=...)")
     enc_args = _unflatten_enc_args("root", data, meta["enc_meta"])
 
-    mps = MPS(jnp.asarray(data["cores"]), jnp.asarray(data["center"]),
+    mps = MPS(to_device(data["cores"]), to_device(data["center"]),
               int(meta["center_pos"]))
     train = EncodedDataset(
-        X_enc=jnp.asarray(data["X_enc"]),
+        X_enc=to_device(data["X_enc"]),
         y_idx=data["y_idx"], labels=data["labels"],
         X_orig=data["X_orig"], X_scaled=data["X_scaled"],
         class_distribution=data["class_distribution"],
@@ -120,9 +121,9 @@ def trained_mps_equal(a: TrainedMPS, b: TrainedMPS, atol: float = 0.0) -> bool:
     if a.opts != b.opts or a.mps.center_pos != b.mps.center_pos:
         return False
     pairs = [
-        (np.asarray(a.mps.cores), np.asarray(b.mps.cores)),
-        (np.asarray(a.mps.center), np.asarray(b.mps.center)),
-        (np.asarray(a.train_data.X_enc), np.asarray(b.train_data.X_enc)),
+        (to_host(a.mps.cores), to_host(b.mps.cores)),
+        (to_host(a.mps.center), to_host(b.mps.center)),
+        (to_host(a.train_data.X_enc), to_host(b.train_data.X_enc)),
         (a.train_data.X_orig, b.train_data.X_orig),
     ]
     for x, y in pairs:

@@ -48,11 +48,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = False   # flipped by tests / CPU runs via set_interpret()
 
+# Mosaic's default scoped-VMEM budget is well below the physical VMEM on
+# current TPUs; raising it lets the fused kernels compile at larger chi.
+# None = Mosaic default.  Set via set_vmem_limit() (sweep.py drives this
+# from the estimated kernel footprint).
+_VMEM_LIMIT_BYTES = None
+
 
 def set_interpret(flag: bool) -> None:
     """Run the kernels in interpreter mode (CPU testing)."""
     global _INTERPRET
     _INTERPRET = bool(flag)
+
+
+def set_vmem_limit(nbytes) -> None:
+    """Set (or clear, with None) the Mosaic scoped-VMEM budget passed to
+    every bond-kernel pallas_call."""
+    global _VMEM_LIMIT_BYTES
+    _VMEM_LIMIT_BYTES = None if nbytes is None else int(nbytes)
+
+
+def _compiler_kw() -> dict:
+    if _VMEM_LIMIT_BYTES is None or _INTERPRET:
+        return {}
+    return dict(compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT_BYTES))
 
 
 def _vmem():
@@ -216,6 +236,7 @@ def _k1_call(eta, left, right, le, re, phil, phir, y1h, w, V0, *,
         in_specs=[_smem_scalar()] + [_vmem()] * 9,
         out_specs=(_vmem(), _vmem()),
         interpret=_INTERPRET,
+        **_compiler_kw(),
     )(eta, left, right, le, re, phil, phir, y1h, w, V0)
 
 
@@ -358,6 +379,7 @@ def _k1_grad_call(left, right, le, re, phil, phir, y1h, w, *,
         in_specs=[_vmem()] * 8,
         out_specs=_vmem(),
         interpret=_INTERPRET,
+        **_compiler_kw(),
     )(left, right, le, re, phil, phir, y1h, w)
 
 
@@ -376,6 +398,7 @@ def _k1_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
         in_specs=[_smem_scalar()] + [_vmem()] * 4,
         out_specs=(_vmem(), _vmem()),
         interpret=_INTERPRET,
+        **_compiler_kw(),
     )(eta, left, right, G, V0)
 
 
@@ -549,6 +572,7 @@ def _k2_call(cutoff, BT, Q, env, env_ls, phi, *, C, chi, d, forward):
         in_specs=[_smem_scalar()] + [_vmem()] * 5,
         out_specs=tuple(_vmem() for _ in range(4)),
         interpret=_INTERPRET,
+        **_compiler_kw(),
     )(cutoff, BT, Q, env, env_ls, phi)
 
 
@@ -568,6 +592,7 @@ def _k2_split_call(cutoff, BT, Q, *, C, chi, d, forward):
         in_specs=[_smem_scalar()] + [_vmem()] * 2,
         out_specs=tuple(_vmem() for _ in range(3)),
         interpret=_INTERPRET,
+        **_compiler_kw(),
     )(cutoff, BT, Q)
 
 
@@ -585,6 +610,7 @@ def _k2_env_call(Qm, env, env_ls, phi, *, chi, d, forward):
         in_specs=[_vmem()] * 4,
         out_specs=(_vmem(), _vmem()),
         interpret=_INTERPRET,
+        **_compiler_kw(),
     )(Qm, env, env_ls, phi)
 
 

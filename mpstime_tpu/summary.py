@@ -104,7 +104,9 @@ def get_training_summary(mps: TrainedMPS, test_states, print_stats: bool = False
     # pairwise.
     centers = jnp.stack([w.center for w in Ws])
     ov = _overlap_matrix(Ws[0].cores, centers, center_pos=Ws[0].center_pos)
-    overlapmat = np.abs(np.asarray(ov))
+    # abs on device: only a real array crosses the host boundary (complex
+    # transfers are unimplemented on the axon platform, utils/xfer.py)
+    overlapmat = np.asarray(jnp.abs(ov))
 
     conf = confusion_matrix(true_te, preds_te, C)
     prec, rec, spec, f1 = _per_class_prf(conf)
@@ -194,10 +196,11 @@ def sweep_summary(info: Dict[str, list], out=None) -> None:
 
 
 def KL_div(mps: TrainedMPS, test_states) -> float:
-    """Mean -log|<psi_y|phi>|^2 over a dataset (reference summary.jl:459-471)."""
+    """Mean -log|<psi_y|phi>|^2 over a dataset (reference summary.jl:459-471).
+    Reduced fully on device; only the scalar crosses the host boundary."""
     from .models.mps import contract_batch_scaled
     yhat_s, ls = contract_batch_scaled(mps.mps, test_states.X_enc)
-    onehot = np.eye(mps.mps.num_classes)[test_states.y_idx]
-    y_true = np.asarray(jnp.sum(yhat_s * jnp.asarray(onehot, dtype=yhat_s.dtype),
-                                axis=1))
-    return float(np.mean(-np.log(np.abs(y_true) ** 2) - 2.0 * np.asarray(ls)))
+    onehot = jnp.asarray(np.eye(mps.mps.num_classes)[test_states.y_idx],
+                         dtype=yhat_s.real.dtype)
+    y_true = jnp.sum(yhat_s * onehot.astype(yhat_s.dtype), axis=1)
+    return float(jnp.mean(-jnp.log(jnp.abs(y_true) ** 2) - 2.0 * ls))

@@ -1,0 +1,73 @@
+"""Complex-safe host<->device transfers.
+
+The axon remote TPU platform supports complex64 *compute* fully (matmul,
+QR, eigh, SVD all run on device) but cannot TRANSFER complex dtypes across
+the host-device boundary — any host read or write of a complex array fails
+with UNIMPLEMENTED (measured; see docs/tpu_performance.md).  These helpers
+move complex arrays as real-imag pairs of the matching real dtype,
+combining / splitting ON device; real dtypes and capable platforms pass
+straight through to the plain transfer.
+
+Used at every boundary crossing of the complex-encoding (fourier / sahand
+/ stoudenmire) paths: MPS initialization, encoding pipelines, model
+save/load, and result reads.  Reference complex-encoding surface:
+/root/reference/src/Encodings/bases.jl:8-74, options.jl:117.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["to_device", "to_host"]
+
+# platforms that cannot move complex dtypes across the host boundary
+_NO_COMPLEX_XFER = ("axon",)
+
+
+@jax.jit
+def _combine(r, i):
+    return jax.lax.complex(r, i)
+
+
+@jax.jit
+def _split(z):
+    return jnp.real(z), jnp.imag(z)
+
+
+def _target_platform() -> str:
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return dd.platform
+    return jax.default_backend()
+
+
+def to_device(x, dtype=None) -> jnp.ndarray:
+    """``jnp.asarray`` that ships complex arrays as on-device-combined
+    real-imag pairs when the target platform cannot transfer complex."""
+    if isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer):
+        # already device-resident (dtype casts happen on device)
+        return jnp.asarray(x, dtype=dtype)
+    arr = np.asarray(x)
+    target = np.dtype(dtype) if dtype is not None else arr.dtype
+    if target.kind != "c" or _target_platform() not in _NO_COMPLEX_XFER:
+        return jnp.asarray(x, dtype=dtype)
+    arr = arr.astype(target)
+    return _combine(jnp.asarray(np.ascontiguousarray(arr.real)),
+                    jnp.asarray(np.ascontiguousarray(arr.imag)))
+
+
+def to_host(x) -> np.ndarray:
+    """``np.asarray`` that reads complex device arrays as real-imag pairs
+    when the source platform cannot transfer complex."""
+    if isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer) \
+            and np.dtype(x.dtype).kind == "c":
+        try:
+            plat = list(x.devices())[0].platform
+        except Exception:                                     # noqa: BLE001
+            plat = _target_platform()
+        if plat in _NO_COMPLEX_XFER:
+            r, i = _split(x)
+            return np.asarray(r) + 1j * np.asarray(i)
+    return np.asarray(x)

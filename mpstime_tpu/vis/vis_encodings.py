@@ -9,6 +9,7 @@ import numpy as np
 
 from ..encodings import get_encoding
 from ..options import MPSOptions
+from ..utils.xfer import to_host
 
 
 def plot_encoding(encoding, d: int, X_train: Optional[np.ndarray] = None,
@@ -73,11 +74,11 @@ def plot_encoding(encoding, d: int, X_train: Optional[np.ndarray] = None,
             T = X_train.shape[1]
             Xg = np.zeros((len(xs), T))
             Xg[:, t] = xs
-            vals = np.asarray(spec.encode_batch(jnp.asarray(Xg), d,
-                                                enc_args))[:, t, :]
+            vals = to_host(spec.encode_batch(jnp.asarray(Xg), d,
+                                             enc_args))[:, t, :]
         else:
-            vals = np.asarray(spec.encode_batch(jnp.asarray(xs[None, :]), d,
-                                                enc_args))[0]
+            vals = to_host(spec.encode_batch(jnp.asarray(xs[None, :]), d,
+                                             enc_args))[0]
         ax = axes[-1][ci]
         for k in range(vals.shape[-1]):
             ax.plot(xs, vals[:, k].real, label=f"b{k}")

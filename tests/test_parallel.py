@@ -415,6 +415,46 @@ def test_tune_farms_trial_axis(two_class_sines, monkeypatch):
         assert cache_f[k] == pytest.approx(cache_s[k], rel=1e-9)
 
 
+def test_de_population_farms_devices(two_class_sines, monkeypatch):
+    """ScipySolver differential_evolution farms each generation's population
+    energies over the DeviceFarm (deferred updating => identical trajectory
+    to the sequential run at a fixed seed)."""
+    import mpstime_tpu as mt
+    from mpstime_tpu.parallel.farm import DeviceFarm
+
+    calls = {"n": 0, "max_items": 0}
+    real_map = DeviceFarm.map
+
+    def counting_map(self, fn, items):
+        items = list(items)
+        calls["n"] += 1
+        calls["max_items"] = max(calls["max_items"], len(items))
+        return real_map(self, fn, items)
+
+    monkeypatch.setattr(DeviceFarm, "map", counting_map)
+    Xtr, ytr, _, _ = two_class_sines
+    kw = dict(nfolds=2,
+              parameters={"chi_max": (4, 10), "eta": (0.1, 2.0)},
+              method=mt.ScipySolver("differential_evolution", popsize=4),
+              # budget covers init + 2 full generations (8 + 2*8 = 24), so
+              # the mid-generation exhaustion stop — where farmed and
+              # sequential runs legitimately cancel different in-flight
+              # jobs — never fires and the trajectories match exactly
+              objective=mt.MisclassificationRate(), rng=3, maxiters=24,
+              verbosity=-1,
+              opts0=mt.MPSOptions(verbosity=-5, log_level=-1, nsweeps=2,
+                                  chi_max=8, d=3, dtype="float64",
+                                  sigmoid_transform=True))
+    best_f, cache_f = mt.tune(Xtr, ytr, devices="all", **kw)
+    # the population (popsize * ndim = 8 energies) went through farm.map
+    assert calls["n"] >= 1 and calls["max_items"] >= 8, calls
+    best_s, cache_s = mt.tune(Xtr, ytr, **kw)
+    assert best_f == best_s
+    assert set(cache_f) == set(cache_s)
+    for k in cache_f:
+        assert cache_f[k] == pytest.approx(cache_s[k], rel=1e-9)
+
+
 def test_evaluate_device_farm(two_class_sines, tmp_path):
     import mpstime_tpu as mt
 
