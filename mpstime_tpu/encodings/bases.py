@@ -12,8 +12,20 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _cis(theta: jnp.ndarray) -> jnp.ndarray:
+    """e^{i theta} in explicit Euler form: ``lax.complex(cos, sin)``.
+
+    Deliberately avoids ``jnp.exp(1j * theta)``: the ``1j`` literal becomes
+    a complex scalar *constant* that eager dispatch must transfer to the
+    device, and complex transfers are unimplemented on the axon TPU
+    platform (utils/xfer.py).  The Euler form touches only real constants
+    and is also how the hardware computes a complex exp anyway."""
+    return jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
 
 
 def uniform_encode(x: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -30,7 +42,7 @@ def angle_encode(x: jnp.ndarray, d: int = 2, periods: float = 0.25) -> jnp.ndarr
     if d != 2:
         raise ValueError("Stoudenmire angle encoding only supports d = 2!")
     x = jnp.asarray(x)
-    ph = jnp.exp(1.5j * jnp.pi * x)
+    ph = _cis(1.5 * jnp.pi * x)
     s1 = ph * jnp.cos(2 * jnp.pi * periods * x)
     s2 = jnp.conj(ph) * jnp.sin(2 * jnp.pi * periods * x)
     return jnp.stack([s1, s2], axis=-1)
@@ -54,9 +66,10 @@ def fourier_encode(x: jnp.ndarray, d: int,
     Fourier basis, where the normalisation stays 1/sqrt(len(freqs)))."""
     if freqs is None:
         freqs = get_fourier_freqs(d)
+    nf = len(np.asarray(freqs))
     freqs = jnp.asarray(np.asarray(freqs))
     x = jnp.asarray(x)
-    return jnp.exp(1j * jnp.pi * x[..., None] * freqs) / jnp.sqrt(float(len(freqs)))
+    return _cis(jnp.pi * x[..., None] * freqs) / jnp.sqrt(float(nf))
 
 
 def sahand_encode(x: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -70,12 +83,14 @@ def sahand_encode(x: jnp.ndarray, d: int) -> jnp.ndarray:
     startx = (interval - 1) * dx
     inside = (startx <= x) & (x <= interval * dx)
     odd = (i.astype(np.int64) % 2) == 1
-    phase = jnp.exp(1j * jnp.pi * 1.5 * x / dx)
+    phase = _cis(jnp.pi * 1.5 * x / dx)
     arg = 0.5 * jnp.pi * (x - startx) / dx
     vals_odd = phase * jnp.cos(arg)
     vals_even = jnp.conj(phase) * jnp.sin(arg)
     vals = jnp.where(odd, vals_odd, vals_even)
-    return jnp.where(inside, vals, 0.0 + 0.0j)
+    # mask by a REAL multiply — a complex-zero where-constant would need a
+    # complex device constant (untransferable on axon, utils/xfer.py)
+    return vals * inside.astype(vals.real.dtype)
 
 
 def _legendre_norm_const(l: int) -> float:

@@ -54,9 +54,10 @@ def _enc_fourier(X, d, enc_args=None):
 
 def _timedep_select_fourier(X, d, enc_args):
     # phi[n, t, k] = exp(i pi f[t, k] x[n, t]) / sqrt(max_series_terms)
+    # (Euler form, no complex constants — see bases._cis)
     freqs = jnp.asarray(enc_args["freq_select"])          # [T, d] float
     nds = float(enc_args["max_series_terms"])
-    return jnp.exp(1j * jnp.pi * X[..., None] * freqs) / jnp.sqrt(nds)
+    return bases._cis(jnp.pi * X[..., None] * freqs) / jnp.sqrt(nds)
 
 
 def _enc_legendre(X, d, enc_args=None, norm=False):

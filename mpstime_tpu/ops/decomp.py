@@ -56,7 +56,8 @@ def _fixed_sketch(shape, dtype) -> jnp.ndarray:
     om = rng.standard_normal(shape)
     if np.dtype(dtype).kind == "c":
         om = om + 1j * rng.standard_normal(shape)
-    return jnp.asarray(om.astype(dtype))
+    from ..utils.xfer import to_device
+    return to_device(om, dtype)
 
 
 def _sketch_k(keep: int, other: int) -> int:
@@ -292,7 +293,8 @@ def warm_sketch_init(n: int, keep: int, dtype) -> jnp.ndarray:
     Q, _ = np.linalg.qr(Psi.astype(dtype))
     if keep > k:
         Q = np.pad(Q, ((0, 0), (0, keep - k)))
-    return jnp.asarray(Q.astype(dtype))
+    from ..utils.xfer import to_device
+    return to_device(Q, dtype)
 
 
 def split_bond_left(M: jnp.ndarray, keep: int, cutoff,

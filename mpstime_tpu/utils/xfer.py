@@ -22,8 +22,12 @@ import numpy as np
 
 __all__ = ["to_device", "to_host"]
 
-# platforms that cannot move complex dtypes across the host boundary
-_NO_COMPLEX_XFER = ("axon",)
+# Platforms routed through the real-imag pair shim.  The axon remote TPU
+# plugin registers its devices under the plain "tpu" platform name, so all
+# TPU targets take the shim — on a TPU runtime with native complex
+# transfer this merely costs one tiny combine/split jit, while on axon it
+# is the only path that works.
+_NO_COMPLEX_XFER = ("axon", "tpu")
 
 
 @jax.jit

@@ -1,5 +1,14 @@
-"""Test configuration: force CPU backend with 8 virtual devices (multi-chip
-sharding tests run on a virtual mesh) and enable x64 for f64 parity tests.
+"""Test configuration.
+
+Default lane: force the CPU backend with 8 virtual devices (multi-chip
+sharding tests run on a virtual mesh) and enable x64 for f64 parity tests;
+``-m tpu`` tests are skipped.
+
+Hardware lane (``pytest -m tpu``): keeps the environment's real TPU
+platform (f32/c64) and runs only the ``@pytest.mark.tpu`` subset —
+repeatable device coverage of the compiled Pallas kernels, the complex
+transfer shim, and f32 accuracy floors (the reference's
+CI-runs-everything posture, its .github/workflows + test/runtests.jl).
 
 NOTE: the environment may export JAX_PLATFORMS (e.g. a TPU plugin); the
 config.update below takes precedence over the env var.
@@ -12,12 +21,29 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
-
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
-
 import numpy as np
 import pytest
+
+
+def _is_tpu_lane(config) -> bool:
+    me = config.option.markexpr or ""
+    return "tpu" in me and "not tpu" not in me
+
+
+def pytest_configure(config):
+    config._tpu_lane = _is_tpu_lane(config)
+    if not config._tpu_lane:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+
+def pytest_collection_modifyitems(config, items):
+    if getattr(config, "_tpu_lane", False):
+        return
+    skip = pytest.mark.skip(reason="TPU hardware lane — run `pytest -m tpu`")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
 
 
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
