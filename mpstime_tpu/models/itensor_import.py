@@ -74,12 +74,36 @@ def _index_info(iv) -> dict:
     return dict(id=int(iv["id"]), dim=int(iv["space"]), tags=tags)
 
 
+def _storage_to_array(ds) -> np.ndarray:
+    """Flat data vector of an ITensor storage: plain Float64, or JLD2's
+    Complex{Float64} (an HDF5 compound with ``re``/``im`` members,
+    reference Structs/options.jl:422-427 — complex models are saved for
+    the Fourier/Sahand/Stoudenmire encodings)."""
+    raw = ds[()]
+    if raw.dtype.names:
+        names = set(raw.dtype.names)
+        if {"re", "im"} <= names:
+            return (np.asarray(raw["re"], np.float64)
+                    + 1j * np.asarray(raw["im"], np.float64))
+        raise ValueError(
+            "Cannot map ITensor storage with compound element type "
+            f"{raw.dtype.names!r}: expected Float64 data or "
+            "Complex{Float64} (re/im members). Blocked/sparse ITensor "
+            "storages are not supported — re-save the reference model as "
+            "a dense MPS.")
+    if raw.dtype.kind != "f":
+        raise ValueError(
+            f"Cannot map ITensor storage of element kind {raw.dtype!r}: "
+            "expected Float64 or Complex{Float64} dense storage.")
+    return np.asarray(raw, dtype=np.float64)
+
+
 def _read_itensor(f, ref):
     """-> (array in inds order, [index info])."""
     wrapper = f[ref]
     t = f[wrapper.fields("tensor")[()]]
     stor = t.fields("storage")[()]
-    flat = np.asarray(f[stor["data"]], dtype=np.float64)
+    flat = _storage_to_array(f[stor["data"]])
     inds_v = t.fields("inds")[()]
     inds = [_index_info(inds_v[name]) for name in inds_v.dtype.names]
     arr = flat.reshape([i["dim"] for i in inds], order="F")
@@ -109,8 +133,10 @@ def load_mpstime_jl(path: str, *, key: str = "mps"):
     mapped onto :class:`MPSOptions`; the training-data record (original
     series + labels) is re-encoded with this package's pipeline so
     ``classify`` / ``init_imputation_problem`` work directly on the
-    imported model.  Complex (Fourier/Sahand/Stoudenmire) models are not
-    supported yet — the reference stores those as ComplexF64 ITensors."""
+    imported model.  Both Float64 and ComplexF64 ITensor storage are
+    supported (the reference saves ComplexF64 models for its complex
+    Fourier/Sahand/Stoudenmire encodings); unmappable storages (blocked /
+    sparse / other element types) raise a ValueError naming the layout."""
     h5py = _require_h5py()
     from ..encodings import encode_dataset
     from ..options import MPSOptions
@@ -229,7 +255,10 @@ def load_mpstime_jl(path: str, *, key: str = "mps"):
         else:
             site_arrays.append(full)
 
-    dtype = np.float64
+    is_complex = any(np.iscomplexobj(arr) for arr, _ in tensors)
+    dtype = np.complex128 if is_complex else np.float64
+    if is_complex:
+        opts = opts.replace(dtype="complex128")
     cores = np.zeros((T, chi_max, d, chi_max), dtype=dtype)
     for t, A in enumerate(site_arrays):
         if A.shape[0] > chi_max or A.shape[2] > chi_max:
@@ -259,5 +288,58 @@ def load_mpstime_jl(path: str, *, key: str = "mps"):
     # ---- rebuild the preprocessing/encoding record --------------------------
     X_train_scaled, norms = transform_train_data(X_train, opts)
     train_ds = encode_dataset(X_train, X_train_scaled, y_train, opts,
-                              dtype=np.float64)
+                              dtype=dtype)
     return TrainedMPS(mps, opts, norms, train_ds)
+
+
+def load_mpstime_jl_eval_results(path: str, *, key: str = "res_baseline"):
+    """Parse an ``evaluate`` results baseline saved by the reference
+    (JLD2 ``@save ... res_baseline`` — a Vector of per-fold Dicts; written
+    by the run in /root/reference/test/meta_hyperopt.jl:17-55 and compared
+    there against fresh ``evaluate`` output, fold indices asserted).
+
+    Returns a list of per-fold dicts with the protocol keys decodable
+    outside Julia: ``fold`` (1-based), ``train_inds`` / ``test_inds``
+    (1-based index arrays), ``loss`` (array), ``time`` (seconds),
+    ``objective`` / ``optimiser`` (strings); Julia-struct-valued entries
+    (opts, cache, windows) appear with value ``None`` — their KEYS are the
+    protocol surface this loader certifies, their contents are
+    Julia-internal.  Used as the cross-implementation oracle for this
+    package's :func:`~mpstime_tpu.evaluate` protocol (tests/test_eval_oracle.py)."""
+    h5py = _require_h5py()
+    import numpy as np
+    from h5py import h5s, h5t
+
+    str_dt = h5py.string_dtype()
+
+    def read_pair(f, ds):
+        mem = np.dtype([("first", str_dt)])
+        out = np.empty((), mem)
+        ds.id.read(h5s.ALL, h5s.ALL, out, h5t.py_create(mem))
+        k = out["first"][()]
+        k = k.decode() if isinstance(k, bytes) else k
+        try:
+            mem2 = np.dtype([("second", h5py.ref_dtype)])
+            out2 = np.empty((), mem2)
+            ds.id.read(h5s.ALL, h5s.ALL, out2, h5t.py_create(mem2))
+            v = f[out2["second"][()]][()]
+            if isinstance(v, bytes):
+                v = v.decode()
+            elif isinstance(v, np.ndarray) and v.dtype == object:
+                v = None                      # vector of Julia objects
+            elif isinstance(v, np.void):
+                v = None                      # Julia struct
+        except Exception:                                  # noqa: BLE001
+            v = None                          # JLD2-internal reference type
+        return k, v
+
+    folds = []
+    with h5py.File(path, "r") as f:
+        for ref in f[key][()]:
+            kv_refs = f[f[ref][()]["kvvec"]][()]
+            rec = {}
+            for r in kv_refs:
+                k, v = read_pair(f, f[r])
+                rec[k] = v
+            folds.append(rec)
+    return folds

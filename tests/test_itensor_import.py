@@ -89,3 +89,62 @@ class TestReferenceTrainedModel:
         for s in spec:
             assert np.all(np.asarray(s) >= -1e-10)
             assert np.isfinite(np.asarray(s)).all()
+
+
+class TestComplexImport:
+    """ComplexF64 ITensor storage (the reference saves complex models for
+    its Fourier/Sahand/Stoudenmire encodings, Structs/options.jl:422-427).
+    No real complex fixture is vendorable offline, so a synthetic file in
+    the same JLD2 layout (tests/jld2_synth.py) exercises the path: a
+    fourier model trained HERE, written in the reference's on-disk layout,
+    must import and classify identically."""
+
+    @pytest.fixture(scope="class")
+    def fourier_roundtrip(self, two_class_sines, tmp_path_factory):
+        from tests.jld2_synth import write_synthetic_jld2
+
+        Xtr, ytr, _, _ = two_class_sines
+        Xtr, ytr = Xtr[:24], ytr[:24]
+        opts = mt.MPSOptions(nsweeps=3, chi_max=10, d=4, encoding="fourier",
+                             verbosity=-1, log_level=-1)
+        trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        path = str(tmp_path_factory.mktemp("jld2") / "fourier_synth.jld2")
+        write_synthetic_jld2(path, np.asarray(trained.mps.cores),
+                             np.asarray(trained.mps.center),
+                             trained.mps.bond_dims(), Xtr, ytr, opts)
+        return trained, mt.load_mpstime_jl(path), Xtr, ytr
+
+    def test_complex_dtype_and_options(self, fourier_roundtrip):
+        trained, imported, _, _ = fourier_roundtrip
+        assert np.asarray(imported.mps.center).dtype == np.complex128
+        assert imported.opts.encoding == "fourier"
+        assert imported.opts.resolved_dtype() == np.complex128
+        assert imported.opts.chi_max == trained.opts.chi_max
+
+    def test_classification_matches_source_model(self, fourier_roundtrip):
+        trained, imported, Xtr, ytr = fourier_roundtrip
+        np.testing.assert_array_equal(mt.classify(imported, Xtr),
+                                      mt.classify(trained, Xtr))
+
+    def test_imputation_runs_on_imported_complex_model(self,
+                                                       fourier_roundtrip):
+        _, imported, Xtr, ytr = fourier_roundtrip
+        imp = mt.init_imputation_problem(imported, Xtr, ytr, verbosity=-1,
+                                         test_encoding=False)
+        out = mt.mps_impute(imp, 0, 0, np.arange(10, 20), method="median")
+        assert np.isfinite(np.asarray(out[0][0])).all()
+
+    def test_unmappable_storage_raises(self, tmp_path):
+        import h5py
+        from mpstime_tpu.models.itensor_import import _storage_to_array
+
+        p = str(tmp_path / "bad.h5")
+        with h5py.File(p, "w") as f:
+            f.create_dataset("int_data", data=np.arange(4, dtype=np.int64))
+            cdt = np.dtype([("foo", "<f8"), ("bar", "<f8")])
+            f.create_dataset("weird", data=np.zeros(4, dtype=cdt))
+        with h5py.File(p, "r") as f:
+            with pytest.raises(ValueError, match="element kind"):
+                _storage_to_array(f["int_data"])
+            with pytest.raises(ValueError, match="compound element type"):
+                _storage_to_array(f["weird"])
