@@ -39,12 +39,14 @@ def _sync(x):
 
 
 def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
-                       measure_percall=True):
+                       measure_percall=True, encoding="legendre"):
     """Median s/sweep of the production training path: all sweeps fused into
     one compiled device call (training/sweep.py full_sweeps — what fit_mps
     uses whenever per-sweep host logging is off, e.g. all of hyperopt).
     Also returns the single-sweep-per-call time (includes per-call host
-    dispatch, ~10-30 ms on the remote TPU service)."""
+    dispatch, ~10-30 ms on the remote TPU service).  ``encoding`` picks the
+    dtype path: legendre = f32 (fused Pallas kernels), fourier = complex64
+    (XLA bond path via the real-imag boundary shims)."""
     import jax.numpy as jnp
 
     import mpstime_tpu as mt
@@ -53,19 +55,22 @@ def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
     from mpstime_tpu.training.sweep import full_sweep, full_sweeps
     from mpstime_tpu.utils.preprocessing import transform_data
 
-    opts = mt.MPSOptions(chi_max=chi, d=d, verbosity=-1, dtype="float32")
+    opts = mt.MPSOptions(chi_max=chi, d=d, verbosity=-1, encoding=encoding,
+                         dtype="float32" if encoding == "legendre" else None)
+    dt = opts.resolved_dtype()
+    rdt = np.zeros(0, dt).real.dtype
     Xs, _, _, _ = transform_data(X, np.zeros((0, X.shape[1])), opts)
-    ds = encode_dataset(X, Xs, y, opts)
+    ds = encode_dataset(X, Xs, y, opts, dtype=dt)
     T, N = X.shape[1], X.shape[0]
     C = ds.num_classes
-    mps = random_mps(opts.init_rng, T, d, C, opts.chi_init, chi, np.float32)
+    mps = random_mps(opts.init_rng, T, d, C, opts.chi_init, chi, dt)
     phis_c = jnp.conj(ds.X_enc).swapaxes(0, 1)
-    y_onehot = jnp.asarray(np.eye(C, dtype=np.float32)[ds.y_idx])
-    w = jnp.full((N,), 1.0 / N, jnp.float32)
+    y_onehot = jnp.asarray(np.eye(C)[ds.y_idx], rdt)
+    w = jnp.full((N,), 1.0 / N, rdt)
     kw = dict(loss="KLD", bbopt="TSGO", update_iters=1,
               rescale=(False, True), svd_alg=opts.resolved_svd_alg())
-    eta = jnp.float32(opts.eta)
-    cutoff = jnp.float32(opts.cutoff)
+    eta = jnp.asarray(opts.eta, rdt)
+    cutoff = jnp.asarray(opts.cutoff, rdt)
 
     # fused path (warm + timed)
     cores, center = full_sweeps(mps.cores, mps.center, phis_c, y_onehot, w,
@@ -102,14 +107,15 @@ def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
     return t_fused, t_percall, float(acc)
 
 
-def _impute_batch_time(Xtr, ytr, Xte, yte, reps=3):
+def _impute_batch_time(Xtr, ytr, Xte, yte, reps=3, encoding="legendre"):
     """Wall-clock of the batched imputation kernel (problem.py impute_batch)
     at ECG200 scale: B instances of one class, a 20% MAR block, dx=1e-4 —
     the hyperopt ImputationLoss inner loop."""
     import mpstime_tpu as mt
 
     opts = mt.MPSOptions(nsweeps=3, chi_max=25, d=5, verbosity=-1,
-                         log_level=-1, dtype="float32")
+                         log_level=-1, encoding=encoding,
+                         dtype="float32" if encoding == "legendre" else None)
     trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
     imp = mt.init_imputation_problem(trained, Xte, yte, verbosity=-1,
                                      test_encoding=False)
@@ -296,6 +302,16 @@ def main():
     t32, _, _ = _steady_sweep_time(X, y, chi=32, d=5, measure_percall=False)
     t128, _, acc128 = _steady_sweep_time(X, y, chi=128, d=5,
                                          measure_percall=False)
+    # big-chi fused path (raised Mosaic VMEM budget; was the XLA fallback
+    # at 0.095 / 0.158 in r2)
+    t192, _, _ = _steady_sweep_time(X, y, chi=192, d=5, nsweeps_block=4,
+                                    measure_percall=False)
+    t256, _, _ = _steady_sweep_time(X, y, chi=256, d=5, nsweeps_block=4,
+                                    measure_percall=False)
+    # complex-encoding path (fourier c64 — XLA bond path, boundary shims)
+    t_f64c, _, acc_f = _steady_sweep_time(X, y, chi=64, d=5,
+                                          measure_percall=False,
+                                          encoding="fourier")
 
     # long-sequence scaling: T=512 synthetic, ECG-like sample count
     rng = np.random.default_rng(0)
@@ -323,6 +339,7 @@ def main():
                                      measure_percall=False)
 
     t_imp, B_imp, mae_imp = _impute_batch_time(X, y, Xte, yte)
+    t_imp_f, _, _ = _impute_batch_time(X, y, Xte, yte, encoding="fourier")
     t_fold_eval = _fold_eval_time(X, y, Xte, yte)
     t_fold_train, acc_fold = _tune_fold_train_time()
     t_padded_fit, padded_rank_ok = _padded_fit_time(X, y)
@@ -337,6 +354,11 @@ def main():
         "ecg200_sweep_time_chi64_percall": round(t64_percall, 5),
         "ecg200_sweep_time_chi32": round(t32, 5),
         "ecg200_sweep_time_chi128": round(t128, 5),
+        "ecg200_sweep_time_chi192": round(t192, 5),
+        "ecg200_sweep_time_chi256": round(t256, 5),
+        "fourier_c64_sweep_time_chi64": round(t_f64c, 5),
+        "fourier_train_acc_after_8_sweeps": round(acc_f, 4),
+        "fourier_c64_impute_batch_time": round(t_imp_f, 5),
         "longT512_sweep_time_chi64": round(t_long, 5),
         "ipd_shape_sweep_time_chi25": round(t_ipd, 5),
         "ipd_shape_vs_baseline": round(baseline / t_ipd, 2),

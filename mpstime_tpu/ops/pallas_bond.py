@@ -38,7 +38,7 @@ tail-sum of squared singular values).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,11 +48,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = False   # flipped by tests / CPU runs via set_interpret()
 
-# Mosaic's default scoped-VMEM budget is well below the physical VMEM on
-# current TPUs; raising it lets the fused kernels compile at larger chi.
-# None = Mosaic default.  Set via set_vmem_limit() (sweep.py drives this
-# from the estimated kernel footprint).
+# Mosaic's default scoped-VMEM budget (~16 MB) is well below the physical
+# VMEM on v5e; raising it per-kernel lets the fused path compile far past
+# the old chi=128 ceiling.  Measured (ECG200 shapes, v5e): chi=192 runs
+# 0.066 s/sweep and chi=256 runs 0.095 s/sweep fused at a 64 MB budget
+# (vs 0.095 / 0.158 on the XLA fallback); a 100 MB budget exceeds the
+# physical VMEM and the compiler rejects it.  _VMEM_LIMIT_BYTES overrides
+# the automatic footprint rule when set (measurement scripts).
 _VMEM_LIMIT_BYTES = None
+_DEFAULT_BUDGET = 6 * 2 ** 20     # fits Mosaic's default scoped budget
+_RAISED_BUDGET = 64 * 2 ** 20     # measured good through chi=256
+MAX_FOOTPRINT = 18 * 2 ** 20      # beyond this the caller should fall
+                                  # back to the XLA path (sweep.py guard)
+
+
+def kernel_footprint(C: int, chi: int, d: int, N: int) -> int:
+    """Estimated VMEM residents of the fused bond kernels: the bond tensor
+    [C, chi*d, d, chi], the subspace / power-step buffers [chi*d, chi] x2,
+    and the batch kron factors [N, chi*d] x2 — kernel temporaries cost
+    roughly as much again, which the raised budget absorbs."""
+    f = 4  # f32 bytes
+    bt = C * chi * d * d * chi * f
+    subspace = 2 * (chi * d * chi) * f
+    batch = 2 * N * chi * d * f + 2 * N * chi * f
+    return bt + subspace + batch
 
 
 def set_interpret(flag: bool) -> None:
@@ -62,17 +81,22 @@ def set_interpret(flag: bool) -> None:
 
 
 def set_vmem_limit(nbytes) -> None:
-    """Set (or clear, with None) the Mosaic scoped-VMEM budget passed to
-    every bond-kernel pallas_call."""
+    """Override (or clear, with None) the automatic Mosaic scoped-VMEM
+    budget for every bond-kernel pallas_call."""
     global _VMEM_LIMIT_BYTES
     _VMEM_LIMIT_BYTES = None if nbytes is None else int(nbytes)
 
 
-def _compiler_kw() -> dict:
-    if _VMEM_LIMIT_BYTES is None or _INTERPRET:
+def _compiler_kw(est: Optional[int] = None) -> dict:
+    if _INTERPRET:
         return {}
-    return dict(compiler_params=pltpu.CompilerParams(
-        vmem_limit_bytes=_VMEM_LIMIT_BYTES))
+    if _VMEM_LIMIT_BYTES is not None:
+        return dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES))
+    if est is not None and est > _DEFAULT_BUDGET:
+        return dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_RAISED_BUDGET))
+    return {}
 
 
 def _vmem():
@@ -222,7 +246,7 @@ def _k1_kernel(eta_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
 
 
 def _k1_call(eta, left, right, le, re, phil, phir, y1h, w, V0, *,
-             C, chi, d, forward, emit_y=True):
+             C, chi, d, forward, emit_y=True, est=None):
     f32 = jnp.float32
     out_shape = (
         jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
@@ -236,7 +260,7 @@ def _k1_call(eta, left, right, le, re, phil, phir, y1h, w, V0, *,
         in_specs=[_smem_scalar()] + [_vmem()] * 9,
         out_specs=(_vmem(), _vmem()),
         interpret=_INTERPRET,
-        **_compiler_kw(),
+        **_compiler_kw(est),
     )(eta, left, right, le, re, phil, phir, y1h, w, V0)
 
 
@@ -369,7 +393,7 @@ def _k1_update_kernel(eta_ref, left_ref, right_ref, g_ref, v0_ref,
 
 
 def _k1_grad_call(left, right, le, re, phil, phir, y1h, w, *,
-                  C, chi, d, forward):
+                  C, chi, d, forward, est=None):
     f32 = jnp.float32
     kern = functools.partial(_k1_grad_kernel, C=C, chi=chi, d=d,
                              forward=forward)
@@ -379,12 +403,12 @@ def _k1_grad_call(left, right, le, re, phil, phir, y1h, w, *,
         in_specs=[_vmem()] * 8,
         out_specs=_vmem(),
         interpret=_INTERPRET,
-        **_compiler_kw(),
+        **_compiler_kw(est),
     )(left, right, le, re, phil, phir, y1h, w)
 
 
 def _k1_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
-                    emit_y=True):
+                    emit_y=True, est=None):
     f32 = jnp.float32
     out_shape = (
         jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
@@ -398,7 +422,7 @@ def _k1_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
         in_specs=[_smem_scalar()] + [_vmem()] * 4,
         out_specs=(_vmem(), _vmem()),
         interpret=_INTERPRET,
-        **_compiler_kw(),
+        **_compiler_kw(est),
     )(eta, left, right, G, V0)
 
 
@@ -556,7 +580,7 @@ def _k2_env_kernel(qm_ref, env_ref, envls_ref, phi_ref, env2_ref,
                     envls2_ref, chi=chi, d=d, forward=forward)
 
 
-def _k2_call(cutoff, BT, Q, env, env_ls, phi, *, C, chi, d, forward):
+def _k2_call(cutoff, BT, Q, env, env_ls, phi, *, C, chi, d, forward, est=None):
     f32 = jnp.float32
     N = env.shape[0]
     out_shape = (
@@ -572,11 +596,11 @@ def _k2_call(cutoff, BT, Q, env, env_ls, phi, *, C, chi, d, forward):
         in_specs=[_smem_scalar()] + [_vmem()] * 5,
         out_specs=tuple(_vmem() for _ in range(4)),
         interpret=_INTERPRET,
-        **_compiler_kw(),
+        **_compiler_kw(est),
     )(cutoff, BT, Q, env, env_ls, phi)
 
 
-def _k2_split_call(cutoff, BT, Q, *, C, chi, d, forward):
+def _k2_split_call(cutoff, BT, Q, *, C, chi, d, forward, est=None):
     f32 = jnp.float32
     nq = Q.shape[0]
     out_shape = (
@@ -592,11 +616,11 @@ def _k2_split_call(cutoff, BT, Q, *, C, chi, d, forward):
         in_specs=[_smem_scalar()] + [_vmem()] * 2,
         out_specs=tuple(_vmem() for _ in range(3)),
         interpret=_INTERPRET,
-        **_compiler_kw(),
+        **_compiler_kw(est),
     )(cutoff, BT, Q)
 
 
-def _k2_env_call(Qm, env, env_ls, phi, *, chi, d, forward):
+def _k2_env_call(Qm, env, env_ls, phi, *, chi, d, forward, est=None):
     f32 = jnp.float32
     N = env.shape[0]
     out_shape = (
@@ -610,7 +634,7 @@ def _k2_env_call(Qm, env, env_ls, phi, *, chi, d, forward):
         in_specs=[_vmem()] * 4,
         out_specs=(_vmem(), _vmem()),
         interpret=_INTERPRET,
-        **_compiler_kw(),
+        **_compiler_kw(est),
     )(Qm, env, env_ls, phi)
 
 
@@ -641,6 +665,7 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
     per bond update, SURVEY §2.3), and the update + split run redundantly on
     every device; each shard's environments advance locally."""
     C, chi, d, _ = center_c.shape
+    est = kernel_footprint(C, chi, d, le.shape[0])
     eta2 = jnp.reshape(eta.astype(jnp.float32), (1, 1))
     mr = jnp.float32(chi) if max_rank is None else max_rank.astype(jnp.float32)
     # [cutoff, max_rank] share one SMEM scalar block
@@ -654,13 +679,14 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
 
     if axis_name is None:
         BT, Y = _k1_call(eta2, left, right, le, re, phil, phir, y1h, w2, V0,
-                         C=C, chi=chi, d=d, forward=forward, emit_y=refresh)
+                         C=C, chi=chi, d=d, forward=forward, emit_y=refresh,
+                         est=est)
     else:
         G = _k1_grad_call(left, right, le, re, phil, phir, y1h, w2,
-                          C=C, chi=chi, d=d, forward=forward)
+                          C=C, chi=chi, d=d, forward=forward, est=est)
         G = jax.lax.psum(G, axis_name)
         BT, Y = _k1_update_call(eta2, left, right, G, V0, C=C, chi=chi, d=d,
-                                forward=forward, emit_y=refresh)
+                                forward=forward, emit_y=refresh, est=est)
     if refresh:
         Q, _ = jnp.linalg.qr(Y)
     else:
@@ -672,10 +698,10 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
     if axis_name is None:
         center2, core, env2, env_ls2 = _k2_call(
             cut2, BT, Q, env, env_ls[:, None], phi, C=C, chi=chi, d=d,
-            forward=forward)
+            forward=forward, est=est)
     else:
         center2, core, Qm = _k2_split_call(cut2, BT, Q, C=C, chi=chi, d=d,
-                                           forward=forward)
+                                           forward=forward, est=est)
         env2, env_ls2 = _k2_env_call(Qm, env, env_ls[:, None], phi,
-                                     chi=chi, d=d, forward=forward)
+                                     chi=chi, d=d, forward=forward, est=est)
     return center2, core, env2, env_ls2[:, 0], Q

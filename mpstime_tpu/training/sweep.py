@@ -53,19 +53,16 @@ from ..ops.env import (boundary_env, build_left_envs, env_step_left_scaled,
 
 
 def _pallas_vmem_ok(C: int, chi: int, d: int, N: int) -> bool:
-    """Estimated VMEM footprint of the fused bond kernels.  The dominant
-    K1/K2 residents are the bond tensor [C, chi*d, d, chi], the subspace /
-    power-step buffers [chi*d, chi] x2, and the batch kron factors
-    [N, chi*d] x2 — plus roughly as much again in kernel temporaries.
-    Measured on v5e: chi=128 at ECG200 shapes (~4.5 MB estimated residents)
-    compiles, chi=192 (~9.8 MB) crashes the TPU compiler; the 6 MB bound
-    keeps a margin for the temporaries.  Larger problems take the XLA bond
-    step (chi=192: 0.095 s/sweep, chi=256: 0.158 s/sweep measured there)."""
-    f = 4  # f32 bytes
-    bt = C * chi * d * d * chi * f
-    subspace = 2 * (chi * d * chi) * f
-    batch = 2 * N * chi * d * f + 2 * N * chi * f
-    return (bt + subspace + batch) <= 6 * 2 ** 20
+    """Estimated VMEM footprint of the fused bond kernels vs what fits.
+    Problems past Mosaic's ~16 MB default scoped budget compile with a
+    raised per-kernel ``vmem_limit_bytes`` (pallas_bond._compiler_kw) up to
+    the physical VMEM; measured on v5e at ECG200 shapes the fused path now
+    runs chi=192 at 0.066 s/sweep and chi=256 at 0.095 (vs 0.095 / 0.158
+    on the XLA fallback).  Footprints past ~18 MB estimated residents
+    (chi>256 at these shapes) still fall back to the XLA bond step — the
+    raised budget cannot exceed the chip."""
+    from ..ops.pallas_bond import MAX_FOOTPRINT, kernel_footprint
+    return kernel_footprint(C, chi, d, N) <= MAX_FOOTPRINT
 
 
 def _pallas_eligible(dtype, loss, bbopt, update_iters, rescale, svd_alg,
