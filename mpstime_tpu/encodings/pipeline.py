@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..options import MPSOptions
+from ..utils.xfer import zeros_on_device
 from .registry import EncodingSpec, get_encoding
 
 
@@ -95,7 +96,7 @@ def encode_dataset(X_orig: np.ndarray, X_scaled: np.ndarray, y: np.ndarray,
     if N == 0:
         C = len(labels)
         d_out = opts.d if opts.pad_to is None else opts.pad_to[1]
-        return EncodedDataset(jnp.zeros((0, 0, d_out), dtype=dtype),
+        return EncodedDataset(zeros_on_device((0, 0, d_out), dtype),
                               np.zeros(0, np.int64), labels,
                               X_orig, X_scaled, np.zeros(C, np.int64),
                               training_enc_args, opts.encode_classes_separately)
@@ -132,7 +133,7 @@ def encode_dataset(X_orig: np.ndarray, X_scaled: np.ndarray, y: np.ndarray,
                     dtype=dtype))
             start += cnt
         X_enc = jnp.concatenate(parts, axis=0) if parts \
-            else jnp.zeros((0, T, opts.d), dtype=dtype)
+            else zeros_on_device((0, T, opts.d), dtype)
         return EncodedDataset(_pad_enc(X_enc, opts), y_idx_s, labels,
                               X_orig_s, X_scaled_s,
                               class_distribution, enc_args, True)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["to_device", "to_host"]
+__all__ = ["to_device", "to_host", "zeros_on_device"]
 
 # Platforms routed through the real-imag pair shim.  The axon remote TPU
 # plugin registers its devices under the plain "tpu" platform name, so all
@@ -60,6 +60,24 @@ def to_device(x, dtype=None) -> jnp.ndarray:
     arr = arr.astype(target)
     return _combine(jnp.asarray(np.ascontiguousarray(arr.real)),
                     jnp.asarray(np.ascontiguousarray(arr.imag)))
+
+
+@jax.jit
+def _zeros_like2(r):
+    return jax.lax.complex(r, r)
+
+
+def zeros_on_device(shape, dtype) -> jnp.ndarray:
+    """``jnp.zeros`` that never materializes a complex host constant: an
+    EAGER ``jnp.zeros(..., complex)`` broadcasts a complex scalar constant,
+    whose device_put is unimplemented on axon — and one failed complex
+    dispatch poisons the whole process.  Complex zeros are built on device
+    from a real zeros buffer instead."""
+    dt = np.dtype(dtype)
+    if dt.kind != "c" or _target_platform() not in _NO_COMPLEX_XFER:
+        return jnp.zeros(shape, dtype=dtype)
+    rdt = np.zeros(0, dt).real.dtype
+    return _zeros_like2(jnp.zeros(shape, rdt))
 
 
 def to_host(x) -> np.ndarray:
