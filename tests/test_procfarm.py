@@ -86,3 +86,26 @@ def test_evaluate_process_farm(two_class_sines, farm2):
         assert rf["opts"] == rs["opts"]
         np.testing.assert_allclose(rf["loss"], rs["loss"], rtol=1e-12)
         np.testing.assert_array_equal(rf["train_inds"], rs["train_inds"])
+
+
+def test_workers_form_a_jax_distributed_job():
+    """The documented multi-host mapping, exercised for real on localhost:
+    two workers given ``distributed`` triples call
+    jax.distributed.initialize and become one 2-process JAX job (the
+    coordinator runs in worker 0)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    addr = f"127.0.0.1:{port}"
+    farm = ProcessFarm(2, distributed=[(addr, 2, 0), (addr, 2, 1)])
+    try:
+        def report(_):
+            import jax
+            return (jax.process_index(), jax.process_count())
+
+        out = farm.map(report, range(2))
+    finally:
+        farm.close()
+    assert sorted(out) == [(0, 2), (1, 2)]
