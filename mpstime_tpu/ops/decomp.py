@@ -60,6 +60,33 @@ def _fixed_sketch(shape, dtype) -> jnp.ndarray:
     return to_device(om, dtype)
 
 
+def _qr_orth(Y: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal basis of the columns of Y — the Q of a reduced QR.  Any
+    column-NESTED orthonormal basis serves the randomized/lean/warm splits
+    (the MPS gauge freedom absorbs intra-span rotations), which licenses a
+    faster complex route:
+
+    complex QR on TPU lowers to a loop-heavy kernel (~40x the real QR's
+    in-program cost per bond, measured on v5e), so complex inputs take a
+    REAL Householder QR of the realified embedding instead.  The [2R, 2k]
+    embedding interleaves each complex column y with i*y; Householder
+    nesting then makes real columns (2j, 2j+1) an orthonormal basis of the
+    realified span increment of y_j, and any real unit vector in the
+    realification of a 1-dim complex span is the realification of a unit
+    complex multiple of its generator — so the even columns' halves are
+    exactly the (Re, Im) parts of a nested complex-orthonormal basis."""
+    if not jnp.iscomplexobj(Y):
+        Q, _ = jnp.linalg.qr(Y)
+        return Q
+    R, k = Y.shape
+    Yr, Yi = jnp.real(Y), jnp.imag(Y)
+    top = jnp.stack([Yr, -Yi], axis=2).reshape(R, 2 * k)
+    bot = jnp.stack([Yi, Yr], axis=2).reshape(R, 2 * k)
+    Qr, _ = jnp.linalg.qr(jnp.concatenate([top, bot], axis=0))
+    Qe = Qr[:, ::2]
+    return jax.lax.complex(Qe[:R], Qe[R:]).astype(Y.dtype)
+
+
 def _sketch_k(keep: int, other: int) -> int:
     """Sketch width: keep + max(keep/8, 8) oversampling, capped by the small
     dimension.  With q=2 power iterations this small oversampling already
@@ -92,7 +119,7 @@ def randomized_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
     # under/overflow (power iteration raises the dynamic range to ~2q+1)
     Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
                         jnp.finfo(Y.real.dtype).tiny)
-    Q, _ = jnp.linalg.qr(Y)                       # [C, k]
+    Q = _qr_orth(Y)                   # [C, k]
     B = M @ Q                                     # [R, k]
     S = B.conj().T @ B                            # [k, k] ritz Gram
     w, W = jnp.linalg.eigh(S)
@@ -122,7 +149,7 @@ def randomized_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
         Y = M @ (M.conj().T @ Y)
     Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
                         jnp.finfo(Y.real.dtype).tiny)
-    Q, _ = jnp.linalg.qr(Y)                       # [R, k]
+    Q = _qr_orth(Y)                   # [R, k]
     B = Q.conj().T @ M                            # [k, C]
     S = B @ B.conj().T                            # [k, k]
     w, W = jnp.linalg.eigh(S)
@@ -170,7 +197,7 @@ def lean_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
     # (power iteration raises the dynamic range to the 2q+1 power)
     Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
                         jnp.finfo(Y.real.dtype).tiny)
-    Q, _ = jnp.linalg.qr(Y)                       # [C, k]
+    Q = _qr_orth(Y)                   # [C, k]
     B = M @ Q                                     # [R, k] = U S (mixed)
     w = jnp.sum(jnp.abs(B) ** 2, axis=0)          # column energies
     order = jnp.argsort(-w)
@@ -196,7 +223,7 @@ def lean_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
         Y = M @ (M.conj().T @ Y)
     Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
                         jnp.finfo(Y.real.dtype).tiny)
-    Q, _ = jnp.linalg.qr(Y)                       # [R, k]
+    Q = _qr_orth(Y)                   # [R, k]
     B = Q.conj().T @ M                            # [k, C] = S Vh (mixed)
     w = jnp.sum(jnp.abs(B) ** 2, axis=1)
     order = jnp.argsort(-w)
@@ -235,7 +262,7 @@ def warm_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
             Y = M.conj().T @ (M @ Y)
         Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
                             jnp.finfo(Y.real.dtype).tiny)
-        Q, _ = jnp.linalg.qr(Y)                   # [C, k]
+        Q = _qr_orth(Y)                   # [C, k]
     else:
         # frozen sweep: split directly against the cached orthonormal basis
         # (no power step, no QR); the cadence is set by the caller
@@ -266,7 +293,7 @@ def warm_split_right(M: jnp.ndarray, U0: jnp.ndarray, keep: int, cutoff,
             Y = M @ (M.conj().T @ Y)
         Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
                             jnp.finfo(Y.real.dtype).tiny)
-        Q, _ = jnp.linalg.qr(Y)                   # [R, k]
+        Q = _qr_orth(Y)                   # [R, k]
     else:
         Q = U0[:, :k]
     B = Q.conj().T @ M
