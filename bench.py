@@ -39,7 +39,8 @@ def _sync(x):
 
 
 def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
-                       measure_percall=True, encoding="legendre"):
+                       measure_percall=True, encoding="legendre",
+                       refresh_every=1):
     """Median s/sweep of the production training path: all sweeps fused into
     one compiled device call (training/sweep.py full_sweeps — what fit_mps
     uses whenever per-sweep host logging is off, e.g. all of hyperopt).
@@ -68,7 +69,8 @@ def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
     y_onehot = jnp.asarray(np.eye(C)[ds.y_idx], rdt)
     w = jnp.full((N,), 1.0 / N, rdt)
     kw = dict(loss="KLD", bbopt="TSGO", update_iters=1,
-              rescale=(False, True), svd_alg=opts.resolved_svd_alg())
+              rescale=(False, True), svd_alg=opts.resolved_svd_alg(),
+              refresh_every=refresh_every)
     eta = jnp.asarray(opts.eta, rdt)
     cutoff = jnp.asarray(opts.cutoff, rdt)
 
@@ -308,10 +310,15 @@ def main():
                                     measure_percall=False)
     t256, _, _ = _steady_sweep_time(X, y, chi=256, d=5, nsweeps_block=4,
                                     measure_percall=False)
-    # complex-encoding path (fourier c64 — XLA bond path, boundary shims)
+    # complex-encoding path (fourier c64 — fused real-imag pair kernels,
+    # ops/pallas_bond_c.py; K2 = QR refresh every 2nd sweep, accuracy-
+    # neutral at production chi, docs/tpu_performance.md)
     t_f64c, _, acc_f = _steady_sweep_time(X, y, chi=64, d=5,
                                           measure_percall=False,
                                           encoding="fourier")
+    t_f64c2, _, _ = _steady_sweep_time(X, y, chi=64, d=5,
+                                       measure_percall=False,
+                                       encoding="fourier", refresh_every=2)
 
     # long-sequence scaling: T=512 synthetic, ECG-like sample count
     rng = np.random.default_rng(0)
@@ -357,6 +364,7 @@ def main():
         "ecg200_sweep_time_chi192": round(t192, 5),
         "ecg200_sweep_time_chi256": round(t256, 5),
         "fourier_c64_sweep_time_chi64": round(t_f64c, 5),
+        "fourier_c64_sweep_time_chi64_refresh2": round(t_f64c2, 5),
         "fourier_train_acc_after_8_sweeps": round(acc_f, 4),
         "fourier_c64_impute_batch_time": round(t_imp_f, 5),
         "longT512_sweep_time_chi64": round(t_long, 5),

@@ -1,0 +1,420 @@
+"""Complex (c64) Pallas TPU bond-step kernels — real-imag pair algebra.
+
+The complex twin of ops/pallas_bond.py: the same K1 -> QR -> K2 fusion of
+the DMRG bond step, with every complex operand carried as a PAIR of f32
+arrays (re, im) and every complex contraction expanded into real MXU
+matmuls (a complex matmul is 4 real matmuls).  Complex dtypes never enter
+the kernels (or the axon host boundary — see utils/xfer.py): the pair
+representation is produced once per sweep in training/sweep.py and carried
+through the scan.
+
+The QR between K1 and K2 is the stacked real-Householder embedding of
+ops/decomp._qr_orth, operating directly on the pair (no complex
+round-trip).
+
+Conjugation bookkeeping (matches ops/bond_update.kld_loss_grad with the
+sweep's operand conventions — phis arrive as conj(encoded states), and
+the XLA path un-conjugates them at the call site):
+
+  L1       = kron(conj(le), phi_c_l)          the yhat-side left factor
+  R1_k     = phi_c_r[:, k] * conj(re)
+  yhat_c   = sum_k rowsum( (L1 @ BT_ck) * R1_k )
+  u        = w * y_true / |y_true|^2           ( = w / conj(y_true) )
+  G_ck     = - conj(L1)^T ( conj(R1_k) * (y1h_c * u) )
+  TSGO / renormalize as in the real kernel (norms over |.|^2)
+  power    backward: MV_c = sum_k BT_ck V0_k ; Y_k += BT_ck^H MV_c
+           forward:  Y   += sum_k BT_ck (BT_ck^H U0)
+  K2 split backward: B_c = sum_k BT_ck Q_k ; V = Q^H (k-blocked)
+           forward:  B_ck = Q^H BT_ck       ; U = Q
+  env      backward: v' = sum_k (phi_c_r[:,k] * re) @ conj(Qm_k)
+           forward:  v' = kron(le, phi_c_l) @ Qm
+  (the env steps take the stored pre-conjugated states directly, like
+  ops/env.env_step_*, and the new core's conjugation lands on Qm.)
+
+Covers: complex64, KLD, TSGO, update_iters=1, rescale=(False, True),
+svd_alg="randomized_warm", single device (a complex dp mesh takes the XLA
+path).  Reference complex surface: Encodings/bases.jl:8-74,
+options.jl:117; loss semantics loss_functions.jl:302-432.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from . import pallas_bond as pb
+
+
+# --------------------------------------------------------------------------
+# pair algebra (operands are (re, im) tuples of f32 arrays)
+# --------------------------------------------------------------------------
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _cconj(a):
+    return (a[0], -a[1])
+
+
+def _cdot(a, b):
+    """Complex matmul of pairs: 4 real MXU matmuls."""
+    return (_dot(a[0], b[0]) - _dot(a[1], b[1]),
+            _dot(a[0], b[1]) + _dot(a[1], b[0]))
+
+
+def _cdot_ct(a, b):
+    """conj(a)^T @ b without materializing the negated imag part."""
+    return (_dot(a[0].T, b[0]) + _dot(a[1].T, b[1]),
+            _dot(a[0].T, b[1]) - _dot(a[1].T, b[0]))
+
+
+def _cmul(a, b):
+    return (a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0])
+
+
+def _cmul_real(a, s):
+    return (a[0] * s, a[1] * s)
+
+
+def _cadd(a, b):
+    return (a[0] + b[0], a[1] + b[1])
+
+
+def _csub(a, b):
+    return (a[0] - b[0], a[1] - b[1])
+
+
+def _abs2(a):
+    return a[0] * a[0] + a[1] * a[1]
+
+
+def _ckron_batch(a, b):
+    """Complex batched Kronecker [N,P] x [N,Q] -> [N,P*Q] via the real
+    selection-matrix kron (pallas_bond._kron_batch_major) on components."""
+    kr = pb._kron_batch_major
+    return (kr(a[0], b[0]) - kr(a[1], b[1]),
+            kr(a[0], b[1]) + kr(a[1], b[0]))
+
+
+def _pairs(refs):
+    """Group a flat ref list into (re, im) value pairs."""
+    out = []
+    for j in range(0, len(refs), 2):
+        out.append((refs[j][:], refs[j + 1][:]))
+    return out
+
+
+# --------------------------------------------------------------------------
+# K1: bond tensor + complex KLD gradient + TSGO + power step
+# --------------------------------------------------------------------------
+
+def _k1c_kernel(eta_ref, y1h_ref, w_ref, *refs,
+                C: int, chi: int, d: int, forward: bool, emit_y: bool):
+    f32 = jnp.float32
+    eta = eta_ref[0, 0]
+    y1h = y1h_ref[:]                  # [N, C] real
+    w = w_ref[:]                      # [N, 1] real
+    # pair operands: left, right, le, re, phil, phir, V0 (7 pairs = 14 refs)
+    (left, right, le, re, phil, phir, V0) = _pairs(refs[:14])
+    bt_r, bt_i, y_r, y_i = refs[14:]
+
+    L1 = _ckron_batch(_cconj(le), phil)          # [N, chi*d]
+
+    if not forward:
+        A2 = (left[0].reshape(chi * d, chi), left[1].reshape(chi * d, chi))
+
+    def bt_block(c, k):
+        if forward:
+            Cc2 = (left[0][c].reshape(chi * d, chi),
+                   left[1][c].reshape(chi * d, chi))
+            Bk = (right[0][:, k, :], right[1][:, k, :])
+            return _cdot(Cc2, Bk)
+        Cck = (right[0][c, :, k, :], right[1][c, :, k, :])
+        return _cdot(A2, Cck)
+
+    def r1(k):
+        return _cmul((phir[0][:, k:k + 1], phir[1][:, k:k + 1]), _cconj(re))
+
+    # ---- yhat + u ----------------------------------------------------------
+    BT = [[None] * d for _ in range(C)]
+    yhat = []
+    for c in range(C):
+        acc = None
+        for k in range(d):
+            BT[c][k] = bt_block(c, k)
+            t_ck = _cdot(L1, BT[c][k])                        # [N, chi]
+            prod = _cmul(t_ck, r1(k))
+            part = (jnp.sum(prod[0], axis=1, keepdims=True),
+                    jnp.sum(prod[1], axis=1, keepdims=True))  # [N, 1]
+            acc = part if acc is None else _cadd(acc, part)
+        yhat.append(acc)
+
+    y_true = (sum(yhat[c][0] * y1h[:, c:c + 1] for c in range(C)),
+              sum(yhat[c][1] * y1h[:, c:c + 1] for c in range(C)))
+    inv = w / _abs2(y_true)
+    u = _cmul_real(y_true, inv)                   # = w / conj(y_true)
+
+    # ---- gradient + TSGO + renormalize ------------------------------------
+    G = [[None] * d for _ in range(C)]
+    g2 = jnp.zeros((), f32)
+    for c in range(C):
+        wc = _cmul_real(u, y1h[:, c:c + 1])
+        for k in range(d):
+            rhs = _cmul(_cconj(r1(k)), wc)                    # [N, chi]
+            g_ck = _cdot_ct(L1, rhs)                          # conj(L1)^T rhs
+            G[c][k] = (-g_ck[0], -g_ck[1])
+            g2 = g2 + jnp.sum(_abs2(G[c][k]))
+    gn = jax.lax.rsqrt(jnp.maximum(g2, jnp.finfo(f32).tiny))
+
+    b2 = jnp.zeros((), f32)
+    for c in range(C):
+        for k in range(d):
+            BT[c][k] = _csub(BT[c][k], _cmul_real(G[c][k], eta * gn))
+            b2 = b2 + jnp.sum(_abs2(BT[c][k]))
+    bn = jax.lax.rsqrt(jnp.maximum(b2, jnp.finfo(f32).tiny))
+    for c in range(C):
+        for k in range(d):
+            BT[c][k] = _cmul_real(BT[c][k], bn)
+            bt_r[c, :, k, :] = BT[c][k][0]
+            bt_i[c, :, k, :] = BT[c][k][1]
+
+    # ---- warm power step ---------------------------------------------------
+    if not emit_y:
+        y_r[:] = V0[0]
+        y_i[:] = V0[1]
+        return
+    if not forward:
+        Yk = [None] * d
+        for c in range(C):
+            MV = None                                  # [chi*d, chi]
+            for k in range(d):
+                V0k = (V0[0][k * chi:(k + 1) * chi, :],
+                       V0[1][k * chi:(k + 1) * chi, :])
+                term = _cdot(BT[c][k], V0k)
+                MV = term if MV is None else _cadd(MV, term)
+            for k in range(d):
+                yk = _cdot_ct(BT[c][k], MV)            # BT^H MV
+                Yk[k] = yk if c == 0 else _cadd(Yk[k], yk)
+        nrm2 = sum(jnp.sum(_abs2(Yk[k]), axis=0, keepdims=True)
+                   for k in range(d))
+        inv_n = jax.lax.rsqrt(jnp.maximum(nrm2, jnp.finfo(f32).tiny))
+        for k in range(d):
+            y_r[k * chi:(k + 1) * chi, :] = Yk[k][0] * inv_n
+            y_i[k * chi:(k + 1) * chi, :] = Yk[k][1] * inv_n
+    else:
+        Y = (jnp.zeros((chi * d, chi), f32), jnp.zeros((chi * d, chi), f32))
+        for c in range(C):
+            for k in range(d):
+                MtU = _cdot_ct(BT[c][k], V0)           # BT^H U0
+                Y = _cadd(Y, _cdot(BT[c][k], MtU))
+        nrm2 = jnp.sum(_abs2(Y), axis=0, keepdims=True)
+        inv_n = jax.lax.rsqrt(jnp.maximum(nrm2, jnp.finfo(f32).tiny))
+        y_r[:] = Y[0] * inv_n
+        y_i[:] = Y[1] * inv_n
+
+
+def _k1c_call(eta, y1h, w, left, right, le, re, phil, phir, V0, *,
+              C, chi, d, forward, emit_y, est):
+    f32 = jnp.float32
+    out_shape = (
+        jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
+        jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
+        jax.ShapeDtypeStruct((chi * d, chi), f32),
+        jax.ShapeDtypeStruct((chi * d, chi), f32),
+    )
+    kern = functools.partial(_k1c_kernel, C=C, chi=chi, d=d, forward=forward,
+                             emit_y=emit_y)
+    flat = []
+    for p in (left, right, le, re, phil, phir, V0):
+        flat.extend(p)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[pb._smem_scalar()] + [pb._vmem()] * (2 + 14),
+        out_specs=tuple(pb._vmem() for _ in range(4)),
+        interpret=pb._INTERPRET,
+        **pb._compiler_kw(est),
+    )(eta, y1h, w, *flat)
+
+
+# --------------------------------------------------------------------------
+# K2: projection + cutoff + split factors + env step (complex)
+# --------------------------------------------------------------------------
+
+def _k2c_kernel(cutoff_ref, *refs, C: int, chi: int, d: int, forward: bool):
+    f32 = jnp.float32
+    cutoff = cutoff_ref[0, 0]
+    max_rank = cutoff_ref[0, 1]
+    # pairs: bt, q, env, phi (4 pairs = 8 refs) + envls (real)
+    (bt, Q, env, phi) = _pairs(refs[:8])
+    envls_ref = refs[8]
+    (center_r, center_i, core_r, core_i, env2_r, env2_i, envls2) = refs[9:]
+
+    def bt_ck(c, k):
+        return (bt[0][c, :, k, :], bt[1][c, :, k, :])
+
+    def q_k(k):
+        return (Q[0][k * chi:(k + 1) * chi, :], Q[1][k * chi:(k + 1) * chi, :])
+
+    # ---- project + energies -----------------------------------------------
+    if not forward:
+        B = [None] * C                                 # US_c [chi*d, keep]
+        wv = jnp.zeros((1, chi), f32)
+        for c in range(C):
+            acc = None
+            for k in range(d):
+                term = _cdot(bt_ck(c, k), q_k(k))
+                acc = term if acc is None else _cadd(acc, term)
+            B[c] = acc
+            wv = wv + jnp.sum(_abs2(acc), axis=0, keepdims=True)
+    else:
+        B = [[None] * d for _ in range(C)]             # SVh_ck [keep, chi]
+        wv_c = jnp.zeros((chi, 1), f32)
+        for c in range(C):
+            for k in range(d):
+                B_ck = _cdot_ct(Q, bt_ck(c, k))        # Q^H BT
+                B[c][k] = B_ck
+                wv_c = wv_c + _dot(_abs2(B_ck), jnp.ones((chi, 1), f32))
+        eye0 = (jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 1)
+                ).astype(f32)
+        wv = _dot(jnp.ones((1, chi), f32), eye0 * wv_c)
+
+    # ---- cutoff mask (identical real machinery) ---------------------------
+    ones_c = jnp.ones((chi, 1), f32)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 1)).astype(f32)
+    W_row = _dot(ones_c, wv)
+    wv_col = _dot(W_row * eye, ones_c)
+    W_col = _dot(wv_col, jnp.ones((1, chi), f32))
+    I_idx = jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 0)
+    J_idx = jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 1)
+    leq = ((W_row < W_col)
+           | ((W_row == W_col) & (J_idx >= I_idx))).astype(f32)
+    s_col = jnp.sum(leq * W_row, axis=1, keepdims=True)
+    total = jnp.sum(wv)
+    cnt_col = jnp.sum(leq, axis=1, keepdims=True)
+    mask_col = ((s_col > cutoff * total) & (wv_col > 0)
+                & (cnt_col > jnp.float32(chi) - max_rank)).astype(f32)
+    mask_row = _dot(jnp.ones((1, chi), f32), eye * mask_col)
+    Qm = (Q[0] * mask_row, Q[1] * mask_row)
+
+    # ---- emit split factors -----------------------------------------------
+    if not forward:
+        for c in range(C):
+            center_r[c] = (B[c][0] * mask_row).reshape(chi, d, chi)
+            center_i[c] = (B[c][1] * mask_row).reshape(chi, d, chi)
+        for k in range(d):
+            qmk = (Qm[0][k * chi:(k + 1) * chi, :],
+                   Qm[1][k * chi:(k + 1) * chi, :])
+            core_r[:, k, :] = qmk[0].T          # V = Q^H (conj lands on imag)
+            core_i[:, k, :] = -qmk[1].T
+    else:
+        for c in range(C):
+            for k in range(d):
+                center_r[c, :, k, :] = B[c][k][0] * mask_col
+                center_i[c, :, k, :] = B[c][k][1] * mask_col
+        core_r[:] = Qm[0].reshape(chi, d, chi)  # U = Q (no conj)
+        core_i[:] = Qm[1].reshape(chi, d, chi)
+
+    # ---- env advance -------------------------------------------------------
+    N = env[0].shape[0]
+    if not forward:
+        v2 = (jnp.zeros((N, chi), f32), jnp.zeros((N, chi), f32))
+        for k in range(d):
+            tmp_k = _cmul((phi[0][:, k:k + 1], phi[1][:, k:k + 1]), env)
+            qmk = (Qm[0][k * chi:(k + 1) * chi, :],
+                   Qm[1][k * chi:(k + 1) * chi, :])
+            v2 = _cadd(v2, _cdot(tmp_k, _cconj(qmk)))
+    else:
+        tmp = _ckron_batch(env, phi)
+        v2 = _cdot(tmp, Qm)
+    nrm2 = jnp.sum(_abs2(v2), axis=1, keepdims=True)
+    nrm = jnp.sqrt(nrm2)
+    safe = jnp.maximum(nrm, jnp.finfo(f32).tiny)
+    inv = jnp.where(nrm > 0, 1.0 / safe, 1.0)
+    env2_r[:] = v2[0] * inv
+    env2_i[:] = v2[1] * inv
+    envls2[:] = envls_ref[:] + jnp.where(nrm > 0, jnp.log(safe), 0.0)
+
+
+def _k2c_call(cutoff, BT, Q, env, env_ls, phi, *, C, chi, d, forward, est):
+    f32 = jnp.float32
+    N = env[0].shape[0]
+    out_shape = (
+        jax.ShapeDtypeStruct((C, chi, d, chi), f32),
+        jax.ShapeDtypeStruct((C, chi, d, chi), f32),
+        jax.ShapeDtypeStruct((chi, d, chi), f32),
+        jax.ShapeDtypeStruct((chi, d, chi), f32),
+        jax.ShapeDtypeStruct((N, chi), f32),
+        jax.ShapeDtypeStruct((N, chi), f32),
+        jax.ShapeDtypeStruct((N, 1), f32),
+    )
+    kern = functools.partial(_k2c_kernel, C=C, chi=chi, d=d, forward=forward)
+    flat = []
+    for p in (BT, Q, env, phi):
+        flat.extend(p)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[pb._smem_scalar()] + [pb._vmem()] * 9,
+        out_specs=tuple(pb._vmem() for _ in range(7)),
+        interpret=pb._INTERPRET,
+        **pb._compiler_kw(est),
+    )(cutoff, *flat, env_ls)
+
+
+# --------------------------------------------------------------------------
+# public complex bond step (pair-typed operands)
+# --------------------------------------------------------------------------
+
+def _qr_orth_pair(Y: Tuple[jnp.ndarray, jnp.ndarray]
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ops/decomp._qr_orth on a (re, im) pair, without complex dtypes."""
+    Yr, Yi = Y
+    R, k = Yr.shape
+    top = jnp.stack([Yr, -Yi], axis=2).reshape(R, 2 * k)
+    bot = jnp.stack([Yi, Yr], axis=2).reshape(R, 2 * k)
+    Qr, _ = jnp.linalg.qr(jnp.concatenate([top, bot], axis=0))
+    Qe = Qr[:, ::2]
+    return Qe[:R], Qe[R:]
+
+
+def bond_step_c(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
+                eta, cutoff, *, forward: bool, refresh: bool = True,
+                max_rank=None):
+    """One fused complex bond step.  Every complex operand is a (re, im)
+    pair of f32 arrays with the shapes of the real kernel's operands;
+    returns pair-typed (center_c', core', env') plus real env_ls' and the
+    pair Q'.  Semantics mirror pallas_bond.bond_step (see module
+    docstring for the conjugation map)."""
+    C, chi, d, _ = center_c[0].shape
+    est = 2 * pb.kernel_footprint(C, chi, d, le[0].shape[0])
+    eta2 = jnp.reshape(eta.astype(jnp.float32), (1, 1))
+    mr = jnp.float32(chi) if max_rank is None else max_rank.astype(jnp.float32)
+    cut2 = jnp.stack([cutoff.astype(jnp.float32), mr])[None, :]
+    w2 = w[:, None]
+
+    if forward:
+        left, right = center_c, A_or_B
+    else:
+        left, right = A_or_B, center_c
+
+    BT_r, BT_i, Y_r, Y_i = _k1c_call(
+        eta2, y1h, w2, left, right, le, re, phil, phir, V0,
+        C=C, chi=chi, d=d, forward=forward, emit_y=refresh, est=est)
+    if refresh:
+        Q = _qr_orth_pair((Y_r, Y_i))
+    else:
+        Q = V0
+    env = le if forward else re
+    phi = phil if forward else phir
+    (c_r, c_i, k_r, k_i, e_r, e_i, ls2) = _k2c_call(
+        cut2, (BT_r, BT_i), Q, env, env_ls[:, None], phi,
+        C=C, chi=chi, d=d, forward=forward, est=est)
+    return ((c_r, c_i), (k_r, k_i), (e_r, e_i), ls2[:, 0], Q)

@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import pallas_bond
+from ..ops import pallas_bond, pallas_bond_c
 from ..ops.bond_update import apply_update
 from ..ops.decomp import (split_bond_left, split_bond_right, warm_sketch_init,
                           warm_split_left, warm_split_right)
@@ -52,7 +52,8 @@ from ..ops.env import (boundary_env, build_left_envs, env_step_left_scaled,
                        env_step_right_scaled)
 
 
-def _pallas_vmem_ok(C: int, chi: int, d: int, N: int) -> bool:
+def _pallas_vmem_ok(C: int, chi: int, d: int, N: int,
+                    factor: int = 1) -> bool:
     """Estimated VMEM footprint of the fused bond kernels vs what fits.
     Problems past Mosaic's ~16 MB default scoped budget compile with a
     raised per-kernel ``vmem_limit_bytes`` (pallas_bond._compiler_kw) up to
@@ -62,14 +63,16 @@ def _pallas_vmem_ok(C: int, chi: int, d: int, N: int) -> bool:
     (chi>256 at these shapes) still fall back to the XLA bond step — the
     raised budget cannot exceed the chip."""
     from ..ops.pallas_bond import MAX_FOOTPRINT, kernel_footprint
-    return kernel_footprint(C, chi, d, N) <= MAX_FOOTPRINT
+    return factor * kernel_footprint(C, chi, d, N) <= MAX_FOOTPRINT
 
 
 def _pallas_eligible(dtype, loss, bbopt, update_iters, rescale, svd_alg,
                      platform: Optional[str] = None) -> bool:
     """The fused Pallas bond step covers the default hot path only:
-    f32 + KLD + TSGO + one update iteration + post-normalization + warm
-    splits, on a TPU platform (or in interpreter mode for tests).
+    f32 or complex64 (the latter via the real-imag pair kernels,
+    ops/pallas_bond_c.py) + KLD + TSGO + one update iteration +
+    post-normalization + warm splits, on a TPU platform (or in interpreter
+    mode for tests).
 
     ``platform``: the platform the computation will actually PLACE on —
     callers that pin devices (fit_mps(mesh=...), DeviceFarm via
@@ -84,7 +87,8 @@ def _pallas_eligible(dtype, loss, bbopt, update_iters, rescale, svd_alg,
         return False
     if tuple(rescale) != (False, True):
         return False
-    if np.dtype(dtype) != np.float32:
+    if np.dtype(dtype) not in (np.dtype(np.float32),
+                               np.dtype(np.complex64)):
         return False
     if os.environ.get("MPSTIME_TPU_NO_PALLAS"):
         return False
@@ -153,35 +157,69 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     dtype = cores.dtype
     rdtype = phis_c.real.dtype
     warm = svd_alg == "randomized_warm"
+    cplx = np.dtype(dtype).kind == "c"
     pallas = (not track_cost) \
-        and _pallas_vmem_ok(C, chi, d, N) \
+        and _pallas_vmem_ok(C, chi, d, N, factor=2 if cplx else 1) \
         and _pallas_eligible(dtype, loss, bbopt, update_iters, rescale,
-                             svd_alg, platform=platform)
+                             svd_alg, platform=platform) \
+        and (not cplx or axis_name is None)
+    cplx = cplx and pallas    # below, cplx means "complex pair kernels"
+
+    def _m(f, *xs):
+        """Map f over matching leaves: (re, im) pairs in the complex-pair
+        representation, plain arrays otherwise."""
+        if isinstance(xs[0], tuple):
+            return tuple(f(*(x[j] for x in xs)) for j in range(2))
+        return f(*xs)
+
+    def _pairify(x):
+        return (jnp.real(x).astype(jnp.float32),
+                jnp.imag(x).astype(jnp.float32))
+
+    def _combine(p):
+        return jax.lax.complex(p[0], p[1]).astype(dtype)
 
     upd = partial(apply_update, eta=eta, loss=loss, bbopt=bbopt,
                   update_iters=update_iters, rescale=rescale,
                   axis_name=axis_name)
-    e0 = boundary_env(N, chi, dtype)
+    e0 = boundary_env(N, chi, jnp.float32 if cplx else dtype)
     ls0 = jnp.zeros((N,), dtype=rdtype)
     if pallas:
         # the fused kernels keep the class axis major: [C, chi, d, chi]
         center = jnp.moveaxis(center, 3, 0)
+    if cplx:
+        # complex operands travel as (re, im) f32 pairs through the scans
+        # (ops/pallas_bond_c.py); converted once per sweep, not per bond
+        center = _pairify(center)
+        cores = _pairify(cores)
+        phis_c = _pairify(phis_c)
+        LE = _pairify(LE)
+        if warm:
+            VB, UF = _pairify(VB), _pairify(UF)
+        e0 = (e0, jnp.zeros_like(e0))
 
     # ---------------- backward half-sweep (center T-1 -> 0) ----------------
     # scan order jj = 0..T-2 maps to bond j = T-2-jj.
+    fl = lambda a: jnp.flip(a, 0)
     xs_b = dict(
-        A=jnp.flip(cores[:T - 1], 0),          # cores[j]
-        phi_l=jnp.flip(phis_c[:T - 1], 0),     # phis_c[j]
-        phi_r=jnp.flip(phis_c[1:T], 0),        # phis_c[j+1]
-        le=jnp.flip(LE[:T - 1], 0),            # LE[j]
-        le_ls=jnp.flip(LE_ls[:T - 1], 0),
+        A=_m(lambda c: fl(c[:T - 1]), cores),          # cores[j]
+        phi_l=_m(lambda p: fl(p[:T - 1]), phis_c),     # phis_c[j]
+        phi_r=_m(lambda p: fl(p[1:T]), phis_c),        # phis_c[j+1]
+        le=_m(lambda e: fl(e[:T - 1]), LE),            # LE[j]
+        le_ls=fl(LE_ls[:T - 1]),
     )
     if warm:
-        xs_b["vb"] = jnp.flip(VB, 0)
+        xs_b["vb"] = _m(fl, VB)
 
     def backward_step(carry, x):
         with jax.named_scope("mps/backward_bond"):
             center, re_v, re_ls = carry
+            if cplx:
+                center, V, v2, ls2, Qv = pallas_bond_c.bond_step_c(
+                    x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
+                    x["phi_r"], y_onehot, class_weight, x["vb"], eta, cutoff,
+                    forward=False, refresh=refresh, max_rank=max_rank)
+                return (center, v2, ls2), dict(V=V, re=v2, re_ls=ls2, qv=Qv)
             if pallas:
                 center, V, v2, ls2, Qv = pallas_bond.bond_step(
                     x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
@@ -216,22 +254,24 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     (center, _, _), ys_b = jax.lax.scan(backward_step, (center, e0, ls0),
                                         xs_b)
     # new cores[1..T-1] (emitted for j = T-2..0 -> slots T-1..1)
-    cores_mid = jnp.concatenate([cores[:1], jnp.flip(ys_b["V"], 0)], 0)
+    cores_mid = _m(lambda c, v: jnp.concatenate([c[:1], fl(v)], 0),
+                   cores, ys_b["V"])
     if warm:
-        VB = jnp.flip(ys_b["qv"], 0)
+        VB = _m(fl, ys_b["qv"])
     # RE stack for the forward pass: emissions are RE[j+1] (sites j+1..T-1 of
     # the post-backward cores); forward bond j reads RE[j+2] for j=0..T-2,
     # i.e. slots 2..T-1 plus the boundary at slot T.
-    re_slots = jnp.flip(ys_b["re"], 0)          # slots 1..T-1
-    re_ls_slots = jnp.flip(ys_b["re_ls"], 0)
-    xs_re = jnp.concatenate([re_slots[1:], e0[None]], 0)
+    re_slots = _m(fl, ys_b["re"])               # slots 1..T-1
+    re_ls_slots = fl(ys_b["re_ls"])
+    xs_re = _m(lambda r, e: jnp.concatenate([r[1:], e[None]], 0),
+               re_slots, e0)
     xs_re_ls = jnp.concatenate([re_ls_slots[1:], ls0[None]], 0)
 
     # ---------------- forward half-sweep (center 0 -> T-1) -----------------
     xs_f = dict(
-        B=cores_mid[1:T],                      # cores[j+1]
-        phi_l=phis_c[:T - 1],
-        phi_r=phis_c[1:T],
+        B=_m(lambda c: c[1:T], cores_mid),     # cores[j+1]
+        phi_l=_m(lambda p: p[:T - 1], phis_c),
+        phi_r=_m(lambda p: p[1:T], phis_c),
         re=xs_re,                              # RE[j+2]
         re_ls=xs_re_ls,
     )
@@ -241,6 +281,13 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     def forward_step(carry, x):
         with jax.named_scope("mps/forward_bond"):
             center, le_v, le_ls = carry
+            if cplx:
+                center, Unew, v2, ls2, Qu = pallas_bond_c.bond_step_c(
+                    x["B"], center, le_v, x["re"], le_ls, x["phi_l"],
+                    x["phi_r"], y_onehot, class_weight, x["uf"], eta, cutoff,
+                    forward=True, refresh=refresh, max_rank=max_rank)
+                return (center, v2, ls2), dict(U=Unew, le=v2, le_ls=ls2,
+                                               qu=Qu)
             if pallas:
                 center, Unew, v2, ls2, Qu = pallas_bond.bond_step(
                     x["B"], center, le_v, x["re"], le_ls, x["phi_l"],
@@ -274,13 +321,22 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
 
     (center, _, _), ys_f = jax.lax.scan(forward_step, (center, e0, ls0),
                                         xs_f)
-    cores_out = jnp.concatenate([ys_f["U"], cores_mid[T - 1:]], 0)
+    cores_out = _m(lambda u, c: jnp.concatenate([u, c[T - 1:]], 0),
+                   ys_f["U"], cores_mid)
     if warm:
         UF = ys_f["qu"]
     # LE stack for the next backward pass: slot 0 = boundary, slots 1..T-1
     # from the forward emissions (exact environments of cores_out).
-    LE_out = jnp.concatenate([e0[None], ys_f["le"]], 0)
+    LE_out = _m(lambda e, l: jnp.concatenate([e[None], l], 0), e0, ys_f["le"])
     LE_ls_out = jnp.concatenate([ls0[None], ys_f["le_ls"]], 0)
+    if cplx:
+        # back to complex once per sweep (the inter-sweep state in
+        # full_sweeps' fori loop stays complex-typed)
+        cores_out = _combine(cores_out)
+        center = _combine(center)
+        LE_out = _combine(LE_out)
+        if warm:
+            VB, UF = _combine(VB), _combine(UF)
     if pallas:
         center = jnp.moveaxis(center, 0, 3)
     costs = (jnp.concatenate([ys_b["cost"], ys_f["cost"]])

@@ -1,0 +1,176 @@
+"""Parity tests for the COMPLEX fused Pallas bond step
+(ops/pallas_bond_c.py), in interpreter mode on CPU: the pair kernels must
+reproduce the XLA complex warm-split bond step to f32 tolerance, and a
+fourier training run through the complex-pair sweep must stay healthy."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import mpstime_tpu as mt
+from mpstime_tpu.ops import pallas_bond, pallas_bond_c
+from mpstime_tpu.ops.bond_update import apply_update
+from mpstime_tpu.ops.decomp import (warm_sketch_init, warm_split_left,
+                                    warm_split_right)
+from mpstime_tpu.ops.env import env_step_left_scaled, env_step_right_scaled
+
+
+@pytest.fixture
+def interpret():
+    pallas_bond.set_interpret(True)
+    jax.clear_caches()
+    yield
+    pallas_bond.set_interpret(False)
+    jax.clear_caches()
+
+
+def _pair(x):
+    return (jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32))
+
+
+def _comb(p):
+    return np.asarray(p[0]) + 1j * np.asarray(p[1])
+
+
+def _rand_bond_c(chi=6, d=3, C=2, N=12, seed=1):
+    rng = np.random.default_rng(seed)
+
+    def c(*shape):
+        return jnp.asarray((rng.standard_normal(shape)
+                            + 1j * rng.standard_normal(shape))
+                           .astype(np.complex128))
+
+    # phis like conjugated encoded states: unit-modulus-ish complex features
+    def phi(*shape):
+        th = rng.uniform(-np.pi, np.pi, shape)
+        return jnp.asarray(np.exp(1j * th).astype(np.complex128) / np.sqrt(3))
+
+    return dict(
+        A=c(chi, d, chi), center=c(chi, d, chi, C),
+        le=c(N, chi), re=c(N, chi),
+        re_ls=jnp.asarray(rng.standard_normal(N).astype(np.float64)),
+        phil=phi(N, d), phir=phi(N, d),
+        y1h=jnp.asarray(np.eye(C)[rng.integers(0, C, N)]),
+        w=jnp.full((N,), 1.0 / N),
+        chi=chi, d=d, C=C, N=N,
+    )
+
+
+def _xla_backward(b, eta, cutoff, V0, refresh=True):
+    chi, d, C = b["chi"], b["d"], b["C"]
+    BT = jnp.einsum("aim,mkbc->aikbc", b["A"], b["center"])
+    _, BT2 = apply_update(BT, b["le"], b["re"], b["phil"].conj(),
+                          b["phir"].conj(), b["y1h"], b["w"],
+                          jnp.zeros(b["N"]), eta=eta,
+                          loss="KLD", bbopt="TSGO", update_iters=1,
+                          rescale=(False, True))
+    M = BT2.transpose(0, 1, 4, 2, 3).reshape(chi * d * C, d * chi)
+    US, Vh, Qv = warm_split_left(M, V0, chi, cutoff, refresh=refresh)
+    center_x = US.reshape(chi, d, C, chi).transpose(0, 1, 3, 2)
+    V_x = Vh.reshape(chi, d, chi)
+    v2_x, ls2_x = env_step_right_scaled(b["re"], b["re_ls"], V_x, b["phir"])
+    return center_x, V_x, v2_x, ls2_x, Qv
+
+
+class TestComplexPallasBondParity:
+    def test_backward_bond_matches_xla(self, interpret):
+        b = _rand_bond_c()
+        eta, cutoff = jnp.float32(0.05), jnp.float32(1e-10)
+        V0 = warm_sketch_init(b["d"] * b["chi"], b["chi"], np.complex128)
+        center_x, V_x, v2_x, ls2_x, Qv = _xla_backward(b, eta, cutoff, V0)
+
+        cp, Vp, v2p, ls2p, Qvp = pallas_bond_c.bond_step_c(
+            _pair(b["A"]), _pair(jnp.moveaxis(b["center"], 3, 0)),
+            _pair(b["le"]), _pair(b["re"]), b["re_ls"].astype(jnp.float32),
+            _pair(b["phil"]),
+            _pair(b["phir"]), b["y1h"].astype(jnp.float32),
+            b["w"].astype(jnp.float32), _pair(V0), eta, cutoff,
+            forward=False)
+        np.testing.assert_allclose(np.moveaxis(_comb(cp), 0, 3),
+                                   np.asarray(center_x), rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(_comb(Vp), np.asarray(V_x),
+                                   rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(_comb(v2p), np.asarray(v2_x),
+                                   rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(ls2p), np.asarray(ls2_x),
+                                   rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(_comb(Qvp), np.asarray(Qv),
+                                   rtol=1e-4, atol=5e-5)
+
+    def test_forward_bond_matches_xla(self, interpret):
+        b = _rand_bond_c(seed=3)
+        chi, d, C = b["chi"], b["d"], b["C"]
+        eta, cutoff = jnp.float32(0.05), jnp.float32(1e-10)
+        U0 = warm_sketch_init(chi * d, chi, np.complex128)
+
+        BTf = jnp.einsum("aimc,mkb->aikbc", b["center"], b["A"])
+        _, BTf2 = apply_update(BTf, b["le"], b["re"], b["phil"].conj(),
+                               b["phir"].conj(), b["y1h"], b["w"],
+                               jnp.zeros(b["N"]), eta=eta,
+                               loss="KLD", bbopt="TSGO", update_iters=1,
+                               rescale=(False, True))
+        Mf = BTf2.reshape(chi * d, d * chi * C)
+        Uu, SVh, Qu = warm_split_right(Mf, U0, chi, cutoff)
+        U_x = Uu.reshape(chi, d, chi)
+        center_x = SVh.reshape(chi, d, chi, C)
+        v2_x, ls2_x = env_step_left_scaled(b["le"], b["re_ls"], U_x,
+                                           b["phil"])
+
+        cp, Up, v2p, ls2p, Qup = pallas_bond_c.bond_step_c(
+            _pair(b["A"]), _pair(jnp.moveaxis(b["center"], 3, 0)),
+            _pair(b["le"]), _pair(b["re"]), b["re_ls"].astype(jnp.float32),
+            _pair(b["phil"]),
+            _pair(b["phir"]), b["y1h"].astype(jnp.float32),
+            b["w"].astype(jnp.float32), _pair(U0), eta, cutoff,
+            forward=True)
+        np.testing.assert_allclose(np.moveaxis(_comb(cp), 0, 3),
+                                   np.asarray(center_x), rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(_comb(Up), np.asarray(U_x),
+                                   rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(_comb(v2p), np.asarray(v2_x),
+                                   rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(ls2p), np.asarray(ls2_x),
+                                   rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(_comb(Qup), np.asarray(Qu),
+                                   rtol=1e-4, atol=5e-5)
+
+    def test_frozen_bond_matches_xla(self, interpret):
+        b = _rand_bond_c(seed=5)
+        eta, cutoff = jnp.float32(0.05), jnp.float32(1e-10)
+        V0 = warm_sketch_init(b["d"] * b["chi"], b["chi"], np.complex128)
+        center_x, V_x, _, _, _ = _xla_backward(b, eta, cutoff, V0,
+                                               refresh=False)
+        cp, Vp, _, _, Qvp = pallas_bond_c.bond_step_c(
+            _pair(b["A"]), _pair(jnp.moveaxis(b["center"], 3, 0)),
+            _pair(b["le"]), _pair(b["re"]), b["re_ls"].astype(jnp.float32),
+            _pair(b["phil"]),
+            _pair(b["phir"]), b["y1h"].astype(jnp.float32),
+            b["w"].astype(jnp.float32), _pair(V0), eta, cutoff,
+            forward=False, refresh=False)
+        np.testing.assert_allclose(np.moveaxis(_comb(cp), 0, 3),
+                                   np.asarray(center_x), rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(_comb(Qvp), np.asarray(V0),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_fourier_training_through_complex_pallas_path(self, interpret,
+                                                          ecg200):
+        """End to end: fit_mps with a complex encoding at c64 routes through
+        the interpreted complex-pair sweep and trains to a healthy accuracy."""
+        from mpstime_tpu.training import sweep as sweep_mod
+
+        Xtr, ytr, *_ = ecg200
+        Xtr, ytr = Xtr[:40], ytr[:40]
+        assert sweep_mod._pallas_eligible(np.complex64, "KLD", "TSGO", 1,
+                                          (False, True), "randomized_warm")
+        opts = mt.MPSOptions(nsweeps=3, chi_max=12, d=3, encoding="fourier",
+                             verbosity=-1, log_level=-1, dtype="complex64",
+                             svd_alg="randomized_warm")
+        trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        assert np.asarray(trained.mps.center).dtype == np.complex64
+        acc = np.mean(mt.classify(trained, Xtr) == ytr)
+        # the XLA path at this exact config reaches 0.775 too (fourier at
+        # d=3/chi=12/3 sweeps is a weak learner); the kernels must match
+        # that regime, not beat it
+        assert acc >= 0.75, acc
