@@ -68,6 +68,35 @@ def test_sharded_sweeps_match_single_device_xla(tiny_problem):
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-10)
 
 
+def test_sharded_sweeps_complex_matches_single_device(tiny_problem):
+    """Complex (c128) training under the dp mesh: the complex path takes
+    the XLA bond branch under shard_map (the pair kernels are single-device
+    — sweep.py gates on axis_name) and must match the single-device run."""
+    import jax.numpy as jnp
+    from mpstime_tpu.parallel import sharded_full_sweeps
+    from mpstime_tpu.training.sweep import full_sweeps
+
+    mps, phis_c, y_onehot, w = tiny_problem
+    c128 = np.complex128
+    cores = mps.cores.astype(c128)
+    center = mps.center.astype(c128)
+    rng = np.random.default_rng(3)
+    phis_cx = phis_c.astype(c128) * jnp.exp(
+        1j * jnp.asarray(rng.uniform(-1, 1, phis_c.shape)))
+    kw = dict(nsweeps=2, loss="KLD", bbopt="TSGO", update_iters=1,
+              rescale=(False, True), svd_alg="randomized_warm")
+    c1, ce1 = full_sweeps(cores, center, phis_cx, y_onehot, w, 0.05, 1e-10,
+                          **kw)
+    mesh = make_mesh(8)
+    sp, sy, sw = shard_train_arrays(mesh, phis_cx, y_onehot, w)
+    rc, rce = replicate(mesh, cores, center)
+    c2, ce2 = sharded_full_sweeps(mesh, rc, rce, sp, sy, sw, 0.05, 1e-10,
+                                  **kw)
+    assert np.asarray(ce2).dtype == c128
+    np.testing.assert_allclose(np.asarray(ce1), np.asarray(ce2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-8)
+
+
 def test_sharded_sweeps_production_config_pallas(tiny_problem):
     """The PRODUCTION accelerator config (svd_alg='randomized_warm' + the
     fused Pallas bond kernels, interpreter mode on CPU) under the dp mesh:
