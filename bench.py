@@ -90,14 +90,16 @@ def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
 
     t_percall = None
     if measure_percall:
+        # full_sweep has no refresh cadence (single sweep per call)
+        kw1 = {k: v for k, v in kw.items() if k != "refresh_every"}
         cores1, center1 = full_sweep(cores, center, phis_c, y_onehot, w,
-                                     eta, cutoff, **kw)
+                                     eta, cutoff, **kw1)
         _sync(center1)
         times1 = []
         for _ in range(reps):
             t0 = time.perf_counter()
             cores1, center1 = full_sweep(cores1, center1, phis_c, y_onehot,
-                                         w, eta, cutoff, **kw)
+                                         w, eta, cutoff, **kw1)
             _sync(center1)
             times1.append(time.perf_counter() - t0)
         t_percall = float(np.median(times1))

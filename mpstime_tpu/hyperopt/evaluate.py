@@ -192,7 +192,13 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
         return res
 
     if proc_farm is not None:
-        results = proc_farm.map(_eval_fold, list(fold_inds))
+        try:
+            results = proc_farm.map(_eval_fold, list(fold_inds))
+        finally:
+            # close a farm built implicitly from a string spelling; a
+            # caller-provided ProcessFarm instance stays open (CachingPool)
+            if isinstance(devices, str):
+                proc_farm.close()
     elif farming:
         from ..parallel.farm import divide_devices
         sublists = divide_devices(farm_devs, len(fold_inds))

@@ -293,9 +293,12 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
 
     # process backend (the reference's actual Distributed.jl model): fold
     # jobs ship to spawned worker processes; the trial axis stays in this
-    # process (its cache / in-flight dedup is shared-memory by design)
+    # process (its cache / in-flight dedup is shared-memory by design).
+    # A farm built implicitly from a string spelling is OWNED here and
+    # closed on exit (a caller-provided ProcessFarm instance is not).
     farm = resolve_process_farm(devices)
     proc_farm = farm is not None
+    owned_farm = farm if (proc_farm and isinstance(devices, str)) else None
     if farm is None:
         farm_devs = resolve_devices(devices)
         farm = DeviceFarm(farm_devs) if farm_devs and len(farm_devs) > 1 \
@@ -425,4 +428,6 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
     finally:
         if executor is not None:
             executor.shutdown(wait=False)
+        if owned_farm is not None:
+            owned_farm.close()
     return best, cache

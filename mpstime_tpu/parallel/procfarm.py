@@ -9,9 +9,10 @@ evaluate.jl:270-297; its tests spawn 5 real workers, test/hyperopt.jl:17-25).
 runtimes don't survive fork; and not ``multiprocessing`` spawn, whose
 main-module re-import breaks unguarded user scripts), connected over an
 authenticated local socket.  Job closures ship via cloudpickle (the
-CachingPool analog: the function is broadcast ONCE per ``map``, then jobs
-carry only their items), results return in input order, and the first
-worker error is re-raised in the parent.
+CachingPool analog: the function is broadcast once per distinct closure —
+byte-identical consecutive maps skip the re-send — and jobs carry only
+their items), results return in input order, and the first worker error
+is re-raised in the parent.
 
 Each worker configures JAX before first use:
 
@@ -124,10 +125,17 @@ class ProcessFarm:
     distributed: Optional[Sequence[Tuple[str, int, int]]] = None
     _workers: List[_Worker] = field(default_factory=list, repr=False)
     _listener: Any = field(default=None, repr=False)
+    _last_fn_sha: Optional[str] = field(default=None, repr=False)
 
     def __post_init__(self):
         if self.n_workers <= 0:
             self.n_workers = min(4, os.cpu_count() or 1)
+        for name in ("worker_env", "distributed"):
+            seq = getattr(self, name)
+            if seq is not None and len(seq) < self.n_workers:
+                raise ValueError(
+                    f"ProcessFarm({name}=...) has {len(seq)} entries for "
+                    f"{self.n_workers} workers — provide one per worker")
 
     # -- DeviceFarm-compatible surface -------------------------------------
     @property
@@ -161,7 +169,7 @@ class ProcessFarm:
                     f"_worker_entry; _worker_entry({self._listener.address!r},"
                     f" {authkey.hex()!r})")
             proc = subprocess.Popen([sys.executable, "-c", code], env=env)
-            conn = self._listener.accept()
+            conn = self._accept_from(proc, i)
             cfg = dict(platform=self.platform, x64=x64)
             if self.distributed is not None:
                 cfg["distributed"] = tuple(self.distributed[i])
@@ -172,6 +180,41 @@ class ProcessFarm:
             msg = w.conn.recv()
             assert msg == ("ready",), msg
         atexit.register(self.close)
+
+    def _accept_from(self, proc: subprocess.Popen, wid: int,
+                     timeout_s: float = 120.0) -> Connection:
+        """accept() that notices a worker dying before it connects (e.g. an
+        import failure in the child) instead of blocking forever."""
+        sock = getattr(getattr(self._listener, "_listener", None),
+                       "_socket", None)
+        if sock is None:                           # stdlib internals moved:
+            return self._listener.accept()         # fall back to blocking
+        import socket as _socket
+        sock.settimeout(1.0)
+        deadline = timeout_s
+        try:
+            while True:
+                try:
+                    return self._listener.accept()
+                except (_socket.timeout, TimeoutError):
+                    deadline -= 1.0
+                    if proc.poll() is not None:
+                        self.close()
+                        raise RuntimeError(
+                            f"ProcessFarm worker {wid} exited with code "
+                            f"{proc.returncode} before connecting (import "
+                            "failure in the child environment?)")
+                    if deadline <= 0:
+                        proc.kill()
+                        self.close()
+                        raise RuntimeError(
+                            f"ProcessFarm worker {wid} did not connect "
+                            f"within {timeout_s:.0f}s")
+        finally:
+            try:
+                sock.settimeout(None)
+            except OSError:
+                pass    # close() already tore the listener down
 
     def map(self, fn: Callable[[Any], Any], items) -> List[Any]:
         """Run ``fn`` over ``items`` across the worker pool.  ``fn`` and the
@@ -186,8 +229,14 @@ class ProcessFarm:
             return []
         self._ensure_workers()
         fn_b = cloudpickle.dumps(fn)
-        for w in self._workers:
-            w.conn.send(("fn", fn_b))
+        import hashlib
+        fn_sha = hashlib.sha1(fn_b).hexdigest()
+        if fn_sha != self._last_fn_sha:
+            # skip the re-broadcast when consecutive maps ship byte-identical
+            # closures (workers keep the last fn)
+            for w in self._workers:
+                w.conn.send(("fn", fn_b))
+            self._last_fn_sha = fn_sha
 
         results: List[Any] = [None] * len(items)
         pending = list(enumerate(items))[::-1]
@@ -255,6 +304,7 @@ class ProcessFarm:
                     w.proc.kill()
             w.conn.close()
         self._workers = []
+        self._last_fn_sha = None
         if self._listener is not None:
             self._listener.close()
             self._listener = None

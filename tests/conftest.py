@@ -26,8 +26,12 @@ import pytest
 
 
 def _is_tpu_lane(config) -> bool:
+    import re
+
     me = config.option.markexpr or ""
-    return "tpu" in me and "not tpu" not in me
+    # whole-token match: "-m some_output_mark" must not trip the lane
+    return (re.search(r"\btpu\b", me) is not None
+            and re.search(r"\bnot\s+tpu\b", me) is None)
 
 
 def pytest_configure(config):
