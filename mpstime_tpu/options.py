@@ -215,13 +215,14 @@ class MPSOptions:
         # Warm-started eigh-free splits are the accelerator default for
         # every encoding, complex included: complex QR routes through the
         # fast real Householder embedding (ops/decomp._qr_orth), putting a
-        # fourier c64 sweep at 0.047 s vs 0.68 s for the Ritz route (whose
-        # complex [k,k] eigh lowers to a slow TPU kernel).  Caveat: at
-        # SMALL chi (<~32) fourier's +-frequency-paired bond spectra can
-        # make warm subspace tracking churn at the truncation edge (~5
-        # points of ECG200 test accuracy at chi=25 on CPU); at production
-        # chi the warm path matched or beat Ritz on every measured config.
-        # Pass svd_alg="randomized" explicitly for the Ritz ordering.
+        # fourier c64 sweep at 0.043 s fused vs 0.68 s for the Ritz route
+        # (whose complex [k,k] eigh lowers to a slow TPU kernel).
+        # Fourier caveat: its +-frequency-paired (degenerate) bond spectra
+        # make accuracy alg-sensitive and NOISY — measured ECG200 f64 test
+        # acc across chi 15/25/40/64: warm 0.62-0.76, lean 0.62-0.83, Ritz
+        # 0.69-0.73, with no dominator.  For small-chi fourier searches on
+        # CPU (where it costs nothing) pass svd_alg="randomized"
+        # explicitly; on TPU try "randomized_lean" if warm underperforms.
         return "randomized_warm"
 
     # ---- convenience ------------------------------------------------------
