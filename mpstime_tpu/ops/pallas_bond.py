@@ -26,7 +26,8 @@ split the minor (lane) dimension are unsupported, so
 
 Covers the default hot path: real float32, KLD loss, TSGO optimiser,
 update_iters=1, rescale=(False, True), svd_alg="randomized_warm"
-(training/sweep.py falls back to the XLA path otherwise).
+(training/sweep.py falls back to the XLA path otherwise; complex64 takes
+the real-imag pair twin in ops/pallas_bond_c.py).
 
 Class-axis layout: the center travels as [C, chi_l, d, chi_r].
 
