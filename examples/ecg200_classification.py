@@ -4,6 +4,11 @@ workflow; cf. its docstring example, RealRealHighDimension.jl:272-380).
 Run:  python examples/ecg200_classification.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import mpstime_tpu as mt

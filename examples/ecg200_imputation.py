@@ -5,6 +5,11 @@ at 20% missing for every method).
 Run:  python examples/ecg200_imputation.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import mpstime_tpu as mt

@@ -4,6 +4,11 @@
 Run:  python examples/hyperopt_evaluation.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import mpstime_tpu as mt
