@@ -109,3 +109,15 @@ def test_workers_form_a_jax_distributed_job():
     finally:
         farm.close()
     assert sorted(out) == [(0, 2), (1, 2)]
+
+
+def test_farm_reusable_after_close():
+    """close() is idempotent and a closed farm respawns on the next map."""
+    farm = ProcessFarm(2)
+    assert farm.map(lambda i: i + 1, range(3)) == [1, 2, 3]
+    farm.close()
+    farm.close()
+    assert farm._workers == []
+    # respawns a fresh pool transparently
+    assert farm.map(lambda i: i * 10, range(2)) == [0, 10]
+    farm.close()
