@@ -133,7 +133,7 @@ class MPSOptions:
     # every K-th sweep, splitting against the frozen cached bases in between.
     # K=1 (default) refreshes every sweep; K=2 cuts the per-bond QR — the
     # dominant TPU cost once the bond step is fused — out of half the
-    # sweeps.  Measured ECG200 chi=64 v5e: real f32 0.0145 -> 0.0104
+    # sweeps.  Measured ECG200 chi=64 v5e: real f32 ~0.014 -> 0.0104
     # s/sweep at K=2 (test acc 0.91 -> 0.89); complex c64 0.043 -> 0.029
     # (accuracy-neutral there).
     subspace_refresh_every: int = 1

@@ -129,7 +129,11 @@ class ProcessFarm:
 
     def __post_init__(self):
         if self.n_workers <= 0:
-            self.n_workers = min(4, os.cpu_count() or 1)
+            # infer the worker count from a per-worker sequence when given
+            seqs = [len(s) for s in (self.worker_env, self.distributed)
+                    if s is not None]
+            self.n_workers = min(seqs) if seqs \
+                else min(4, os.cpu_count() or 1)
         for name in ("worker_env", "distributed"):
             seq = getattr(self, name)
             if seq is not None and len(seq) < self.n_workers:
@@ -233,7 +237,10 @@ class ProcessFarm:
         fn_sha = hashlib.sha1(fn_b).hexdigest()
         if fn_sha != self._last_fn_sha:
             # skip the re-broadcast when consecutive maps ship byte-identical
-            # closures (workers keep the last fn)
+            # closures (workers keep the last fn).  Invalidate BEFORE the
+            # send loop: an interrupted broadcast must not leave a stale sha
+            # claiming all workers hold the new fn.
+            self._last_fn_sha = None
             for w in self._workers:
                 w.conn.send(("fn", fn_b))
             self._last_fn_sha = fn_sha

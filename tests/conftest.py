@@ -26,12 +26,13 @@ import pytest
 
 
 def _is_tpu_lane(config) -> bool:
-    import re
-
-    me = config.option.markexpr or ""
-    # whole-token match: "-m some_output_mark" must not trip the lane
-    return (re.search(r"\btpu\b", me) is not None
-            and re.search(r"\bnot\s+tpu\b", me) is None)
+    # Only the documented invocation (`pytest -m tpu`) activates the
+    # hardware lane.  Anything else — including negations in any spelling
+    # ("not tpu", "not (tpu or slow)") — gets the safe CPU+x64 default;
+    # guessing intent from a general markexpr risks silently running the
+    # whole suite against the remote TPU.
+    me = (config.option.markexpr or "").strip()
+    return me == "tpu"
 
 
 def pytest_configure(config):
