@@ -111,6 +111,74 @@ def test_workers_form_a_jax_distributed_job():
     assert sorted(out) == [(0, 2), (1, 2)]
 
 
+def test_cross_process_gspmd_training_matches_single_process():
+    """The full multi-host rung of docs/parallelism.md, exercised for real:
+    a dp mesh SPANNING TWO OS PROCESSES (2 workers x 2 virtual CPU devices
+    each = one 4-device GSPMD job over Gloo collectives) runs
+    ``sharded_full_sweeps`` and must reproduce the single-process result to
+    FP-reduction-order noise.  This is the execution model the reference's
+    cluster runs use (meta_hyperopt_ECG.jl:18 spawns 30 workers); here the
+    *training step itself* crosses the process boundary, not just
+    ``jax.distributed.initialize``."""
+    import socket
+
+    from mpstime_tpu.training.sweep import full_sweeps
+
+    T, chi, d, C, N = 8, 6, 3, 2, 16
+    from mpstime_tpu.models.mps import random_mps
+    mps = random_mps(0, T, d, C, 4, chi, np.float64)
+    rng = np.random.default_rng(0)
+    phis_np = rng.uniform(-0.9, 0.9, (T, N, d))
+    y_np = np.eye(C)[np.sort(rng.integers(0, C, N))]
+    w_np = np.full((N,), 1.0 / N)
+    cores_np = [np.asarray(c) for c in mps.cores] \
+        if isinstance(mps.cores, (list, tuple)) else np.asarray(mps.cores)
+    center_np = np.asarray(mps.center)
+    kw = dict(nsweeps=2, loss="KLD", bbopt="TSGO", update_iters=1,
+              rescale=(False, True), svd_alg="gram_eigh")
+
+    # single-process reference (this process, virtual 8-device backend —
+    # the computation is device-count-independent up to reduction order)
+    c_ref, ce_ref = full_sweeps(mps.cores, mps.center, phis_np, y_np, w_np,
+                                0.01, 1e-10, **kw)
+
+    def job(_):
+        import jax
+        import numpy as np
+        from mpstime_tpu.parallel import (make_mesh, replicate,
+                                          shard_train_arrays,
+                                          sharded_full_sweeps)
+
+        mesh = make_mesh()          # all 4 global devices, both processes
+        assert mesh.devices.size == 4 and jax.process_count() == 2
+        sp, sy, sw = shard_train_arrays(mesh, phis_np, y_np, w_np)
+        rc, rce = replicate(mesh, cores_np, center_np)
+        c, ce = sharded_full_sweeps(mesh, rc, rce, sp, sy, sw,
+                                    0.01, 1e-10, **kw)
+        # outputs are replicated: every process holds full local copies
+        return (np.asarray(c.addressable_shards[0].data),
+                np.asarray(ce.addressable_shards[0].data))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    addr = f"127.0.0.1:{port}"
+    env = {"XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+    farm = ProcessFarm(2, worker_env=[env, env], x64=True,
+                       distributed=[(addr, 2, 0), (addr, 2, 1)])
+    try:
+        out = farm.map(job, range(2))
+    finally:
+        farm.close()
+    (c0, ce0), (c1, ce1) = out
+    # both processes converged to the same replicated model ...
+    np.testing.assert_array_equal(c0, c1)
+    np.testing.assert_array_equal(ce0, ce1)
+    # ... and it matches the single-process run
+    np.testing.assert_allclose(ce0, np.asarray(ce_ref), atol=1e-8)
+    np.testing.assert_allclose(c0, np.asarray(c_ref), atol=1e-8)
+
+
 def test_farm_reusable_after_close():
     """close() is idempotent and a closed farm respawns on the next map."""
     farm = ProcessFarm(2)
