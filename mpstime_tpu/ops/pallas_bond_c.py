@@ -32,8 +32,10 @@ the XLA path un-conjugates them at the call site):
   ops/env.env_step_*, and the new core's conjugation lands on Qm.)
 
 Covers: complex64, KLD, TSGO, update_iters=1, rescale=(False, True),
-svd_alg="randomized_warm", single device (a complex dp mesh takes the XLA
-path).  Reference complex surface: Encodings/bases.jl:8-74,
+svd_alg="randomized_warm" — single device AND data-parallel meshes (the
+``axis_name`` dp split mirrors the real kernels': local gradient pair per
+shard, one psum of (re, im) per bond, replicated update/split, local env
+advance).  Reference complex surface: Encodings/bases.jl:8-74,
 options.jl:117; loss semantics loss_functions.jl:302-432.
 """
 
@@ -113,16 +115,10 @@ def _pairs(refs):
 # K1: bond tensor + complex KLD gradient + TSGO + power step
 # --------------------------------------------------------------------------
 
-def _k1c_kernel(eta_ref, y1h_ref, w_ref, *refs,
-                C: int, chi: int, d: int, forward: bool, emit_y: bool):
-    f32 = jnp.float32
-    eta = eta_ref[0, 0]
-    y1h = y1h_ref[:]                  # [N, C] real
-    w = w_ref[:]                      # [N, 1] real
-    # pair operands: left, right, le, re, phil, phir, V0 (7 pairs = 14 refs)
-    (left, right, le, re, phil, phir, V0) = _pairs(refs[:14])
-    bt_r, bt_i, y_r, y_i = refs[14:]
-
+def _k1c_bt_grad(left, right, le, re, phil, phir, y1h, w, *,
+                 C: int, chi: int, d: int, forward: bool):
+    """Shared K1 math: bond-tensor blocks + the (local-batch) complex KLD
+    gradient, both as pair lists BT[c][k] / G[c][k] of [chi*d, chi]."""
     L1 = _ckron_batch(_cconj(le), phil)          # [N, chi*d]
 
     if not forward:
@@ -159,15 +155,25 @@ def _k1c_kernel(eta_ref, y1h_ref, w_ref, *refs,
     inv = w / _abs2(y_true)
     u = _cmul_real(y_true, inv)                   # = w / conj(y_true)
 
-    # ---- gradient + TSGO + renormalize ------------------------------------
+    # ---- gradient -----------------------------------------------------------
     G = [[None] * d for _ in range(C)]
-    g2 = jnp.zeros((), f32)
     for c in range(C):
         wc = _cmul_real(u, y1h[:, c:c + 1])
         for k in range(d):
             rhs = _cmul(_cconj(r1(k)), wc)                    # [N, chi]
             g_ck = _cdot_ct(L1, rhs)                          # conj(L1)^T rhs
             G[c][k] = (-g_ck[0], -g_ck[1])
+    return BT, G
+
+
+def _k1c_tsgo_power(eta, BT, G, V0, bt_r, bt_i, y_r, y_i, *,
+                    C: int, chi: int, d: int, forward: bool, emit_y: bool):
+    """Shared K1 tail: TSGO step + post-normalization against the (local or
+    psummed) gradient, then the warm power step.  Writes bt/y refs."""
+    f32 = jnp.float32
+    g2 = jnp.zeros((), f32)
+    for c in range(C):
+        for k in range(d):
             g2 = g2 + jnp.sum(_abs2(G[c][k]))
     gn = jax.lax.rsqrt(jnp.maximum(g2, jnp.finfo(f32).tiny))
 
@@ -218,6 +224,20 @@ def _k1c_kernel(eta_ref, y1h_ref, w_ref, *refs,
         y_i[:] = Y[1] * inv_n
 
 
+def _k1c_kernel(eta_ref, y1h_ref, w_ref, *refs,
+                C: int, chi: int, d: int, forward: bool, emit_y: bool):
+    eta = eta_ref[0, 0]
+    y1h = y1h_ref[:]                  # [N, C] real
+    w = w_ref[:]                      # [N, 1] real
+    # pair operands: left, right, le, re, phil, phir, V0 (7 pairs = 14 refs)
+    (left, right, le, re, phil, phir, V0) = _pairs(refs[:14])
+    bt_r, bt_i, y_r, y_i = refs[14:]
+    BT, G = _k1c_bt_grad(left, right, le, re, phil, phir, y1h, w,
+                         C=C, chi=chi, d=d, forward=forward)
+    _k1c_tsgo_power(eta, BT, G, V0, bt_r, bt_i, y_r, y_i,
+                    C=C, chi=chi, d=d, forward=forward, emit_y=emit_y)
+
+
 def _k1c_call(eta, y1h, w, left, right, le, re, phil, phir, V0, *,
               C, chi, d, forward, emit_y, est):
     f32 = jnp.float32
@@ -243,17 +263,111 @@ def _k1c_call(eta, y1h, w, left, right, le, re, phil, phir, V0, *,
 
 
 # --------------------------------------------------------------------------
+# K1 split for data-parallel meshes (pair twin of pallas_bond._k1_grad_* /
+# _k1_update_*): the LOCAL shard's complex gradient is computed per shard,
+# the caller psums both components over the mesh axis — one collective of
+# the (re, im) gradient pair per bond update — and the TSGO step + power
+# step run redundantly on every device against replicated operands.
+# --------------------------------------------------------------------------
+
+def _k1c_grad_kernel(y1h_ref, w_ref, *refs, C: int, chi: int, d: int,
+                     forward: bool):
+    y1h = y1h_ref[:]
+    w = w_ref[:]
+    # pairs: left, right, le, re, phil, phir (6 pairs = 12 refs)
+    (left, right, le, re, phil, phir) = _pairs(refs[:12])
+    g_r, g_i = refs[12:]
+    _, G = _k1c_bt_grad(left, right, le, re, phil, phir, y1h, w,
+                        C=C, chi=chi, d=d, forward=forward)
+    for c in range(C):
+        for k in range(d):
+            g_r[c, :, k, :] = G[c][k][0]
+            g_i[c, :, k, :] = G[c][k][1]
+
+
+def _k1c_update_kernel(eta_ref, *refs, C: int, chi: int, d: int,
+                       forward: bool, emit_y: bool):
+    eta = eta_ref[0, 0]
+    # pairs: left, right, G, V0 (4 pairs = 8 refs)
+    (left, right, Gp, V0) = _pairs(refs[:8])
+    bt_r, bt_i, y_r, y_i = refs[8:]
+
+    if not forward:
+        A2 = (left[0].reshape(chi * d, chi), left[1].reshape(chi * d, chi))
+    BT = [[None] * d for _ in range(C)]
+    G = [[None] * d for _ in range(C)]
+    for c in range(C):
+        if forward:
+            Cc2 = (left[0][c].reshape(chi * d, chi),
+                   left[1][c].reshape(chi * d, chi))
+        for k in range(d):
+            if forward:
+                BT[c][k] = _cdot(Cc2, (right[0][:, k, :], right[1][:, k, :]))
+            else:
+                BT[c][k] = _cdot(A2, (right[0][c, :, k, :],
+                                      right[1][c, :, k, :]))
+            G[c][k] = (Gp[0][c, :, k, :], Gp[1][c, :, k, :])
+    _k1c_tsgo_power(eta, BT, G, V0, bt_r, bt_i, y_r, y_i,
+                    C=C, chi=chi, d=d, forward=forward, emit_y=emit_y)
+
+
+def _k1c_grad_call(y1h, w, left, right, le, re, phil, phir, *,
+                   C, chi, d, forward, est):
+    f32 = jnp.float32
+    out_shape = (
+        jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
+        jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
+    )
+    kern = functools.partial(_k1c_grad_kernel, C=C, chi=chi, d=d,
+                             forward=forward)
+    flat = []
+    for p in (left, right, le, re, phil, phir):
+        flat.extend(p)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[pb._vmem()] * (2 + 12),
+        out_specs=(pb._vmem(), pb._vmem()),
+        interpret=pb._INTERPRET,
+        **pb._compiler_kw(est),
+    )(y1h, w, *flat)
+
+
+def _k1c_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
+                     emit_y, est):
+    f32 = jnp.float32
+    out_shape = (
+        jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
+        jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
+        jax.ShapeDtypeStruct((chi * d, chi), f32),
+        jax.ShapeDtypeStruct((chi * d, chi), f32),
+    )
+    kern = functools.partial(_k1c_update_kernel, C=C, chi=chi, d=d,
+                             forward=forward, emit_y=emit_y)
+    flat = []
+    for p in (left, right, G, V0):
+        flat.extend(p)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[pb._smem_scalar()] + [pb._vmem()] * 8,
+        out_specs=tuple(pb._vmem() for _ in range(4)),
+        interpret=pb._INTERPRET,
+        **pb._compiler_kw(est),
+    )(eta, *flat)
+
+
+# --------------------------------------------------------------------------
 # K2: projection + cutoff + split factors + env step (complex)
 # --------------------------------------------------------------------------
 
-def _k2c_kernel(cutoff_ref, *refs, C: int, chi: int, d: int, forward: bool):
+def _k2c_project_mask(cutoff, max_rank, bt, Q, *, C: int, chi: int, d: int,
+                      forward: bool):
+    """Shared complex K2 math (pair twin of pallas_bond._k2_project_mask):
+    project the bond-tensor pair onto Q, direction energies (|.|^2 over both
+    components), and the ITensor cutoff masks.  Returns
+    (B, mask_row, mask_col, Qm) with B/Qm pair-typed."""
     f32 = jnp.float32
-    cutoff = cutoff_ref[0, 0]
-    max_rank = cutoff_ref[0, 1]
-    # pairs: bt, q, env, phi (4 pairs = 8 refs) + envls (real)
-    (bt, Q, env, phi) = _pairs(refs[:8])
-    envls_ref = refs[8]
-    (center_r, center_i, core_r, core_i, env2_r, env2_i, envls2) = refs[9:]
 
     def bt_ck(c, k):
         return (bt[0][c, :, k, :], bt[1][c, :, k, :])
@@ -303,8 +417,12 @@ def _k2c_kernel(cutoff_ref, *refs, C: int, chi: int, d: int, forward: bool):
                 & (cnt_col > jnp.float32(chi) - max_rank)).astype(f32)
     mask_row = _dot(jnp.ones((1, chi), f32), eye * mask_col)
     Qm = (Q[0] * mask_row, Q[1] * mask_row)
+    return B, mask_row, mask_col, Qm
 
-    # ---- emit split factors -----------------------------------------------
+
+def _k2c_emit(B, mask_row, mask_col, Qm, center_r, center_i, core_r, core_i,
+              *, C: int, chi: int, d: int, forward: bool):
+    """Write the complex split factors in their final core layouts."""
     if not forward:
         for c in range(C):
             center_r[c] = (B[c][0] * mask_row).reshape(chi, d, chi)
@@ -322,7 +440,12 @@ def _k2c_kernel(cutoff_ref, *refs, C: int, chi: int, d: int, forward: bool):
         core_r[:] = Qm[0].reshape(chi, d, chi)  # U = Q (no conj)
         core_i[:] = Qm[1].reshape(chi, d, chi)
 
-    # ---- env advance -------------------------------------------------------
+
+def _k2c_env_advance(Qm, env, phi, envls_ref, env2_r, env2_i, envls2, *,
+                     chi: int, d: int, forward: bool):
+    """Advance the (local) pair environment through the masked isometry,
+    with per-sample renormalization and log-scale accumulation."""
+    f32 = jnp.float32
     N = env[0].shape[0]
     if not forward:
         v2 = (jnp.zeros((N, chi), f32), jnp.zeros((N, chi), f32))
@@ -341,6 +464,86 @@ def _k2c_kernel(cutoff_ref, *refs, C: int, chi: int, d: int, forward: bool):
     env2_r[:] = v2[0] * inv
     env2_i[:] = v2[1] * inv
     envls2[:] = envls_ref[:] + jnp.where(nrm > 0, jnp.log(safe), 0.0)
+
+
+def _k2c_kernel(cutoff_ref, *refs, C: int, chi: int, d: int, forward: bool):
+    # pairs: bt, q, env, phi (4 pairs = 8 refs) + envls (real)
+    (bt, Q, env, phi) = _pairs(refs[:8])
+    envls_ref = refs[8]
+    (center_r, center_i, core_r, core_i, env2_r, env2_i, envls2) = refs[9:]
+    B, mask_row, mask_col, Qm = _k2c_project_mask(
+        cutoff_ref[0, 0], cutoff_ref[0, 1], bt, Q, C=C, chi=chi, d=d,
+        forward=forward)
+    _k2c_emit(B, mask_row, mask_col, Qm, center_r, center_i, core_r, core_i,
+              C=C, chi=chi, d=d, forward=forward)
+    _k2c_env_advance(Qm, env, phi, envls_ref, env2_r, env2_i, envls2,
+                     chi=chi, d=d, forward=forward)
+
+
+def _k2c_split_kernel(cutoff_ref, *refs, C: int, chi: int, d: int,
+                      forward: bool):
+    """Replicated half of K2 for the dp path: split factors + the masked
+    isometry pair (consumed by _k2c_env_kernel on each shard)."""
+    (bt, Q) = _pairs(refs[:4])
+    (center_r, center_i, core_r, core_i, qm_r, qm_i) = refs[4:]
+    B, mask_row, mask_col, Qm = _k2c_project_mask(
+        cutoff_ref[0, 0], cutoff_ref[0, 1], bt, Q, C=C, chi=chi, d=d,
+        forward=forward)
+    _k2c_emit(B, mask_row, mask_col, Qm, center_r, center_i, core_r, core_i,
+              C=C, chi=chi, d=d, forward=forward)
+    qm_r[:] = Qm[0]
+    qm_i[:] = Qm[1]
+
+
+def _k2c_env_kernel(*refs, chi: int, d: int, forward: bool):
+    """Local half of K2 for the dp path: advance this shard's pair
+    environments through the replicated masked isometry."""
+    (Qm, env, phi) = _pairs(refs[:6])
+    envls_ref, env2_r, env2_i, envls2 = refs[6:]
+    _k2c_env_advance(Qm, env, phi, envls_ref, env2_r, env2_i, envls2,
+                     chi=chi, d=d, forward=forward)
+
+
+def _k2c_split_call(cutoff, BT, Q, *, C, chi, d, forward, est):
+    f32 = jnp.float32
+    nq = Q[0].shape[0]
+    out_shape = (
+        jax.ShapeDtypeStruct((C, chi, d, chi), f32),
+        jax.ShapeDtypeStruct((C, chi, d, chi), f32),
+        jax.ShapeDtypeStruct((chi, d, chi), f32),
+        jax.ShapeDtypeStruct((chi, d, chi), f32),
+        jax.ShapeDtypeStruct((nq, chi), f32),
+        jax.ShapeDtypeStruct((nq, chi), f32),
+    )
+    kern = functools.partial(_k2c_split_kernel, C=C, chi=chi, d=d,
+                             forward=forward)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[pb._smem_scalar()] + [pb._vmem()] * 4,
+        out_specs=tuple(pb._vmem() for _ in range(6)),
+        interpret=pb._INTERPRET,
+        **pb._compiler_kw(est),
+    )(cutoff, *BT, *Q)
+
+
+def _k2c_env_call(Qm, env, env_ls, phi, *, chi, d, forward, est):
+    f32 = jnp.float32
+    N = env[0].shape[0]
+    out_shape = (
+        jax.ShapeDtypeStruct((N, chi), f32),
+        jax.ShapeDtypeStruct((N, chi), f32),
+        jax.ShapeDtypeStruct((N, 1), f32),
+    )
+    kern = functools.partial(_k2c_env_kernel, chi=chi, d=d, forward=forward)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[pb._vmem()] * 7,
+        out_specs=tuple(pb._vmem() for _ in range(3)),
+        interpret=pb._INTERPRET,
+        **pb._compiler_kw(est),
+    )(*Qm, *env, *phi, env_ls)
 
 
 def _k2c_call(cutoff, BT, Q, env, env_ls, phi, *, C, chi, d, forward, est):
@@ -387,12 +590,19 @@ def _qr_orth_pair(Y: Tuple[jnp.ndarray, jnp.ndarray]
 
 def bond_step_c(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
                 eta, cutoff, *, forward: bool, refresh: bool = True,
-                max_rank=None):
+                axis_name: str = None, max_rank=None):
     """One fused complex bond step.  Every complex operand is a (re, im)
     pair of f32 arrays with the shapes of the real kernel's operands;
     returns pair-typed (center_c', core', env') plus real env_ls' and the
     pair Q'.  Semantics mirror pallas_bond.bond_step (see module
-    docstring for the conjugation map)."""
+    docstring for the conjugation map).
+
+    ``axis_name``: run the data-parallel variant inside shard_map over a dp
+    mesh — batch operands are this shard's blocks; the LOCAL complex
+    gradient pair is psummed over the axis (one collective of the (re, im)
+    gradient per bond update), and the update + split run redundantly on
+    every device while each shard's environments advance locally (the same
+    contract as pallas_bond.bond_step's dp split)."""
     C, chi, d, _ = center_c[0].shape
     est = 2 * pb.kernel_footprint(C, chi, d, le[0].shape[0])
     eta2 = jnp.reshape(eta.astype(jnp.float32), (1, 1))
@@ -405,16 +615,32 @@ def bond_step_c(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
     else:
         left, right = A_or_B, center_c
 
-    BT_r, BT_i, Y_r, Y_i = _k1c_call(
-        eta2, y1h, w2, left, right, le, re, phil, phir, V0,
-        C=C, chi=chi, d=d, forward=forward, emit_y=refresh, est=est)
+    if axis_name is None:
+        BT_r, BT_i, Y_r, Y_i = _k1c_call(
+            eta2, y1h, w2, left, right, le, re, phil, phir, V0,
+            C=C, chi=chi, d=d, forward=forward, emit_y=refresh, est=est)
+    else:
+        G = _k1c_grad_call(y1h, w2, left, right, le, re, phil, phir,
+                           C=C, chi=chi, d=d, forward=forward, est=est)
+        G = jax.lax.psum(G, axis_name)
+        BT_r, BT_i, Y_r, Y_i = _k1c_update_call(
+            eta2, left, right, G, V0, C=C, chi=chi, d=d, forward=forward,
+            emit_y=refresh, est=est)
     if refresh:
         Q = _qr_orth_pair((Y_r, Y_i))
     else:
         Q = V0
     env = le if forward else re
     phi = phil if forward else phir
-    (c_r, c_i, k_r, k_i, e_r, e_i, ls2) = _k2c_call(
-        cut2, (BT_r, BT_i), Q, env, env_ls[:, None], phi,
-        C=C, chi=chi, d=d, forward=forward, est=est)
+    if axis_name is None:
+        (c_r, c_i, k_r, k_i, e_r, e_i, ls2) = _k2c_call(
+            cut2, (BT_r, BT_i), Q, env, env_ls[:, None], phi,
+            C=C, chi=chi, d=d, forward=forward, est=est)
+    else:
+        (c_r, c_i, k_r, k_i, qm_r, qm_i) = _k2c_split_call(
+            cut2, (BT_r, BT_i), Q, C=C, chi=chi, d=d, forward=forward,
+            est=est)
+        (e_r, e_i, ls2) = _k2c_env_call(
+            (qm_r, qm_i), env, env_ls[:, None], phi,
+            chi=chi, d=d, forward=forward, est=est)
     return ((c_r, c_i), (k_r, k_i), (e_r, e_i), ls2[:, 0], Q)

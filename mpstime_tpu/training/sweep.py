@@ -161,8 +161,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     pallas = (not track_cost) \
         and _pallas_vmem_ok(C, chi, d, N, factor=2 if cplx else 1) \
         and _pallas_eligible(dtype, loss, bbopt, update_iters, rescale,
-                             svd_alg, platform=platform) \
-        and (not cplx or axis_name is None)
+                             svd_alg, platform=platform)
     cplx = cplx and pallas    # below, cplx means "complex pair kernels"
 
     def _m(f, *xs):
@@ -218,7 +217,8 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 center, V, v2, ls2, Qv = pallas_bond_c.bond_step_c(
                     x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["vb"], eta, cutoff,
-                    forward=False, refresh=refresh, max_rank=max_rank)
+                    forward=False, refresh=refresh, axis_name=axis_name,
+                    max_rank=max_rank)
                 return (center, v2, ls2), dict(V=V, re=v2, re_ls=ls2, qv=Qv)
             if pallas:
                 center, V, v2, ls2, Qv = pallas_bond.bond_step(
@@ -285,7 +285,8 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 center, Unew, v2, ls2, Qu = pallas_bond_c.bond_step_c(
                     x["B"], center, le_v, x["re"], le_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["uf"], eta, cutoff,
-                    forward=True, refresh=refresh, max_rank=max_rank)
+                    forward=True, refresh=refresh, axis_name=axis_name,
+                    max_rank=max_rank)
                 return (center, v2, ls2), dict(U=Unew, le=v2, le_ls=ls2,
                                                qu=Qu)
             if pallas:

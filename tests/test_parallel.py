@@ -224,6 +224,128 @@ def test_single_bond_dp_matches_fused(tiny_problem, forward, n_dev):
                                    err_msg=f"single-bond dp mismatch: {name}")
 
 
+@pytest.mark.parametrize("forward", [False, True])
+@pytest.mark.parametrize("n_dev", [1, 8])
+def test_single_bond_dp_matches_fused_complex(tiny_problem, forward, n_dev):
+    """Complex twin of the single-bond dp contract: bond_step_c with
+    axis_name (local gradient pair + one psum of (re, im) + replicated
+    update/split) must reproduce the fused single-device pair kernel —
+    1e-7 on a 1-device mesh (same arithmetic), ~1e-4 on 8 (psum
+    reduction-order noise through the pair-QR power step)."""
+    from jax.sharding import PartitionSpec as P
+    from mpstime_tpu.ops import pallas_bond, pallas_bond_c
+    from mpstime_tpu.ops.decomp import warm_sketch_init
+
+    mps, phis_c, y_onehot, w = tiny_problem
+    f32 = np.float32
+    T, chi, d, _ = mps.cores.shape
+    C = mps.center.shape[3]
+    N = phis_c.shape[1]
+    rng = np.random.default_rng(7)
+
+    def pair(x):
+        x = np.asarray(x)
+        return (x.real.astype(f32), x.imag.astype(f32))
+
+    def unit_rows_c(n, m):
+        a = rng.standard_normal((n, m)) + 1j * rng.standard_normal((n, m))
+        return a / np.linalg.norm(a, axis=1, keepdims=True)
+
+    crand = rng.standard_normal((C, chi, d, chi)) * 0.3
+    A = pair(np.asarray(mps.cores[3]) * np.exp(1j * 0.3))
+    center_c = pair(np.asarray(jnp.moveaxis(mps.center, 3, 0)) + 1j * crand)
+    le, re = pair(unit_rows_c(N, chi)), pair(unit_rows_c(N, chi))
+    env_ls = np.zeros((N,), f32)
+    theta_l = rng.uniform(-np.pi, np.pi, (N, d))
+    theta_r = rng.uniform(-np.pi, np.pi, (N, d))
+    phil = pair(np.exp(-1j * theta_l) / np.sqrt(d))
+    phir = pair(np.exp(-1j * theta_r) / np.sqrt(d))
+    y1h = np.asarray(y_onehot, f32)
+    wgt = np.asarray(w, f32)
+    V0 = pair(np.asarray(warm_sketch_init(chi * d, chi, np.complex64)))
+    eta, cutoff = jnp.float32(0.05), jnp.float32(1e-10)
+
+    pallas_bond.set_interpret(True)
+    try:
+        jax.clear_caches()
+        ref = pallas_bond_c.bond_step_c(A, center_c, le, re, env_ls, phil,
+                                        phir, y1h, wgt, V0, eta, cutoff,
+                                        forward=forward)
+        mesh = make_mesh(n_dev)
+
+        def dp_body(A, center_c, le, re, env_ls, phil, phir, y1h, wgt, V0):
+            return pallas_bond_c.bond_step_c(
+                A, center_c, le, re, env_ls, phil, phir, y1h, wgt, V0,
+                eta, cutoff, forward=forward, axis_name="dp")
+
+        b, r = P("dp"), P()
+        bp, rp = (b, b), (r, r)      # pair-typed operands share one spec
+        fn = jax.jit(jax.shard_map(
+            dp_body, mesh=mesh,
+            in_specs=(rp, rp, bp, bp, b, bp, bp, b, b, rp),
+            out_specs=(rp, rp, bp, b, rp), check_vma=False))
+        got = fn(A, center_c, le, re, env_ls, phil, phir, y1h, wgt, V0)
+    finally:
+        pallas_bond.set_interpret(False)
+        jax.clear_caches()
+
+    atol = 1e-7 if n_dev == 1 else 1e-4
+    names = ("center", "core", "env", "env_ls", "Q")
+    for name, rv, gv in zip(names, ref, got):
+        for part, rr, gg in zip(("re", "im"),
+                                rv if isinstance(rv, tuple) else (rv,),
+                                gv if isinstance(gv, tuple) else (gv,)):
+            np.testing.assert_allclose(
+                np.asarray(gg), np.asarray(rr), atol=atol,
+                err_msg=f"complex single-bond dp mismatch: {name}.{part}")
+
+
+def test_sharded_sweeps_complex_pallas_dp(tiny_problem):
+    """Whole-sweep complex c64 production config under the dp mesh: the
+    pair kernels' dp split (now the complex mesh path in
+    training/sweep.py) vs the single-device fused pair kernels."""
+    from mpstime_tpu.ops import pallas_bond
+    from mpstime_tpu.parallel import sharded_full_sweeps
+    from mpstime_tpu.training.sweep import full_sweeps
+
+    mps, phis_c, y_onehot, w = tiny_problem
+    rng = np.random.default_rng(3)
+    T, chi, d, _ = mps.cores.shape
+    N = phis_c.shape[1]
+    c64, f32 = np.complex64, np.float32
+    cores = np.asarray(mps.cores).astype(c64)
+    center = np.asarray(mps.center).astype(c64)
+    theta = rng.uniform(-np.pi, np.pi, (T, N, d))
+    phis_cx = jnp.asarray((np.exp(-1j * theta) / np.sqrt(d)).astype(c64))
+    y1h = np.asarray(y_onehot, f32)
+    wgt = np.asarray(w, f32)
+    kw = dict(nsweeps=2, loss="KLD", bbopt="TSGO", update_iters=1,
+              rescale=(False, True), svd_alg="randomized_warm")
+    pallas_bond.set_interpret(True)
+    try:
+        jax.clear_caches()
+        c1, ce1 = full_sweeps(cores, center, phis_cx, y1h, wgt,
+                              jnp.float32(0.05), jnp.float32(1e-10), **kw)
+        mesh = make_mesh(8)
+        sp, sy, sw = shard_train_arrays(mesh, phis_cx, y1h, wgt)
+        rc, rce = replicate(mesh, cores, center)
+        c2, ce2 = sharded_full_sweeps(mesh, rc, rce, sp, sy, sw,
+                                      jnp.float32(0.05), jnp.float32(1e-10),
+                                      **kw)
+    finally:
+        pallas_bond.set_interpret(False)
+        jax.clear_caches()
+    assert np.isfinite(np.abs(np.asarray(ce2))).all()
+
+    def squash(a):
+        a = np.asarray(a).copy()
+        a[np.abs(a) < 1e-6] = 0.0
+        return a
+
+    np.testing.assert_allclose(squash(ce1), squash(ce2), rtol=1e-2, atol=2e-3)
+    np.testing.assert_allclose(squash(c1), squash(c2), rtol=1e-2, atol=2e-3)
+
+
 def test_fit_mps_mesh_production_config(ecg200):
     """End-to-end fit_mps(mesh=...) with the production accelerator config
     (randomized_warm; Pallas interpreted on CPU) — trains and classifies."""
