@@ -178,8 +178,12 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
     """nfolds-fold hyperparameter tuning (reference tune, tuning.jl:354-512).
 
     ``devices``: farm CV folds across local devices — True/"all" for every
-    local device, or an explicit list of jax devices (the Distributed.jl
-    ``distribute_folds`` analog, tuning.jl:112).
+    local device, an explicit list of jax devices (the Distributed.jl
+    ``distribute_folds`` analog, tuning.jl:112), or OS-process workers via
+    ``"processes[:N]"`` / a :class:`~mpstime_tpu.parallel.ProcessFarm`.
+    When the pool outnumbers the CV folds, the TRIAL axis farms instead —
+    each distinct hyperparameter point runs its folds sequentially as one
+    job (the reference's ``distribute_iters``, random_search.jl:114-116).
 
     ``padded_trials``: run every trial at the search space's
     (chi_max, d) upper bounds via zero-padding, with the trial's chi_max as
@@ -292,8 +296,8 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
                                  resolve_process_farm)
 
     # process backend (the reference's actual Distributed.jl model): fold
-    # jobs ship to spawned worker processes; the trial axis stays in this
-    # process (its cache / in-flight dedup is shared-memory by design).
+    # jobs ship to spawned worker processes; with more workers than CV
+    # folds the TRIAL axis farms instead (see farmed_trials_map below).
     # A farm built implicitly from a string spelling is OWNED here and
     # closed on exit (a caller-provided ProcessFarm instance is not).
     farm = resolve_process_farm(devices)
@@ -306,16 +310,15 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
     solver_route = not isinstance(method, MPSRandomSearch)
     # a solver that can evaluate its population concurrently (ScipySolver
     # differential_evolution) farms the TRIAL axis: each energy job runs
-    # its folds sequentially on its device, the generation drains across
-    # devices (fold farming inside would nest two farms on the same pool)
-    solver_workers = (solver_route and farm is not None and not proc_farm
+    # its folds sequentially on its device/process, the generation drains
+    # across the pool (fold farming inside would nest two farms on it)
+    solver_workers = (solver_route and farm is not None
                       and getattr(method, "supports_workers", False))
-    # with more devices than CV folds, farm the TRIAL axis instead (the
-    # reference's distribute_iters pmap over hyperparameter trials,
+    # with more devices/workers than CV folds, farm the TRIAL axis instead
+    # (the reference's distribute_iters pmap over hyperparameter trials,
     # random_search.jl:114-116): each trial runs its folds sequentially,
-    # pinned to one device, and the whole grid drains across devices
-    farm_trials = solver_workers or (farm is not None and not proc_farm
-                                     and not solver_route
+    # pinned to one device/process, and the whole grid drains across them
+    farm_trials = solver_workers or (farm is not None and not solver_route
                                      and len(folds) < len(farm.devices))
     if farm is not None and n_workers > 0:
         axis = "trials farm one-per-device" if farm_trials \
@@ -387,6 +390,70 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
                   f"t={time.time() - tstart:.2f}s: Mean CV Loss: {loss:.6g}")
         return loss
 
+    def trial_mean_loss(optslist) -> float:
+        """One whole trial as a self-contained job (ships to a ProcessFarm
+        worker via cloudpickle): round the raw point, train the CV folds
+        sequentially, return the mean loss.  No shared state — the cache /
+        stop bookkeeping happens in farmed_trials_map on the parent."""
+        hparams = _safe_paramlist(optslist, fields, types, value_map,
+                                  logspace_eta)
+        opts = opts0.replace(**hparams)
+        if pad_caps is not None:
+            opts = opts.replace(pad_to=pad_caps)
+        return float(np.mean([cvloss(f, hparams, opts)
+                              for f in range(len(folds))]))
+
+    def farmed_trials_map(xs) -> list:
+        """Process-farmed twin of tr_objective for a BATCH of trial points
+        (a grid, or one DE generation): memoization + stop bookkeeping stay
+        in this process, each distinct un-cached point ships to a worker as
+        one sequential-folds job.  The reference instead disables its memo
+        cache when farming trials to workers (random_search.jl:114-116,
+        tuning.jl:170); keeping it parent-side is strictly better — rounded
+        duplicates are deduped before any job ships and later generations
+        still hit earlier results."""
+        xs = list(xs)
+        keys = []
+        for x in xs:
+            hp = _safe_paramlist(x, fields, types, value_map, logspace_eta,
+                                 verbose=verbosity >= 3)
+            keys.append(tuple(hp[f] for f in fields))
+        stop = None
+        fresh: Dict[tuple, Any] = {}       # key -> representative raw point
+        for i, key in enumerate(keys):
+            if key in cache or key in fresh:
+                state["hits"] += 1
+                if state["hits"] > max_cache_hits:
+                    stop = _SearchExhausted("max_cache_hits")
+                    break
+                continue
+            if solver_route and state["iters"] >= maxiters:
+                stop = _SearchExhausted("maxiters")
+                break
+            state["hits"] = 0
+            state["iters"] += 1
+            fresh[key] = xs[i]
+        if fresh:
+            t0 = time.time()
+            losses = farm.map(trial_mean_loss, list(fresh.values()))
+            cache.update(zip(fresh, losses))
+            if verbosity >= 1:
+                print(f"{pre_string}farmed {len(fresh)} trial(s) over "
+                      f"{farm.n_workers} workers in {time.time() - t0:.2f}s "
+                      f"(t={time.time() - tstart:.2f}s, "
+                      f"iters={state['iters']})")
+        if stop is not None:
+            raise stop   # computed results are already in the cache
+        return [cache[k] for k in keys]
+
+    class _FarmedTrialExecutor:
+        """Adapter giving grid_search's ``executor.map`` contract over
+        farmed_trials_map (the objective argument is tr_objective's
+        machinery, already folded into the batch map — ignored)."""
+
+        def map(self, _objective, trials):
+            return farmed_trials_map(trials)
+
     def best_from_cache():
         # ties broken by the key itself (not dict insertion order) so a
         # farmed search — whose completion order is nondeterministic —
@@ -404,15 +471,23 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
             # than the best one it actually evaluated
             solve_kw = {}
             if solver_workers:
-                solve_kw["workers"] = lambda f, xs: farm.map(f, xs)
+                # DeviceFarm threads share the in-process objective (cache
+                # and all); ProcessFarm generations go through the batch
+                # twin, which keeps the cache parent-side and ships pure
+                # sequential-folds jobs
+                solve_kw["workers"] = (lambda f, xs: farmed_trials_map(xs)) \
+                    if proc_farm else (lambda f, xs: farm.map(f, xs))
             method.solve(tr_objective, x0, lb, ub, rng=g, maxiters=maxiters,
                          **solve_kw)
             best = best_from_cache() if cache else \
                 _safe_paramlist(x0, fields, types, value_map, logspace_eta)
         else:
+            executor_for_grid = None
+            if farm_trials:
+                executor_for_grid = _FarmedTrialExecutor() if proc_farm \
+                    else farm
             sol = grid_search(g, tr_objective, method, lb, ub, is_disc,
-                              fields, maxiters,
-                              executor=farm if farm_trials else None)
+                              fields, maxiters, executor=executor_for_grid)
             best = _safe_paramlist(sol, fields, types, value_map,
                                    logspace_eta)
     except _SearchExhausted as e:

@@ -126,6 +126,10 @@ class ProcessFarm:
     _workers: List[_Worker] = field(default_factory=list, repr=False)
     _listener: Any = field(default=None, repr=False)
     _last_fn_sha: Optional[str] = field(default=None, repr=False)
+    #: observability: ``{"jobs": n, "workers": [wids that ran >=1 job]}``
+    #: for the most recent :meth:`map` (lets callers/tests verify how many
+    #: workers a farmed axis actually kept busy)
+    last_map_stats: Optional[Dict[str, Any]] = field(default=None, repr=False)
 
     def __post_init__(self):
         if self.n_workers <= 0:
@@ -250,11 +254,13 @@ class ProcessFarm:
         idle = list(self._workers)
         busy: Dict[Connection, _Worker] = {}
         error: Optional[BaseException] = None
+        used: set = set()
         while (pending and error is None) or busy:
             while pending and idle and error is None:
                 i, it = pending.pop()
                 w = idle.pop()
                 w.conn.send(("job", i, cloudpickle.dumps(it)))
+                used.add(w.wid)
                 busy[w.conn] = w
             if not busy:
                 break
@@ -289,6 +295,7 @@ class ProcessFarm:
                     if error is None:
                         error = RuntimeError(
                             f"ProcessFarm worker {w.wid} failed:\n{tb}")
+        self.last_map_stats = {"jobs": len(items), "workers": sorted(used)}
         if error is not None:
             raise error
         return results

@@ -21,10 +21,13 @@ Usage: python scripts/complex_split_oracle.py [--quick]
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

@@ -88,6 +88,69 @@ def test_evaluate_process_farm(two_class_sines, farm2):
         np.testing.assert_array_equal(rf["train_inds"], rs["train_inds"])
 
 
+@pytest.fixture(scope="module")
+def farm3():
+    """A 3-worker farm: with 2 CV folds it exceeds nfolds, so tune must
+    farm the TRIAL axis (the reference's distribute_iters rule,
+    random_search.jl:114-116)."""
+    farm = ProcessFarm(3)
+    yield farm
+    farm.close()
+
+
+def test_tune_trial_axis_farms_when_workers_exceed_folds(two_class_sines,
+                                                         farm3):
+    """With 3 workers and nfolds=2, grid trials ship whole to workers (one
+    sequential-folds job per distinct hyperparameter point): ALL 3 workers
+    run jobs — not just nfolds — and the result matches sequential exactly
+    (the parent-side cache replaces the reference's cache-disabled farming,
+    random_search.jl:114-116 / tuning.jl:170)."""
+    Xtr, ytr, _, _ = two_class_sines
+    opts0 = mt.MPSOptions(verbosity=-5, log_level=-1, nsweeps=2,
+                          dtype="float64", sigmoid_transform=True)
+    kw = dict(parameters={"chi_max": [4, 6, 8, 10], "d": [3]},
+              method=mt.MPSRandomSearch("Exhaustive"),
+              objective=mt.MisclassificationRate(), opts0=opts0,
+              maxiters=4, verbosity=-1)
+    best_seq, cache_seq = mt.tune(Xtr, ytr, 2, **kw)
+    best_far, cache_far = mt.tune(Xtr, ytr, 2, devices=farm3, **kw)
+    # 4 distinct trials went through one farmed batch over all 3 workers
+    assert farm3.last_map_stats is not None
+    assert farm3.last_map_stats["jobs"] == 4
+    assert farm3.last_map_stats["workers"] == [0, 1, 2]
+    assert best_seq == best_far
+    assert set(cache_seq) == set(cache_far)
+    for k in cache_seq:
+        np.testing.assert_allclose(cache_seq[k], cache_far[k], rtol=1e-12)
+
+
+def test_de_population_farms_processes(two_class_sines, farm3):
+    """ScipySolver differential_evolution generations farm over ProcessFarm
+    workers (pure sequential-folds energy jobs, cache kept parent-side) and
+    reproduce the sequential trajectory at a fixed seed."""
+    Xtr, ytr, _, _ = two_class_sines
+    kw = dict(nfolds=2,
+              parameters={"chi_max": (4, 10), "eta": (0.1, 2.0)},
+              method=mt.ScipySolver("differential_evolution", popsize=4),
+              # budget covers init + 2 full generations (8 + 2*8 = 24) so
+              # the mid-generation exhaustion stop never fires and farmed /
+              # sequential trajectories match exactly
+              objective=mt.MisclassificationRate(), rng=3, maxiters=24,
+              verbosity=-1,
+              opts0=mt.MPSOptions(verbosity=-5, log_level=-1, nsweeps=2,
+                                  chi_max=8, d=3, dtype="float64",
+                                  sigmoid_transform=True))
+    best_f, cache_f = mt.tune(Xtr, ytr, devices=farm3, **kw)
+    # a whole generation's distinct energies shipped in one farmed batch
+    assert farm3.last_map_stats is not None
+    assert len(farm3.last_map_stats["workers"]) == 3
+    best_s, cache_s = mt.tune(Xtr, ytr, **kw)
+    assert best_f == best_s
+    assert set(cache_f) == set(cache_s)
+    for k in cache_f:
+        assert cache_f[k] == pytest.approx(cache_s[k], rel=1e-9)
+
+
 def test_workers_form_a_jax_distributed_job():
     """The documented multi-host mapping, exercised for real on localhost:
     two workers given ``distributed`` triples call
