@@ -19,14 +19,14 @@ def mape(forecast, actual, symmetric: bool = False) -> float:
 def mse(forecast, actual) -> float:
     forecast, actual = np.asarray(forecast), np.asarray(actual)
     assert len(forecast) == len(actual), \
-        "Forecast and ground truth time series do not match in length."
+        "forecast/actual length mismatch"
     return float(np.mean(np.abs(forecast - actual) ** 2))
 
 
 def mae(forecast, actual) -> float:
     forecast, actual = np.asarray(forecast), np.asarray(actual)
     assert len(forecast) == len(actual), \
-        "Forecast and ground truth time series do not match in length."
+        "forecast/actual length mismatch"
     return float(np.mean(np.abs(forecast - actual)))
 
 

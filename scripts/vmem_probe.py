@@ -91,8 +91,14 @@ def run(chi, vmem_mb, nsweeps_block=4, reps=3):
 def main():
     import jax
     print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
-    for chi, mb in [(192, 32), (192, 64), (192, 100),
-                    (256, 64), (256, 100), (128, None)]:
+    configs = [(192, 32), (192, 64), (192, 100),
+               (256, 64), (256, 100), (128, None)]
+    if len(sys.argv) > 1:      # e.g. python vmem_probe.py 320:64 384:96
+        configs = []
+        for a in sys.argv[1:]:
+            chi, _, mb = a.partition(":")
+            configs.append((int(chi), int(mb) if mb else None))
+    for chi, mb in configs:
         print(json.dumps(run(chi, mb)), flush=True)
 
 
