@@ -74,7 +74,20 @@ def _qr_orth(Y: jnp.ndarray) -> jnp.ndarray:
     realified span increment of y_j, and any real unit vector in the
     realification of a 1-dim complex span is the realification of a unit
     complex multiple of its generator — so the even columns' halves are
-    exactly the (Re, Im) parts of a nested complex-orthonormal basis."""
+    exactly the (Re, Im) parts of a nested complex-orthonormal basis.
+
+    The argument above assumes the columns of Y are numerically full rank.
+    On a (near-)rank-deficient Y — e.g. exactly-zero truncated directions
+    of a padded bond — the real QR's fill-in columns for the deficient
+    tail need not respect the complex structure, so the extracted basis
+    can carry non-complex-orthonormal junk in those positions.  This is
+    benign for every caller here: junk fill-in is still orthogonal to the
+    realified span of the leading (valid) columns, so its Rayleigh
+    quotient against M is ~0 and the ITensor cutoff mask
+    (``_trunc_mask``'s ``w > 0`` term) discards those directions before
+    they touch the split factors.  Callers needing a certified
+    complex-orthonormal Q for a deficient Y should use
+    ``jnp.linalg.qr`` directly."""
     if not jnp.iscomplexobj(Y):
         Q, _ = jnp.linalg.qr(Y)
         return Q

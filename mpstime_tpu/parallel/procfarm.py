@@ -192,37 +192,44 @@ class ProcessFarm:
     def _accept_from(self, proc: subprocess.Popen, wid: int,
                      timeout_s: float = 120.0) -> Connection:
         """accept() that notices a worker dying before it connects (e.g. an
-        import failure in the child) instead of blocking forever."""
-        sock = getattr(getattr(self._listener, "_listener", None),
-                       "_socket", None)
-        if sock is None:                           # stdlib internals moved:
-            return self._listener.accept()         # fall back to blocking
-        import socket as _socket
-        sock.settimeout(1.0)
-        deadline = timeout_s
-        try:
-            while True:
-                try:
-                    return self._listener.accept()
-                except (_socket.timeout, TimeoutError):
-                    deadline -= 1.0
-                    if proc.poll() is not None:
-                        self.close()
-                        raise RuntimeError(
-                            f"ProcessFarm worker {wid} exited with code "
-                            f"{proc.returncode} before connecting (import "
-                            "failure in the child environment?)")
-                    if deadline <= 0:
-                        proc.kill()
-                        self.close()
-                        raise RuntimeError(
-                            f"ProcessFarm worker {wid} did not connect "
-                            f"within {timeout_s:.0f}s")
-        finally:
+        import failure in the child) instead of blocking forever.  The
+        blocking accept runs in a helper thread polled against the child's
+        liveness — no reliance on multiprocessing.connection internals."""
+        import queue
+        import threading
+
+        out: "queue.Queue" = queue.Queue(maxsize=1)
+
+        def _accept():
             try:
-                sock.settimeout(None)
-            except OSError:
-                pass    # close() already tore the listener down
+                out.put(("ok", self._listener.accept()))
+            except BaseException as e:              # noqa: BLE001
+                out.put(("err", e))                 # listener closed/torn
+
+        th = threading.Thread(target=_accept, daemon=True)
+        th.start()
+        deadline = timeout_s
+        while True:
+            try:
+                kind, val = out.get(timeout=1.0)
+            except queue.Empty:
+                deadline -= 1.0
+                if proc.poll() is not None:
+                    self.close()    # closes the listener -> unblocks th
+                    raise RuntimeError(
+                        f"ProcessFarm worker {wid} exited with code "
+                        f"{proc.returncode} before connecting (import "
+                        "failure in the child environment?)")
+                if deadline <= 0:
+                    proc.kill()
+                    self.close()
+                    raise RuntimeError(
+                        f"ProcessFarm worker {wid} did not connect "
+                        f"within {timeout_s:.0f}s")
+                continue
+            if kind == "ok":
+                return val
+            raise val
 
     def map(self, fn: Callable[[Any], Any], items) -> List[Any]:
         """Run ``fn`` over ``items`` across the worker pool.  ``fn`` and the

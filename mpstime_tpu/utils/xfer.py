@@ -26,8 +26,14 @@ __all__ = ["to_device", "to_host", "zeros_on_device"]
 # plugin registers its devices under the plain "tpu" platform name, so all
 # TPU targets take the shim — on a TPU runtime with native complex
 # transfer this merely costs one tiny combine/split jit, while on axon it
-# is the only path that works.
-_NO_COMPLEX_XFER = ("axon", "tpu")
+# is the only path that works.  A runtime capability PROBE is deliberately
+# not attempted: on axon, one failed complex dispatch poisons the backend
+# for the remainder of the process (every later device_put fails
+# UNIMPLEMENTED, real or complex), so "try it and fall back" would break
+# the very process it probes.  TPU runtimes with native complex transfer
+# can skip the shim explicitly with MPSTIME_TPU_COMPLEX_XFER=native.
+_NO_COMPLEX_XFER = () if __import__("os").environ.get(
+    "MPSTIME_TPU_COMPLEX_XFER") == "native" else ("axon", "tpu")
 
 
 @jax.jit

@@ -242,6 +242,18 @@ def test_cross_process_gspmd_training_matches_single_process():
     np.testing.assert_allclose(c0, np.asarray(c_ref), atol=1e-8)
 
 
+def test_worker_dying_before_connect_raises():
+    """A child whose interpreter cannot even start (broken PYTHONHOME)
+    exits before connecting; the startup accept must surface that as an
+    error instead of blocking forever."""
+    farm = ProcessFarm(1, worker_env=[{"PYTHONHOME": "/nonexistent"}])
+    try:
+        with pytest.raises(RuntimeError, match="before connecting"):
+            farm.map(lambda i: i, range(1))
+    finally:
+        farm.close()
+
+
 def test_farm_reusable_after_close():
     """close() is idempotent and a closed farm respawns on the next map."""
     farm = ProcessFarm(2)
