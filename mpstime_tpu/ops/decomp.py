@@ -271,10 +271,12 @@ def warm_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
     k = min(keep, C)
     if refresh:
         Y = V0[:, :k]
+        # per-STEP column normalization: q > 1 raises the dynamic range to
+        # the (2q)-th power otherwise, overflowing f32 mid-iteration
         for _ in range(q):
             Y = M.conj().T @ (M @ Y)
-        Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
-                            jnp.finfo(Y.real.dtype).tiny)
+            Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
+                                jnp.finfo(Y.real.dtype).tiny)
         Q = _qr_orth(Y)                   # [C, k]
     else:
         # frozen sweep: split directly against the cached orthonormal basis
@@ -302,10 +304,11 @@ def warm_split_right(M: jnp.ndarray, U0: jnp.ndarray, keep: int, cutoff,
     k = min(keep, R)
     if refresh:
         Y = U0[:, :k]
+        # per-step normalization: see warm_split_left
         for _ in range(q):
             Y = M @ (M.conj().T @ Y)
-        Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
-                            jnp.finfo(Y.real.dtype).tiny)
+            Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
+                                jnp.finfo(Y.real.dtype).tiny)
         Q = _qr_orth(Y)                   # [R, k]
     else:
         Q = U0[:, :k]

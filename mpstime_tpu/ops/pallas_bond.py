@@ -138,10 +138,55 @@ def _kron_batch_major(major, minor):
 # K1: bond tensor + KLD gradient + TSGO step + power step
 # --------------------------------------------------------------------------
 
+def _power_step_tail(BT, V0, y_ref, *, C: int, chi: int, d: int,
+                     forward: bool, emit_y: bool, q: int) -> None:
+    """Warm power step(s): q applications of the bond-tensor Gram to the
+    cached subspace, per-column normalization between steps (q > 1 would
+    otherwise raise the dynamic range to the (2q)-th power and overflow
+    f32 mid-iteration).  q resolves from MPSOptions.subspace_power_iters —
+    complex encodings default to 3 (docs/complex_split_oracle.md: one step
+    underfits fourier's +-paired degenerate spectra).
+
+    backward: Y[(k,b), :] <- sum_c BT_c^T (BT_c Y_k-blocks)   per step
+    forward:  Y[(a,i), :] <- sum_c BT_c (BT_c^T Y)            per step
+    """
+    f32 = jnp.float32
+    if not emit_y:
+        y_ref[:] = V0     # frozen sweep: pass the cached basis through
+        return
+    Y = V0
+    for _ in range(q):
+        if not forward:
+            for c in range(C):
+                MV = None                                  # [chi*d, chi]
+                for k in range(d):
+                    Yk = Y[k * chi:(k + 1) * chi, :]       # [chi, chi]
+                    term = jnp.dot(BT[c][k], Yk, preferred_element_type=f32)
+                    MV = term if MV is None else MV + term
+                for k in range(d):
+                    yk = jnp.dot(BT[c][k].T, MV, preferred_element_type=f32)
+                    if c == 0:
+                        y_ref[k * chi:(k + 1) * chi, :] = yk
+                    else:
+                        y_ref[k * chi:(k + 1) * chi, :] = (
+                            y_ref[k * chi:(k + 1) * chi, :] + yk)
+            Ynew = y_ref[:]
+        else:
+            Ynew = jnp.zeros((chi * d, chi), f32)
+            for c in range(C):
+                for k in range(d):
+                    MtU = jnp.dot(BT[c][k].T, Y, preferred_element_type=f32)
+                    Ynew = Ynew + jnp.dot(BT[c][k], MtU,
+                                          preferred_element_type=f32)
+        nrm = jnp.sqrt(jnp.sum(Ynew * Ynew, axis=0, keepdims=True))
+        Y = Ynew / jnp.maximum(nrm, jnp.finfo(f32).tiny)
+    y_ref[:] = Y
+
+
 def _k1_kernel(eta_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
                phir_ref, y1h_ref, w_ref, v0_ref, bt_ref, y_ref, *,
                C: int, chi: int, d: int, forward: bool,
-               emit_y: bool = True):
+               emit_y: bool = True, q: int = 1):
     """Bond-tensor blocks BT[c, (a,i), k, b], batched KLD gradient, TSGO
     update with post-normalization, and the warm power step.
 
@@ -215,46 +260,20 @@ def _k1_kernel(eta_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
             BT[c][k] = BT[c][k] * bn
             bt_ref[c, :, k, :] = BT[c][k]
 
-    # ---- warm power step ---------------------------------------------------
-    # backward: Y[(k,b), :] += BT_ck^T (sum_k' BT_ck' V0_k')   per class
-    # forward:  Y[(a,i), :] += sum_k BT_ck (BT_ck^T U0)        per class
-    if not emit_y:
-        y_ref[:] = V0     # frozen sweep: pass the cached basis through
-        return
-    if not forward:
-        for c in range(C):
-            MV = None                                  # [chi*d, chi]
-            for k in range(d):
-                V0k = V0[k * chi:(k + 1) * chi, :]     # [chi, chi]
-                term = jnp.dot(BT[c][k], V0k, preferred_element_type=f32)
-                MV = term if MV is None else MV + term
-            for k in range(d):
-                yk = jnp.dot(BT[c][k].T, MV, preferred_element_type=f32)
-                if c == 0:
-                    y_ref[k * chi:(k + 1) * chi, :] = yk
-                else:
-                    y_ref[k * chi:(k + 1) * chi, :] = (
-                        y_ref[k * chi:(k + 1) * chi, :] + yk)
-        Y = y_ref[:]
-    else:
-        Y = jnp.zeros((chi * d, chi), f32)
-        for c in range(C):
-            for k in range(d):
-                MtU = jnp.dot(BT[c][k].T, V0, preferred_element_type=f32)
-                Y = Y + jnp.dot(BT[c][k], MtU, preferred_element_type=f32)
-    nrm = jnp.sqrt(jnp.sum(Y * Y, axis=0, keepdims=True))
-    y_ref[:] = Y / jnp.maximum(nrm, jnp.finfo(f32).tiny)
+    # ---- warm power step(s) ------------------------------------------------
+    _power_step_tail(BT, V0, y_ref, C=C, chi=chi, d=d, forward=forward,
+                     emit_y=emit_y, q=q)
 
 
 def _k1_call(eta, left, right, le, re, phil, phir, y1h, w, V0, *,
-             C, chi, d, forward, emit_y=True, est=None):
+             C, chi, d, forward, emit_y=True, q=1, est=None):
     f32 = jnp.float32
     out_shape = (
         jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
         jax.ShapeDtypeStruct((chi * d, chi), f32),
     )
     kern = functools.partial(_k1_kernel, C=C, chi=chi, d=d, forward=forward,
-                             emit_y=emit_y)
+                             emit_y=emit_y, q=q)
     return pl.pallas_call(
         kern,
         out_shape=out_shape,
@@ -326,7 +345,7 @@ def _k1_grad_kernel(left_ref, right_ref, le_ref, re_ref, phil_ref,
 
 def _k1_update_kernel(eta_ref, left_ref, right_ref, g_ref, v0_ref,
                       bt_ref, y_ref, *, C: int, chi: int, d: int,
-                      forward: bool, emit_y: bool = True):
+                      forward: bool, emit_y: bool = True, q: int = 1):
     """TSGO step + post-normalization + warm power step against the GLOBAL
     (psummed) gradient.  All operands replicated; every device computes the
     same result."""
@@ -365,32 +384,8 @@ def _k1_update_kernel(eta_ref, left_ref, right_ref, g_ref, v0_ref,
             BT[c][k] = BT[c][k] * bn
             bt_ref[c, :, k, :] = BT[c][k]
 
-    if not emit_y:
-        y_ref[:] = V0
-        return
-    if not forward:
-        for c in range(C):
-            MV = None
-            for k in range(d):
-                V0k = V0[k * chi:(k + 1) * chi, :]
-                term = jnp.dot(BT[c][k], V0k, preferred_element_type=f32)
-                MV = term if MV is None else MV + term
-            for k in range(d):
-                yk = jnp.dot(BT[c][k].T, MV, preferred_element_type=f32)
-                if c == 0:
-                    y_ref[k * chi:(k + 1) * chi, :] = yk
-                else:
-                    y_ref[k * chi:(k + 1) * chi, :] = (
-                        y_ref[k * chi:(k + 1) * chi, :] + yk)
-        Y = y_ref[:]
-    else:
-        Y = jnp.zeros((chi * d, chi), f32)
-        for c in range(C):
-            for k in range(d):
-                MtU = jnp.dot(BT[c][k].T, V0, preferred_element_type=f32)
-                Y = Y + jnp.dot(BT[c][k], MtU, preferred_element_type=f32)
-    nrm = jnp.sqrt(jnp.sum(Y * Y, axis=0, keepdims=True))
-    y_ref[:] = Y / jnp.maximum(nrm, jnp.finfo(f32).tiny)
+    _power_step_tail(BT, V0, y_ref, C=C, chi=chi, d=d, forward=forward,
+                     emit_y=emit_y, q=q)
 
 
 def _k1_grad_call(left, right, le, re, phil, phir, y1h, w, *,
@@ -409,14 +404,14 @@ def _k1_grad_call(left, right, le, re, phil, phir, y1h, w, *,
 
 
 def _k1_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
-                    emit_y=True, est=None):
+                    emit_y=True, q=1, est=None):
     f32 = jnp.float32
     out_shape = (
         jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
         jax.ShapeDtypeStruct((chi * d, chi), f32),
     )
     kern = functools.partial(_k1_update_kernel, C=C, chi=chi, d=d,
-                             forward=forward, emit_y=emit_y)
+                             forward=forward, emit_y=emit_y, q=q)
     return pl.pallas_call(
         kern,
         out_shape=out_shape,
@@ -645,7 +640,7 @@ def _k2_env_call(Qm, env, env_ls, phi, *, chi, d, forward, est=None):
 
 def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
               eta, cutoff, *, forward: bool, refresh: bool = True,
-              axis_name: str = None, max_rank=None
+              axis_name: str = None, power_iters: int = 1, max_rank=None
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
                          jnp.ndarray]:
     """One fused bond step (everything except the QR).
@@ -681,13 +676,14 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
     if axis_name is None:
         BT, Y = _k1_call(eta2, left, right, le, re, phil, phir, y1h, w2, V0,
                          C=C, chi=chi, d=d, forward=forward, emit_y=refresh,
-                         est=est)
+                         q=power_iters, est=est)
     else:
         G = _k1_grad_call(left, right, le, re, phil, phir, y1h, w2,
                           C=C, chi=chi, d=d, forward=forward, est=est)
         G = jax.lax.psum(G, axis_name)
         BT, Y = _k1_update_call(eta2, left, right, G, V0, C=C, chi=chi, d=d,
-                                forward=forward, emit_y=refresh, est=est)
+                                forward=forward, emit_y=refresh,
+                                q=power_iters, est=est)
     if refresh:
         Q, _ = jnp.linalg.qr(Y)
     else:

@@ -167,9 +167,13 @@ def _k1c_bt_grad(left, right, le, re, phil, phir, y1h, w, *,
 
 
 def _k1c_tsgo_power(eta, BT, G, V0, bt_r, bt_i, y_r, y_i, *,
-                    C: int, chi: int, d: int, forward: bool, emit_y: bool):
+                    C: int, chi: int, d: int, forward: bool, emit_y: bool,
+                    q: int = 1):
     """Shared K1 tail: TSGO step + post-normalization against the (local or
-    psummed) gradient, then the warm power step.  Writes bt/y refs."""
+    psummed) gradient, then ``q`` warm power steps with per-column
+    normalization between them (pair twin of pallas_bond._power_step_tail;
+    complex encodings default to q=3 — docs/complex_split_oracle.md).
+    Writes bt/y refs."""
     f32 = jnp.float32
     g2 = jnp.zeros((), f32)
     for c in range(C):
@@ -189,43 +193,49 @@ def _k1c_tsgo_power(eta, BT, G, V0, bt_r, bt_i, y_r, y_i, *,
             bt_r[c, :, k, :] = BT[c][k][0]
             bt_i[c, :, k, :] = BT[c][k][1]
 
-    # ---- warm power step ---------------------------------------------------
+    # ---- warm power step(s) ------------------------------------------------
     if not emit_y:
         y_r[:] = V0[0]
         y_i[:] = V0[1]
         return
-    if not forward:
-        Yk = [None] * d
-        for c in range(C):
-            MV = None                                  # [chi*d, chi]
+    Y = V0
+    for _ in range(q):
+        if not forward:
+            Yk = [None] * d
+            for c in range(C):
+                MV = None                              # [chi*d, chi]
+                for k in range(d):
+                    Yblk = (Y[0][k * chi:(k + 1) * chi, :],
+                            Y[1][k * chi:(k + 1) * chi, :])
+                    term = _cdot(BT[c][k], Yblk)
+                    MV = term if MV is None else _cadd(MV, term)
+                for k in range(d):
+                    yk = _cdot_ct(BT[c][k], MV)        # BT^H MV
+                    Yk[k] = yk if c == 0 else _cadd(Yk[k], yk)
+            nrm2 = sum(jnp.sum(_abs2(Yk[k]), axis=0, keepdims=True)
+                       for k in range(d))
+            inv_n = jax.lax.rsqrt(jnp.maximum(nrm2, jnp.finfo(f32).tiny))
             for k in range(d):
-                V0k = (V0[0][k * chi:(k + 1) * chi, :],
-                       V0[1][k * chi:(k + 1) * chi, :])
-                term = _cdot(BT[c][k], V0k)
-                MV = term if MV is None else _cadd(MV, term)
-            for k in range(d):
-                yk = _cdot_ct(BT[c][k], MV)            # BT^H MV
-                Yk[k] = yk if c == 0 else _cadd(Yk[k], yk)
-        nrm2 = sum(jnp.sum(_abs2(Yk[k]), axis=0, keepdims=True)
-                   for k in range(d))
-        inv_n = jax.lax.rsqrt(jnp.maximum(nrm2, jnp.finfo(f32).tiny))
-        for k in range(d):
-            y_r[k * chi:(k + 1) * chi, :] = Yk[k][0] * inv_n
-            y_i[k * chi:(k + 1) * chi, :] = Yk[k][1] * inv_n
-    else:
-        Y = (jnp.zeros((chi * d, chi), f32), jnp.zeros((chi * d, chi), f32))
-        for c in range(C):
-            for k in range(d):
-                MtU = _cdot_ct(BT[c][k], V0)           # BT^H U0
-                Y = _cadd(Y, _cdot(BT[c][k], MtU))
-        nrm2 = jnp.sum(_abs2(Y), axis=0, keepdims=True)
-        inv_n = jax.lax.rsqrt(jnp.maximum(nrm2, jnp.finfo(f32).tiny))
-        y_r[:] = Y[0] * inv_n
-        y_i[:] = Y[1] * inv_n
+                y_r[k * chi:(k + 1) * chi, :] = Yk[k][0] * inv_n
+                y_i[k * chi:(k + 1) * chi, :] = Yk[k][1] * inv_n
+            Y = (y_r[:], y_i[:])
+        else:
+            Yn = (jnp.zeros((chi * d, chi), f32),
+                  jnp.zeros((chi * d, chi), f32))
+            for c in range(C):
+                for k in range(d):
+                    MtU = _cdot_ct(BT[c][k], Y)        # BT^H U0
+                    Yn = _cadd(Yn, _cdot(BT[c][k], MtU))
+            nrm2 = jnp.sum(_abs2(Yn), axis=0, keepdims=True)
+            inv_n = jax.lax.rsqrt(jnp.maximum(nrm2, jnp.finfo(f32).tiny))
+            Y = (Yn[0] * inv_n, Yn[1] * inv_n)
+            y_r[:] = Y[0]
+            y_i[:] = Y[1]
 
 
 def _k1c_kernel(eta_ref, y1h_ref, w_ref, *refs,
-                C: int, chi: int, d: int, forward: bool, emit_y: bool):
+                C: int, chi: int, d: int, forward: bool, emit_y: bool,
+                q: int = 1):
     eta = eta_ref[0, 0]
     y1h = y1h_ref[:]                  # [N, C] real
     w = w_ref[:]                      # [N, 1] real
@@ -235,11 +245,11 @@ def _k1c_kernel(eta_ref, y1h_ref, w_ref, *refs,
     BT, G = _k1c_bt_grad(left, right, le, re, phil, phir, y1h, w,
                          C=C, chi=chi, d=d, forward=forward)
     _k1c_tsgo_power(eta, BT, G, V0, bt_r, bt_i, y_r, y_i,
-                    C=C, chi=chi, d=d, forward=forward, emit_y=emit_y)
+                    C=C, chi=chi, d=d, forward=forward, emit_y=emit_y, q=q)
 
 
 def _k1c_call(eta, y1h, w, left, right, le, re, phil, phir, V0, *,
-              C, chi, d, forward, emit_y, est):
+              C, chi, d, forward, emit_y, q, est):
     f32 = jnp.float32
     out_shape = (
         jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
@@ -248,7 +258,7 @@ def _k1c_call(eta, y1h, w, left, right, le, re, phil, phir, V0, *,
         jax.ShapeDtypeStruct((chi * d, chi), f32),
     )
     kern = functools.partial(_k1c_kernel, C=C, chi=chi, d=d, forward=forward,
-                             emit_y=emit_y)
+                             emit_y=emit_y, q=q)
     flat = []
     for p in (left, right, le, re, phil, phir, V0):
         flat.extend(p)
@@ -286,7 +296,7 @@ def _k1c_grad_kernel(y1h_ref, w_ref, *refs, C: int, chi: int, d: int,
 
 
 def _k1c_update_kernel(eta_ref, *refs, C: int, chi: int, d: int,
-                       forward: bool, emit_y: bool):
+                       forward: bool, emit_y: bool, q: int = 1):
     eta = eta_ref[0, 0]
     # pairs: left, right, G, V0 (4 pairs = 8 refs)
     (left, right, Gp, V0) = _pairs(refs[:8])
@@ -308,7 +318,7 @@ def _k1c_update_kernel(eta_ref, *refs, C: int, chi: int, d: int,
                                       right[1][c, :, k, :]))
             G[c][k] = (Gp[0][c, :, k, :], Gp[1][c, :, k, :])
     _k1c_tsgo_power(eta, BT, G, V0, bt_r, bt_i, y_r, y_i,
-                    C=C, chi=chi, d=d, forward=forward, emit_y=emit_y)
+                    C=C, chi=chi, d=d, forward=forward, emit_y=emit_y, q=q)
 
 
 def _k1c_grad_call(y1h, w, left, right, le, re, phil, phir, *,
@@ -334,7 +344,7 @@ def _k1c_grad_call(y1h, w, left, right, le, re, phil, phir, *,
 
 
 def _k1c_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
-                     emit_y, est):
+                     emit_y, q, est):
     f32 = jnp.float32
     out_shape = (
         jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
@@ -343,7 +353,7 @@ def _k1c_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
         jax.ShapeDtypeStruct((chi * d, chi), f32),
     )
     kern = functools.partial(_k1c_update_kernel, C=C, chi=chi, d=d,
-                             forward=forward, emit_y=emit_y)
+                             forward=forward, emit_y=emit_y, q=q)
     flat = []
     for p in (left, right, G, V0):
         flat.extend(p)
@@ -590,7 +600,8 @@ def _qr_orth_pair(Y: Tuple[jnp.ndarray, jnp.ndarray]
 
 def bond_step_c(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
                 eta, cutoff, *, forward: bool, refresh: bool = True,
-                axis_name: str = None, max_rank=None):
+                axis_name: str = None, power_iters: int = 1,
+                max_rank=None):
     """One fused complex bond step.  Every complex operand is a (re, im)
     pair of f32 arrays with the shapes of the real kernel's operands;
     returns pair-typed (center_c', core', env') plus real env_ls' and the
@@ -618,14 +629,15 @@ def bond_step_c(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
     if axis_name is None:
         BT_r, BT_i, Y_r, Y_i = _k1c_call(
             eta2, y1h, w2, left, right, le, re, phil, phir, V0,
-            C=C, chi=chi, d=d, forward=forward, emit_y=refresh, est=est)
+            C=C, chi=chi, d=d, forward=forward, emit_y=refresh,
+            q=power_iters, est=est)
     else:
         G = _k1c_grad_call(y1h, w2, left, right, le, re, phil, phir,
                            C=C, chi=chi, d=d, forward=forward, est=est)
         G = jax.lax.psum(G, axis_name)
         BT_r, BT_i, Y_r, Y_i = _k1c_update_call(
             eta2, left, right, G, V0, C=C, chi=chi, d=d, forward=forward,
-            emit_y=refresh, est=est)
+            emit_y=refresh, q=power_iters, est=est)
     if refresh:
         Q = _qr_orth_pair((Y_r, Y_i))
     else:

@@ -118,8 +118,7 @@ class MPSOptions:
     train_classes_separately: bool = False
 
     # SVD / truncated-split algorithm:
-    #   "auto"            -> accelerators: "randomized_warm" ("randomized"
-    #                        for Fourier encodings); CPU: "gram_eigh"
+    #   "auto"            -> accelerators: "randomized_warm"; CPU: "gram_eigh"
     #   "randomized_warm" -> eigh-free split warm-started from the previous
     #                        sweep's per-bond subspace (fastest TPU path;
     #                        ops/decomp.py warm_split_*)
@@ -137,6 +136,17 @@ class MPSOptions:
     # s/sweep at K=2 (test acc 0.91 -> 0.89); complex c64 0.043 -> 0.029
     # (accuracy-neutral there).
     subspace_refresh_every: int = 1
+    # randomized_warm only: power-iteration steps per subspace refresh
+    # (per-column normalization between steps).  0 = auto: 1 for real
+    # encodings, 3 for complex ones — the r4 exact-split oracle
+    # (docs/complex_split_oracle.md) showed one warm power step losing
+    # ~9 test-acc points vs the exact band on fourier's +-paired degenerate
+    # bond spectra, while q=3 beats exact SVD at chi<=40 on both probed
+    # seeds (0.74-0.86 vs 0.68-0.76).  chi=64 fourier stays noisy/below
+    # exact (0.64-0.69 vs 0.76-0.82) for every fast alg — for final
+    # large-chi complex fits prefer svd_alg="svd" on CPU f64.  Real
+    # encodings measure accuracy-saturated at q=1.
+    subspace_power_iters: int = 0
 
     # Domain of a custom encoding (encoding="custom"): fit_mps stamps the
     # EncodingSpec's range here so preprocessing scales into the right
@@ -218,14 +228,22 @@ class MPSOptions:
         # every encoding, complex included: complex QR routes through the
         # fast real Householder embedding (ops/decomp._qr_orth), putting a
         # fourier c64 sweep at 0.043 s fused vs 0.68 s for the Ritz route
-        # (whose complex [k,k] eigh lowers to a slow TPU kernel).
-        # Fourier caveat: its +-frequency-paired (degenerate) bond spectra
-        # make accuracy alg-sensitive and NOISY — measured ECG200 f64 test
-        # acc across chi 15/25/40/64: warm 0.62-0.76, lean 0.62-0.83, Ritz
-        # 0.69-0.73, with no dominator.  For small-chi fourier searches on
-        # CPU (where it costs nothing) pass svd_alg="randomized"
-        # explicitly; on TPU try "randomized_lean" if warm underperforms.
+        # (whose complex [k,k] eigh lowers to a slow TPU kernel).  Complex
+        # encodings run 3 warm power steps per refresh instead of 1
+        # (resolved_power_iters): the r4 exact-split oracle
+        # (docs/complex_split_oracle.md) showed one step losing ~9 fourier
+        # test-acc points vs exact SVD on +-paired degenerate bond spectra,
+        # while q=3 beats exact at chi<=40 on both probed seeds (chi=64
+        # remains noisy for every fast alg — see the oracle doc).
         return "randomized_warm"
+
+    def resolved_power_iters(self) -> int:
+        """Warm-split power steps per refresh: explicit value wins; auto (0)
+        resolves to 3 for complex encodings (see the field comment and
+        docs/complex_split_oracle.md) and 1 for real ones."""
+        if self.subspace_power_iters > 0:
+            return int(self.subspace_power_iters)
+        return 3 if encoding_is_complex(self.encoding) else 1
 
     # ---- convenience ------------------------------------------------------
     def replace(self, **kwargs) -> "MPSOptions":

@@ -131,6 +131,7 @@ def init_left_env_state(cores: jnp.ndarray, phis_c: jnp.ndarray):
 def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 class_weight, eta, cutoff, *, loss: str, bbopt: str,
                 update_iters: int, rescale: Tuple[bool, bool], svd_alg: str,
+                power_iters: int = 1,
                 refresh: bool = True, track_cost: bool = False,
                 axis_name: Optional[str] = None,
                 platform: Optional[str] = None,
@@ -218,14 +219,14 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                     x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["vb"], eta, cutoff,
                     forward=False, refresh=refresh, axis_name=axis_name,
-                    max_rank=max_rank)
+                    power_iters=power_iters, max_rank=max_rank)
                 return (center, v2, ls2), dict(V=V, re=v2, re_ls=ls2, qv=Qv)
             if pallas:
                 center, V, v2, ls2, Qv = pallas_bond.bond_step(
                     x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["vb"], eta, cutoff,
                     forward=False, refresh=refresh, axis_name=axis_name,
-                    max_rank=max_rank)
+                    power_iters=power_iters, max_rank=max_rank)
                 return (center, v2, ls2), dict(V=V, re=v2, re_ls=ls2, qv=Qv)
             BT = jnp.einsum("aim,mkbc->aikbc", x["A"], center)
             cost, BT = upd(BT, x["le"], re_v, x["phi_l"].conj(),
@@ -235,7 +236,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
             M = BT.transpose(0, 1, 4, 2, 3).reshape(chi * d * C, d * chi)
             if warm:
                 US, Vh, Qv = warm_split_left(M, x["vb"], chi, cutoff,
-                                             refresh=refresh,
+                                             q=power_iters, refresh=refresh,
                                              max_rank=max_rank)
             else:
                 US, Vh = split_bond_left(M, chi, cutoff, svd_alg,
@@ -286,7 +287,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                     x["B"], center, le_v, x["re"], le_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["uf"], eta, cutoff,
                     forward=True, refresh=refresh, axis_name=axis_name,
-                    max_rank=max_rank)
+                    power_iters=power_iters, max_rank=max_rank)
                 return (center, v2, ls2), dict(U=Unew, le=v2, le_ls=ls2,
                                                qu=Qu)
             if pallas:
@@ -294,7 +295,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                     x["B"], center, le_v, x["re"], le_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["uf"], eta, cutoff,
                     forward=True, refresh=refresh, axis_name=axis_name,
-                    max_rank=max_rank)
+                    power_iters=power_iters, max_rank=max_rank)
                 return (center, v2, ls2), dict(U=Unew, le=v2, le_ls=ls2,
                                                qu=Qu)
             BT = jnp.einsum("aimc,mkb->aikbc", center, x["B"])
@@ -304,7 +305,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
             M = BT.reshape(chi * d, d * chi * C)
             if warm:
                 U, SVh, Qu = warm_split_right(M, x["uf"], chi, cutoff,
-                                              refresh=refresh,
+                                              q=power_iters, refresh=refresh,
                                               max_rank=max_rank)
             else:
                 U, SVh = split_bond_right(M, chi, cutoff, svd_alg,
@@ -349,6 +350,7 @@ def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
                 y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
                 eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
                 rescale: Tuple[bool, bool], svd_alg: str, subspaces=None,
+                power_iters: int = 1,
                 refresh: bool = True, track_cost: bool = False,
                 axis_name: Optional[str] = None,
                 platform: Optional[str] = None, max_rank=None):
@@ -366,7 +368,8 @@ def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
     cores, center, _, _, VB, UF, costs = _sweep_core(
         cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot, class_weight,
         eta, cutoff, loss=loss, bbopt=bbopt, update_iters=update_iters,
-        rescale=rescale, svd_alg=svd_alg, refresh=refresh,
+        rescale=rescale, svd_alg=svd_alg, power_iters=power_iters,
+        refresh=refresh,
         track_cost=track_cost, axis_name=axis_name, platform=platform,
         max_rank=max_rank)
     if warm:
@@ -379,12 +382,13 @@ def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("loss", "bbopt", "update_iters", "rescale",
-                                   "svd_alg", "track_cost", "axis_name",
-                                   "platform"))
+                                   "svd_alg", "power_iters", "track_cost",
+                                   "axis_name", "platform"))
 def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
                y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
                eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
                rescale: Tuple[bool, bool], svd_alg: str,
+               power_iters: int = 1,
                track_cost: bool = False, axis_name: Optional[str] = None,
                platform: Optional[str] = None, max_rank=None
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -397,7 +401,8 @@ def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
     out = _sweep_once(cores, center, phis_c, y_onehot, class_weight,
                       eta, cutoff, loss=loss, bbopt=bbopt,
                       update_iters=update_iters, rescale=rescale,
-                      svd_alg=svd_alg, track_cost=track_cost,
+                      svd_alg=svd_alg, power_iters=power_iters,
+                      track_cost=track_cost,
                       axis_name=axis_name, platform=platform,
                       max_rank=max_rank)
     if track_cost:
@@ -406,11 +411,12 @@ def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("loss", "bbopt", "update_iters", "rescale",
-                                   "svd_alg", "refresh", "track_cost",
-                                   "axis_name", "platform"))
+                                   "svd_alg", "power_iters", "refresh",
+                                   "track_cost", "axis_name", "platform"))
 def full_sweep_warm(cores, center, subspaces, phis_c, y_onehot, class_weight,
                     eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
                     rescale: Tuple[bool, bool], svd_alg: str,
+                    power_iters: int = 1,
                     refresh: bool = True, track_cost: bool = False,
                     axis_name: Optional[str] = None,
                     platform: Optional[str] = None, max_rank=None):
@@ -423,7 +429,8 @@ def full_sweep_warm(cores, center, subspaces, phis_c, y_onehot, class_weight,
     return _sweep_once(cores, center, phis_c, y_onehot, class_weight,
                        eta, cutoff, subspaces=subspaces, loss=loss,
                        bbopt=bbopt, update_iters=update_iters,
-                       rescale=rescale, svd_alg=svd_alg, refresh=refresh,
+                       rescale=rescale, svd_alg=svd_alg,
+                       power_iters=power_iters, refresh=refresh,
                        track_cost=track_cost, axis_name=axis_name,
                        platform=platform, max_rank=max_rank)
 
@@ -433,7 +440,8 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
                       class_weight: jnp.ndarray,
                       eta, cutoff, *, nsweeps: int, loss: str, bbopt: str,
                       update_iters: int, rescale: Tuple[bool, bool],
-                      svd_alg: str, refresh_every: int = 1,
+                      svd_alg: str, power_iters: int = 1,
+                      refresh_every: int = 1,
                       axis_name: Optional[str] = None,
                       platform: Optional[str] = None, max_rank=None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -453,7 +461,8 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
     T, chi, d, _ = cores.shape
     warm = svd_alg == "randomized_warm"
     kw = dict(loss=loss, bbopt=bbopt, update_iters=update_iters,
-              rescale=rescale, svd_alg=svd_alg, axis_name=axis_name,
+              rescale=rescale, svd_alg=svd_alg, power_iters=power_iters,
+              axis_name=axis_name,
               platform=platform, max_rank=max_rank)
     LE, LE_ls = init_left_env_state(cores, phis_c)
     if warm:
@@ -495,5 +504,5 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
 # nsweeps is a TRACED fori trip count (not static): hyperopt trials that
 # differ only in sweep count share one compiled program
 full_sweeps = partial(jax.jit, static_argnames=(
-    "loss", "bbopt", "update_iters", "rescale", "svd_alg",
+    "loss", "bbopt", "update_iters", "rescale", "svd_alg", "power_iters",
     "refresh_every", "axis_name", "platform"))(_full_sweeps_impl)

@@ -45,17 +45,37 @@ def main():
 
     encodings = ["fourier"] if quick else ["fourier", "sahand", "stoudenmire"]
     chis = [25, 64] if quick else [15, 25, 40, 64]
-    algs = [("svd", 1), ("gram_eigh", 1), ("randomized", 1),
-            ("randomized_lean", 1), ("randomized_warm", 1),
-            ("randomized_warm", 2)]
+    # (svd_alg, refresh_every K, power_iters q); q only affects
+    # randomized_warm.  q=1 isolates the single-power-step r3 behavior;
+    # q=3 is the shipped complex auto default (options.resolved_power_iters).
+    algs = [("svd", 1, 1), ("gram_eigh", 1, 1), ("randomized", 1, 1),
+            ("randomized_lean", 1, 1), ("randomized_warm", 1, 1),
+            ("randomized_warm", 1, 3), ("randomized_warm", 2, 3)]
+
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    if only:
+        encodings = only[0].split(",")
+    chis_arg = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--chis=")]
+    if chis_arg:
+        chis = [int(c) for c in chis_arg[0].split(",")]
+    algs_arg = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--algs=")]
+    if algs_arg:
+        keep = set(algs_arg[0].split(","))
+        algs = [t for t in algs
+                if f"{t[0]}@K{t[1]}q{t[2]}" in keep or t[0] in keep]
+
+    # sahand needs even d; stoudenmire is the d=2 angle encoding
+    enc_d = {"sahand": 6, "stoudenmire": 2}
 
     rows = []
     for enc in encodings:
+        d_enc = enc_d.get(enc, 5)
         for chi in chis:
-            for alg, K in algs:
-                opts = mt.MPSOptions(encoding=enc, chi_max=chi, d=5,
+            for alg, K, q in algs:
+                opts = mt.MPSOptions(encoding=enc, chi_max=chi, d=d_enc,
                                      nsweeps=10, svd_alg=alg,
-                                     subspace_refresh_every=K, verbosity=-1)
+                                     subspace_refresh_every=K,
+                                     subspace_power_iters=q, verbosity=-1)
                 t0 = time.perf_counter()
                 trained, info, test_ds = mt.fit_mps(X, y, Xte, yte, opts=opts)
                 dt = time.perf_counter() - t0
@@ -65,6 +85,7 @@ def main():
                 _, _, te_acc, _ = loss_acc_conf(trained.mps, test_ds.X_enc,
                                                 test_ds.y_idx)
                 row = {"encoding": enc, "chi": chi, "alg": alg, "K": K,
+                       "q": q,
                        "train_acc": round(float(tr_acc), 4),
                        "test_acc": round(float(te_acc), 4),
                        "seconds": round(dt, 1)}
@@ -75,14 +96,20 @@ def main():
     print("\n== summary (test_acc, exact = max(svd, gram_eigh)) ==", flush=True)
     for enc in encodings:
         for chi in chis:
-            cell = {(r["alg"], r["K"]): r for r in rows
+            cell = {(r["alg"], r["K"], r["q"]): r for r in rows
                     if r["encoding"] == enc and r["chi"] == chi}
-            exact = max(cell[("svd", 1)]["test_acc"],
-                        cell[("gram_eigh", 1)]["test_acc"])
+            if ("svd", 1, 1) not in cell or ("gram_eigh", 1, 1) not in cell:
+                continue
+            exact = max(cell[("svd", 1, 1)]["test_acc"],
+                        cell[("gram_eigh", 1, 1)]["test_acc"])
             line = f"{enc:12s} chi={chi:3d}  exact {exact:.3f}"
-            for alg, K in algs[2:]:
-                r = cell[(alg, K)]
-                tag = alg.replace("randomized", "rnd") + (f"@K{K}" if K > 1 else "")
+            for alg, K, q in algs[2:]:
+                r = cell.get((alg, K, q))
+                if r is None:
+                    continue
+                tag = (alg.replace("randomized", "rnd")
+                       + (f"@K{K}" if K > 1 else "")
+                       + (f"@q{q}" if q > 1 else ""))
                 line += f"  {tag} {r['test_acc']:.3f} ({r['test_acc']-exact:+.3f})"
             print(line, flush=True)
 

@@ -45,7 +45,8 @@ def _rand_bond(chi=6, d=3, C=2, N=12, seed=1):
 
 
 class TestPallasBondParity:
-    def test_backward_bond_matches_xla(self, interpret):
+    @pytest.mark.parametrize("q", [1, 3])
+    def test_backward_bond_matches_xla(self, interpret, q):
         b = _rand_bond()
         chi, d, C = b["chi"], b["d"], b["C"]
         eta = jnp.float32(0.05)
@@ -58,7 +59,7 @@ class TestPallasBondParity:
                               loss="KLD", bbopt="TSGO", update_iters=1,
                               rescale=(False, True))
         M = BT2.transpose(0, 1, 4, 2, 3).reshape(chi * d * C, d * chi)
-        US, Vh, Qv = warm_split_left(M, V0, chi, cutoff)
+        US, Vh, Qv = warm_split_left(M, V0, chi, cutoff, q=q)
         center_x = US.reshape(chi, d, C, chi).transpose(0, 1, 3, 2)
         V_x = Vh.reshape(chi, d, chi)
         v2_x, ls2_x = env_step_right_scaled(b["re"], b["re_ls"], V_x,
@@ -67,7 +68,7 @@ class TestPallasBondParity:
         cp, Vp, v2p, ls2p, Qvp = pallas_bond.bond_step(
             b["A"], jnp.moveaxis(b["center"], 3, 0), b["le"], b["re"],
             b["re_ls"], b["phil"], b["phir"], b["y1h"], b["w"], V0,
-            eta, cutoff, forward=False)
+            eta, cutoff, forward=False, power_iters=q)
         np.testing.assert_allclose(np.moveaxis(np.asarray(cp), 0, 3),
                                    np.asarray(center_x), rtol=1e-4, atol=3e-5)
         np.testing.assert_allclose(np.asarray(Vp), np.asarray(V_x),
@@ -79,7 +80,8 @@ class TestPallasBondParity:
         np.testing.assert_allclose(np.asarray(Qvp), np.asarray(Qv),
                                    rtol=1e-4, atol=3e-5)
 
-    def test_forward_bond_matches_xla(self, interpret):
+    @pytest.mark.parametrize("q", [1, 3])
+    def test_forward_bond_matches_xla(self, interpret, q):
         b = _rand_bond(seed=3)
         chi, d, C = b["chi"], b["d"], b["C"]
         eta = jnp.float32(0.05)
@@ -92,7 +94,7 @@ class TestPallasBondParity:
                                loss="KLD", bbopt="TSGO", update_iters=1,
                                rescale=(False, True))
         Mf = BTf2.reshape(chi * d, d * chi * C)
-        Uu, SVh, Qu = warm_split_right(Mf, U0, chi, cutoff)
+        Uu, SVh, Qu = warm_split_right(Mf, U0, chi, cutoff, q=q)
         U_x = Uu.reshape(chi, d, chi)
         center_x = SVh.reshape(chi, d, chi, C)
         v2_x, ls2_x = env_step_left_scaled(b["le"], b["re_ls"], U_x,
@@ -101,7 +103,7 @@ class TestPallasBondParity:
         cp, Up, v2p, ls2p, Qup = pallas_bond.bond_step(
             b["A"], jnp.moveaxis(b["center"], 3, 0), b["le"], b["re"],
             b["re_ls"], b["phil"], b["phir"], b["y1h"], b["w"], U0,
-            eta, cutoff, forward=True)
+            eta, cutoff, forward=True, power_iters=q)
         np.testing.assert_allclose(np.moveaxis(np.asarray(cp), 0, 3),
                                    np.asarray(center_x), rtol=1e-4, atol=3e-5)
         np.testing.assert_allclose(np.asarray(Up), np.asarray(U_x),

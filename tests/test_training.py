@@ -276,3 +276,28 @@ class TestWarmSplitTraining:
             else "randomized_warm")
         assert mt.MPSOptions(svd_alg="randomized").resolved_svd_alg() == \
             "randomized"
+        # auto power iters: 1 for real encodings, 3 for complex ones
+        # (docs/complex_split_oracle.md)
+        assert mt.MPSOptions().resolved_power_iters() == 1
+        assert mt.MPSOptions(encoding="fourier").resolved_power_iters() == 3
+        assert mt.MPSOptions(encoding="fourier",
+                             subspace_power_iters=1).resolved_power_iters() \
+            == 1
+
+    @pytest.mark.slow
+    def test_complex_split_oracle_band(self, ecg200):
+        # The r4 exact-split oracle (docs/complex_split_oracle.md) pins
+        # fourier chi=25 f64: exact svd/gram_eigh 0.68-0.74 test acc, warm
+        # q=1 0.62-0.64, warm q=3 (the shipped complex default) 0.81 on all
+        # three probed seeds.  Assert the shipped warm path stays at or
+        # above the exact-split ceiling, so a regression in the q=3 power
+        # iteration fails loudly instead of silently costing quality.
+        # Match: reference decomposeBT exact SVD,
+        # RealRealHighDimension.jl:166-187.
+        Xtr, ytr, Xte, yte = ecg200
+        opts = mt.MPSOptions(encoding="fourier", chi_max=25, d=5,
+                             nsweeps=10, svd_alg="randomized_warm",
+                             verbosity=-1, dtype="float64")
+        assert opts.resolved_power_iters() == 3
+        trained, info, ts = mt.fit_mps(Xtr, ytr, Xte, yte, opts)
+        assert info["test_acc"][-1] >= 0.74
