@@ -70,6 +70,7 @@ def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
     w = jnp.full((N,), 1.0 / N, rdt)
     kw = dict(loss="KLD", bbopt="TSGO", update_iters=1,
               rescale=(False, True), svd_alg=opts.resolved_svd_alg(),
+              power_iters=opts.resolved_power_iters(),
               refresh_every=refresh_every)
     eta = jnp.asarray(opts.eta, rdt)
     cutoff = jnp.asarray(opts.cutoff, rdt)
@@ -313,8 +314,9 @@ def main():
     t256, _, _ = _steady_sweep_time(X, y, chi=256, d=5, nsweeps_block=4,
                                     measure_percall=False)
     # complex-encoding path (fourier c64 — fused real-imag pair kernels,
-    # ops/pallas_bond_c.py; K2 = QR refresh every 2nd sweep, accuracy-
-    # neutral at production chi, docs/tpu_performance.md)
+    # ops/pallas_bond_c.py, q=3 power steps per refresh = the shipped
+    # complex default; the K2 datapoint is a perf-knob reference only —
+    # under q=3 it costs accuracy, docs/complex_split_oracle.md section 6)
     t_f64c, _, acc_f = _steady_sweep_time(X, y, chi=64, d=5,
                                           measure_percall=False,
                                           encoding="fourier")

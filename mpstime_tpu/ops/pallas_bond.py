@@ -209,9 +209,10 @@ def _k1_kernel(eta_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
 
     if not forward:
         A2 = left_ref[:].reshape(chi * d, chi)        # leading-dim merge
-    else:
-        # center[c] viewed [(a,i), m] — leading-dim merge per class
-        pass
+    # forward: the caller pre-reshapes center to [C, chi*d, chi] so each
+    # class slice is usable directly — Mosaic crashes on per-class
+    # ref-slice reshapes at large chi (measured: fwd K1 at chi=320 fails
+    # the remote compiler at every VMEM budget with the in-kernel form)
 
     # ---- BT blocks + per-class scaled yhat --------------------------------
     BT = [[None] * d for _ in range(C)]
@@ -219,10 +220,10 @@ def _k1_kernel(eta_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
     for c in range(C):
         acc = None
         if forward:
-            Cc2 = left_ref[c].reshape(chi * d, chi)
+            Cc2 = left_ref[c]                         # [chi*d, chi]
         for k in range(d):
             if forward:
-                Bk = right_ref[:, k, :]               # [chi, chi]
+                Bk = right_ref[k]                     # [chi, chi]
                 BT_ck = jnp.dot(Cc2, Bk, preferred_element_type=f32)
             else:
                 Cck = right_ref[c, :, k, :]           # [chi, chi]
@@ -268,6 +269,9 @@ def _k1_kernel(eta_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
 def _k1_call(eta, left, right, le, re, phil, phir, y1h, w, V0, *,
              C, chi, d, forward, emit_y=True, q=1, est=None):
     f32 = jnp.float32
+    if forward:
+        left = left.reshape(C, chi * d, chi)   # free relayout outside Mosaic
+        right = right.transpose(1, 0, 2)       # [d, chi, chi]: leading k slices
     out_shape = (
         jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
         jax.ShapeDtypeStruct((chi * d, chi), f32),
@@ -318,10 +322,10 @@ def _k1_grad_kernel(left_ref, right_ref, le_ref, re_ref, phil_ref,
     for c in range(C):
         acc = None
         if forward:
-            Cc2 = left_ref[c].reshape(chi * d, chi)
+            Cc2 = left_ref[c]                         # [chi*d, chi]
         for k in range(d):
             if forward:
-                Bk = right_ref[:, k, :]
+                Bk = right_ref[k]
                 BT_ck = jnp.dot(Cc2, Bk, preferred_element_type=f32)
             else:
                 Cck = right_ref[c, :, k, :]
@@ -367,10 +371,10 @@ def _k1_update_kernel(eta_ref, left_ref, right_ref, g_ref, v0_ref,
     b2 = jnp.zeros((), f32)
     for c in range(C):
         if forward:
-            Cc2 = left_ref[c].reshape(chi * d, chi)
+            Cc2 = left_ref[c]                         # [chi*d, chi]
         for k in range(d):
             if forward:
-                BT_ck = jnp.dot(Cc2, right_ref[:, k, :],
+                BT_ck = jnp.dot(Cc2, right_ref[k],
                                 preferred_element_type=f32)
             else:
                 BT_ck = jnp.dot(A2, right_ref[c, :, k, :],
@@ -391,6 +395,9 @@ def _k1_update_kernel(eta_ref, left_ref, right_ref, g_ref, v0_ref,
 def _k1_grad_call(left, right, le, re, phil, phir, y1h, w, *,
                   C, chi, d, forward, est=None):
     f32 = jnp.float32
+    if forward:
+        left = left.reshape(C, chi * d, chi)
+        right = right.transpose(1, 0, 2)
     kern = functools.partial(_k1_grad_kernel, C=C, chi=chi, d=d,
                              forward=forward)
     return pl.pallas_call(
@@ -406,6 +413,9 @@ def _k1_grad_call(left, right, le, re, phil, phir, y1h, w, *,
 def _k1_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
                     emit_y=True, q=1, est=None):
     f32 = jnp.float32
+    if forward:
+        left = left.reshape(C, chi * d, chi)
+        right = right.transpose(1, 0, 2)
     out_shape = (
         jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
         jax.ShapeDtypeStruct((chi * d, chi), f32),

@@ -133,8 +133,11 @@ class MPSOptions:
     # K=1 (default) refreshes every sweep; K=2 cuts the per-bond QR — the
     # dominant TPU cost once the bond step is fused — out of half the
     # sweeps.  Measured ECG200 chi=64 v5e: real f32 ~0.014 -> 0.0104
-    # s/sweep at K=2 (test acc 0.91 -> 0.89); complex c64 0.043 -> 0.029
-    # (accuracy-neutral there).
+    # s/sweep at K=2 (test acc 0.91 -> 0.89).  For COMPLEX encodings K=2
+    # is NOT recommended: the r3 "accuracy-neutral" reading was a q=1
+    # artifact — under the shipped q=3 default, freezing the now-accurate
+    # subspace costs up to 28 test-acc points (docs/complex_split_oracle.md
+    # section 6).
     subspace_refresh_every: int = 1
     # randomized_warm only: power-iteration steps per subspace refresh
     # (per-column normalization between steps).  0 = auto: 1 for real
