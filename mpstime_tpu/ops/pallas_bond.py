@@ -59,8 +59,18 @@ _INTERPRET = False   # flipped by tests / CPU runs via set_interpret()
 _VMEM_LIMIT_BYTES = None
 _DEFAULT_BUDGET = 6 * 2 ** 20     # fits Mosaic's default scoped budget
 _RAISED_BUDGET = 64 * 2 ** 20     # measured good through chi=256
-MAX_FOOTPRINT = 18 * 2 ** 20      # beyond this the caller should fall
-                                  # back to the XLA path (sweep.py guard)
+_BIG_BUDGET = 96 * 2 ** 20        # chi=320/384 split-tail kernels (r4)
+SPLIT_TAIL_FOOTPRINT = 18 * 2 ** 20  # past this, bond_step splits the
+                                  # warm power step into its own kernel
+                                  # (the monolithic K1 tail crashes the
+                                  # Mosaic compiler past chi=256)
+MAX_FOOTPRINT = 18 * 2 ** 20      # ceiling for kernels that carry the
+                                  # in-kernel power tail (monolithic K1 and
+                                  # the complex pair kernels)
+SPLIT_MAX_FOOTPRINT = 40 * 2 ** 20  # ceiling for the real split-tail route
+                                  # (chi=384 at ECG shapes ~37 MB); beyond
+                                  # this the caller falls back to the XLA
+                                  # path (sweep.py guard)
 
 
 def kernel_footprint(C: int, chi: int, d: int, N: int) -> int:
@@ -94,6 +104,9 @@ def _compiler_kw(est: Optional[int] = None) -> dict:
     if _VMEM_LIMIT_BYTES is not None:
         return dict(compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES))
+    if est is not None and est > SPLIT_TAIL_FOOTPRINT:
+        return dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_BIG_BUDGET))
     if est is not None and est > _DEFAULT_BUDGET:
         return dict(compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_RAISED_BUDGET))
@@ -172,15 +185,52 @@ def _power_step_tail(BT, V0, y_ref, *, C: int, chi: int, d: int,
                             y_ref[k * chi:(k + 1) * chi, :] + yk)
             Ynew = y_ref[:]
         else:
-            Ynew = jnp.zeros((chi * d, chi), f32)
+            # accumulate through y_ref (not a live [chi*d, chi] value) and
+            # contract the leading dim via dot_general instead of
+            # materializing BT^T — the live-value form crashes the Mosaic
+            # compiler at chi=320 (bisect: scripts/k1_fwd_bisect.py)
             for c in range(C):
                 for k in range(d):
-                    MtU = jnp.dot(BT[c][k].T, Y, preferred_element_type=f32)
-                    Ynew = Ynew + jnp.dot(BT[c][k], MtU,
-                                          preferred_element_type=f32)
+                    MtU = jax.lax.dot_general(
+                        BT[c][k], Y, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32)        # [chi, chi]
+                    term = jnp.dot(BT[c][k], MtU, preferred_element_type=f32)
+                    if c == 0 and k == 0:
+                        y_ref[:] = term
+                    else:
+                        y_ref[:] = y_ref[:] + term
+            Ynew = y_ref[:]
         nrm = jnp.sqrt(jnp.sum(Ynew * Ynew, axis=0, keepdims=True))
         Y = Ynew / jnp.maximum(nrm, jnp.finfo(f32).tiny)
     y_ref[:] = Y
+
+
+def _k1_tail_kernel(v0_ref, bt_ref, y_ref, *, C: int, chi: int, d: int,
+                    forward: bool, q: int):
+    """Standalone warm power step for large chi: the monolithic K1 with
+    the in-kernel tail crashes the Mosaic compiler past chi=256 (the tail
+    keeps all C*d bond-tensor blocks live through two extra matmuls each;
+    bisect: scripts/k1_fwd_bisect.py), so bond_step splits the tail into
+    its own kernel when the footprint is large — BT is re-read from the
+    K1 output ref block-by-block, exactly the access pattern K2 already
+    compiles at chi=384."""
+    BT = [[bt_ref[c, :, k, :] for k in range(d)] for c in range(C)]
+    _power_step_tail(BT, v0_ref[:], y_ref, C=C, chi=chi, d=d,
+                     forward=forward, emit_y=True, q=q)
+
+
+def _k1_tail_call(BT, V0, *, C, chi, d, forward, q, est=None):
+    f32 = jnp.float32
+    kern = functools.partial(_k1_tail_kernel, C=C, chi=chi, d=d,
+                             forward=forward, q=q)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((chi * d, chi), f32),
+        in_specs=[_vmem()] * 2,
+        out_specs=_vmem(),
+        interpret=_INTERPRET,
+        **_compiler_kw(est),
+    )(V0, BT)
 
 
 def _k1_kernel(eta_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
@@ -683,17 +733,26 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
     else:
         left, right = A_or_B, center_c
 
+    # Past SPLIT_TAIL_FOOTPRINT the in-kernel power tail crashes the Mosaic
+    # compiler (chi=320: K1 with emit_y=False compiles, any kernel containing
+    # the tail does not — /tmp probes, scripts/k1_fwd_bisect.py), so the tail
+    # runs as its own kernel reading BT back from the K1 output.
+    split_tail = refresh and est > SPLIT_TAIL_FOOTPRINT
+    emit = refresh and not split_tail
     if axis_name is None:
         BT, Y = _k1_call(eta2, left, right, le, re, phil, phir, y1h, w2, V0,
-                         C=C, chi=chi, d=d, forward=forward, emit_y=refresh,
+                         C=C, chi=chi, d=d, forward=forward, emit_y=emit,
                          q=power_iters, est=est)
     else:
         G = _k1_grad_call(left, right, le, re, phil, phir, y1h, w2,
                           C=C, chi=chi, d=d, forward=forward, est=est)
         G = jax.lax.psum(G, axis_name)
         BT, Y = _k1_update_call(eta2, left, right, G, V0, C=C, chi=chi, d=d,
-                                forward=forward, emit_y=refresh,
+                                forward=forward, emit_y=emit,
                                 q=power_iters, est=est)
+    if split_tail:
+        Y = _k1_tail_call(BT, V0, C=C, chi=chi, d=d, forward=forward,
+                          q=power_iters, est=est)
     if refresh:
         Q, _ = jnp.linalg.qr(Y)
     else:

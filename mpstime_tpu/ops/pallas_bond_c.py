@@ -193,7 +193,16 @@ def _k1c_tsgo_power(eta, BT, G, V0, bt_r, bt_i, y_r, y_i, *,
             bt_r[c, :, k, :] = BT[c][k][0]
             bt_i[c, :, k, :] = BT[c][k][1]
 
-    # ---- warm power step(s) ------------------------------------------------
+    _k1c_power(BT, V0, y_r, y_i, C=C, chi=chi, d=d, forward=forward,
+               emit_y=emit_y, q=q)
+
+
+def _k1c_power(BT, V0, y_r, y_i, *, C: int, chi: int, d: int,
+               forward: bool, emit_y: bool, q: int) -> None:
+    """Warm power step(s) on the bond-tensor pair (the tail of
+    _k1c_tsgo_power, also run standalone by _k1c_tail_kernel on the
+    large-chi split route)."""
+    f32 = jnp.float32
     if not emit_y:
         y_r[:] = V0[0]
         y_i[:] = V0[1]
@@ -270,6 +279,37 @@ def _k1c_call(eta, y1h, w, left, right, le, re, phil, phir, V0, *,
         interpret=pb._INTERPRET,
         **pb._compiler_kw(est),
     )(eta, y1h, w, *flat)
+
+
+def _k1c_tail_kernel(v0_r, v0_i, bt_r, bt_i, y_r, y_i, *, C: int, chi: int,
+                     d: int, forward: bool, q: int):
+    """Standalone complex warm power step (pair twin of
+    pallas_bond._k1_tail_kernel): past SPLIT_TAIL_FOOTPRINT the in-kernel
+    tail crashes the Mosaic compiler, so bond_step_c runs K1 with
+    emit_y=False and this kernel reads the bond-tensor pair back
+    block-by-block."""
+    BT = [[(bt_r[c, :, k, :], bt_i[c, :, k, :]) for k in range(d)]
+          for c in range(C)]
+    _k1c_power(BT, (v0_r[:], v0_i[:]), y_r, y_i, C=C, chi=chi, d=d,
+               forward=forward, emit_y=True, q=q)
+
+
+def _k1c_tail_call(BTp, V0, *, C, chi, d, forward, q, est):
+    f32 = jnp.float32
+    out_shape = (
+        jax.ShapeDtypeStruct((chi * d, chi), f32),
+        jax.ShapeDtypeStruct((chi * d, chi), f32),
+    )
+    kern = functools.partial(_k1c_tail_kernel, C=C, chi=chi, d=d,
+                             forward=forward, q=q)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[pb._vmem()] * 4,
+        out_specs=(pb._vmem(), pb._vmem()),
+        interpret=pb._INTERPRET,
+        **pb._compiler_kw(est),
+    )(V0[0], V0[1], BTp[0], BTp[1])
 
 
 # --------------------------------------------------------------------------
@@ -626,10 +666,15 @@ def bond_step_c(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
     else:
         left, right = A_or_B, center_c
 
+    # Large-chi route (mirrors pallas_bond.bond_step): past
+    # SPLIT_TAIL_FOOTPRINT the in-kernel power tail crashes the Mosaic
+    # compiler, so K1 runs emit_y=False and the tail is its own kernel.
+    split_tail = refresh and est > pb.SPLIT_TAIL_FOOTPRINT
+    emit = refresh and not split_tail
     if axis_name is None:
         BT_r, BT_i, Y_r, Y_i = _k1c_call(
             eta2, y1h, w2, left, right, le, re, phil, phir, V0,
-            C=C, chi=chi, d=d, forward=forward, emit_y=refresh,
+            C=C, chi=chi, d=d, forward=forward, emit_y=emit,
             q=power_iters, est=est)
     else:
         G = _k1c_grad_call(y1h, w2, left, right, le, re, phil, phir,
@@ -637,7 +682,10 @@ def bond_step_c(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
         G = jax.lax.psum(G, axis_name)
         BT_r, BT_i, Y_r, Y_i = _k1c_update_call(
             eta2, left, right, G, V0, C=C, chi=chi, d=d, forward=forward,
-            emit_y=refresh, q=power_iters, est=est)
+            emit_y=emit, q=power_iters, est=est)
+    if split_tail:
+        Y_r, Y_i = _k1c_tail_call((BT_r, BT_i), V0, C=C, chi=chi, d=d,
+                                  forward=forward, q=power_iters, est=est)
     if refresh:
         Q = _qr_orth_pair((Y_r, Y_i))
     else:

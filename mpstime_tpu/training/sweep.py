@@ -59,11 +59,15 @@ def _pallas_vmem_ok(C: int, chi: int, d: int, N: int,
     raised per-kernel ``vmem_limit_bytes`` (pallas_bond._compiler_kw) up to
     the physical VMEM; measured on v5e at ECG200 shapes the fused path now
     runs chi=192 at 0.066 s/sweep and chi=256 at 0.095 (vs 0.095 / 0.158
-    on the XLA fallback).  Footprints past ~18 MB estimated residents
-    (chi>256 at these shapes) still fall back to the XLA bond step — the
-    raised budget cannot exceed the chip."""
-    from ..ops.pallas_bond import MAX_FOOTPRINT, kernel_footprint
-    return factor * kernel_footprint(C, chi, d, N) <= MAX_FOOTPRINT
+    on the XLA fallback).  Past ~18 MB estimated residents the real path
+    splits the warm power step into its own kernel (bond_step /
+    bond_step_c's ``split_tail`` route — the in-kernel tail crashes the
+    Mosaic compiler there) and stays fused through ~40 MB estimated
+    residents (real chi=384, complex chi=256 at ECG shapes; the complex
+    pair kernels cost factor=2); anything larger falls back to the XLA
+    bond step — the raised budget cannot exceed the chip."""
+    from ..ops.pallas_bond import SPLIT_MAX_FOOTPRINT, kernel_footprint
+    return factor * kernel_footprint(C, chi, d, N) <= SPLIT_MAX_FOOTPRINT
 
 
 def _pallas_eligible(dtype, loss, bbopt, update_iters, rescale, svd_alg,

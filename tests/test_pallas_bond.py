@@ -176,6 +176,29 @@ class TestPallasBondParity:
                                       [True, True, True, False, False, False])
         assert kept_kernel.sum() == expect.sum()
 
+    @pytest.mark.parametrize("forward", [False, True])
+    @pytest.mark.parametrize("q", [1, 3])
+    def test_split_tail_route_matches_monolith(self, interpret, monkeypatch,
+                                               forward, q):
+        # Large-chi route: past SPLIT_TAIL_FOOTPRINT bond_step runs K1 with
+        # emit_y=False and the warm power step as its own kernel reading BT
+        # back (the in-kernel tail crashes the Mosaic compiler at chi=320).
+        # Forced here at tiny shapes: both routes apply identical ops to
+        # identical values, so outputs agree to f32 reassociation noise.
+        b = _rand_bond(seed=7)
+        eta = jnp.float32(0.05)
+        cutoff = jnp.float32(1e-10)
+        V0 = warm_sketch_init(b["d"] * b["chi"], b["chi"], np.float32)
+        args = (b["A"], jnp.moveaxis(b["center"], 3, 0), b["le"], b["re"],
+                b["re_ls"], b["phil"], b["phir"], b["y1h"], b["w"], V0,
+                eta, cutoff)
+        mono = pallas_bond.bond_step(*args, forward=forward, power_iters=q)
+        monkeypatch.setattr(pallas_bond, "SPLIT_TAIL_FOOTPRINT", 0)
+        split = pallas_bond.bond_step(*args, forward=forward, power_iters=q)
+        for m, s in zip(mono, split):
+            np.testing.assert_allclose(np.asarray(s), np.asarray(m),
+                                       rtol=1e-5, atol=1e-6)
+
     def test_training_through_pallas_path(self, interpret, ecg200):
         # a short real training run through the interpreted Pallas sweep
         # reaches the same accuracy regime as the XLA path

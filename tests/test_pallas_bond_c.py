@@ -136,6 +136,31 @@ class TestComplexPallasBondParity:
         np.testing.assert_allclose(_comb(Qup), np.asarray(Qu),
                                    rtol=1e-4, atol=5e-5)
 
+    @pytest.mark.parametrize("forward", [False, True])
+    def test_split_tail_route_matches_monolith(self, interpret, monkeypatch,
+                                               forward):
+        # Large-chi complex route: bond_step_c runs K1 emit_y=False and the
+        # pair power tail as its own kernel (_k1c_tail_call).  Forced at
+        # tiny shapes; both routes apply identical pair ops.
+        b = _rand_bond_c(seed=7)
+        eta, cutoff = jnp.float32(0.05), jnp.float32(1e-10)
+        V0 = warm_sketch_init(b["d"] * b["chi"], b["chi"], np.complex128)
+        args = (_pair(b["A"]), _pair(jnp.moveaxis(b["center"], 3, 0)),
+                _pair(b["le"]), _pair(b["re"]), b["re_ls"].astype(jnp.float32),
+                _pair(b["phil"]), _pair(b["phir"]),
+                b["y1h"].astype(jnp.float32), b["w"].astype(jnp.float32),
+                _pair(V0), eta, cutoff)
+        mono = pallas_bond_c.bond_step_c(*args, forward=forward,
+                                         power_iters=3)
+        monkeypatch.setattr(pallas_bond, "SPLIT_TAIL_FOOTPRINT", 0)
+        split = pallas_bond_c.bond_step_c(*args, forward=forward,
+                                          power_iters=3)
+        flat_m = jax.tree_util.tree_leaves(mono)
+        flat_s = jax.tree_util.tree_leaves(split)
+        for m, s in zip(flat_m, flat_s):
+            np.testing.assert_allclose(np.asarray(s), np.asarray(m),
+                                       rtol=1e-5, atol=1e-6)
+
     def test_frozen_bond_matches_xla(self, interpret):
         b = _rand_bond_c(seed=5)
         eta, cutoff = jnp.float32(0.05), jnp.float32(1e-10)

@@ -297,7 +297,7 @@ class TestWarmSplitTraining:
         Xtr, ytr, Xte, yte = ecg200
         opts = mt.MPSOptions(encoding="fourier", chi_max=25, d=5,
                              nsweeps=10, svd_alg="randomized_warm",
-                             verbosity=-1, dtype="float64")
+                             verbosity=-1, dtype="complex128")
         assert opts.resolved_power_iters() == 3
         trained, info, ts = mt.fit_mps(Xtr, ytr, Xte, yte, opts)
         assert info["test_acc"][-1] >= 0.74
