@@ -313,6 +313,10 @@ def main():
                                     measure_percall=False)
     t256, _, _ = _steady_sweep_time(X, y, chi=256, d=5, nsweeps_block=4,
                                     measure_percall=False)
+    # chi=320 runs fused through the r4 split-tail route (the warm power
+    # step as its own kernel — bond_step's split_tail; was an XLA fallback)
+    t320, _, _ = _steady_sweep_time(X, y, chi=320, d=5, nsweeps_block=4,
+                                    reps=3, measure_percall=False)
     # complex-encoding path (fourier c64 — fused real-imag pair kernels,
     # ops/pallas_bond_c.py, q=3 power steps per refresh = the shipped
     # complex default; the K2 datapoint is a perf-knob reference only —
@@ -367,6 +371,7 @@ def main():
         "ecg200_sweep_time_chi128": round(t128, 5),
         "ecg200_sweep_time_chi192": round(t192, 5),
         "ecg200_sweep_time_chi256": round(t256, 5),
+        "ecg200_sweep_time_chi320": round(t320, 5),
         "fourier_c64_sweep_time_chi64": round(t_f64c, 5),
         "fourier_c64_sweep_time_chi64_refresh2": round(t_f64c2, 5),
         "fourier_train_acc_after_8_sweeps": round(acc_f, 4),

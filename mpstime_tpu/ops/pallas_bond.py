@@ -67,10 +67,13 @@ SPLIT_TAIL_FOOTPRINT = 18 * 2 ** 20  # past this, bond_step splits the
 MAX_FOOTPRINT = 18 * 2 ** 20      # ceiling for kernels that carry the
                                   # in-kernel power tail (monolithic K1 and
                                   # the complex pair kernels)
-SPLIT_MAX_FOOTPRINT = 40 * 2 ** 20  # ceiling for the real split-tail route
-                                  # (chi=384 at ECG shapes ~37 MB); beyond
-                                  # this the caller falls back to the XLA
-                                  # path (sweep.py guard)
+SPLIT_MAX_FOOTPRINT = 30 * 2 ** 20  # ceiling for the real split-tail route:
+                                  # chi=320 at ECG shapes (est 26 MB) runs
+                                  # fused at 0.164 s/sweep; chi=384 (37 MB)
+                                  # gets the remote compile helper SIGKILLed
+                                  # (memory) even on a quiet machine — the
+                                  # caller falls back to the XLA path past
+                                  # this (sweep.py guard)
 
 
 def kernel_footprint(C: int, chi: int, d: int, N: int) -> int:
@@ -751,8 +754,14 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
                                 forward=forward, emit_y=emit,
                                 q=power_iters, est=est)
     if split_tail:
-        Y = _k1_tail_call(BT, V0, C=C, chi=chi, d=d, forward=forward,
-                          q=power_iters, est=est)
+        # One tail kernel per power step (q=1 each, chained): the per-step
+        # column normalization makes this identical to q steps in-kernel,
+        # and the q-fold-unrolled tail exhausts the compile helper at
+        # large chi (measured on the complex twin: scripts/k1c_bisect.py).
+        Y = V0
+        for _ in range(power_iters):
+            Y = _k1_tail_call(BT, Y, C=C, chi=chi, d=d, forward=forward,
+                              q=1, est=est)
     if refresh:
         Q, _ = jnp.linalg.qr(Y)
     else:

@@ -684,8 +684,15 @@ def bond_step_c(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
             eta2, left, right, G, V0, C=C, chi=chi, d=d, forward=forward,
             emit_y=emit, q=power_iters, est=est)
     if split_tail:
-        Y_r, Y_i = _k1c_tail_call((BT_r, BT_i), V0, C=C, chi=chi, d=d,
-                                  forward=forward, q=power_iters, est=est)
+        # One tail kernel per power step (q=1 each, chained — identical to
+        # q steps in-kernel thanks to the per-step normalization): the
+        # q=3-unrolled pair tail alone SIGKILLs the remote compile helper
+        # at chi=192 (scripts/k1c_bisect.py), a q=1 tail compiles.
+        Yp = V0
+        for _ in range(power_iters):
+            Yp = _k1c_tail_call((BT_r, BT_i), Yp, C=C, chi=chi, d=d,
+                                forward=forward, q=1, est=est)
+        Y_r, Y_i = Yp
     if refresh:
         Q = _qr_orth_pair((Y_r, Y_i))
     else:

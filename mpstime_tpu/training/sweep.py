@@ -60,14 +60,23 @@ def _pallas_vmem_ok(C: int, chi: int, d: int, N: int,
     the physical VMEM; measured on v5e at ECG200 shapes the fused path now
     runs chi=192 at 0.066 s/sweep and chi=256 at 0.095 (vs 0.095 / 0.158
     on the XLA fallback).  Past ~18 MB estimated residents the real path
-    splits the warm power step into its own kernel (bond_step /
-    bond_step_c's ``split_tail`` route — the in-kernel tail crashes the
-    Mosaic compiler there) and stays fused through ~40 MB estimated
-    residents (real chi=384, complex chi=256 at ECG shapes; the complex
-    pair kernels cost factor=2); anything larger falls back to the XLA
-    bond step — the raised budget cannot exceed the chip."""
-    from ..ops.pallas_bond import SPLIT_MAX_FOOTPRINT, kernel_footprint
-    return factor * kernel_footprint(C, chi, d, N) <= SPLIT_MAX_FOOTPRINT
+    splits the warm power step into its own kernel (bond_step's
+    ``split_tail`` route — the in-kernel tail crashes the Mosaic compiler
+    there) and stays fused through ~30 MB estimated residents (measured:
+    chi=320 at ECG shapes runs fused at 0.164 s/sweep; chi=384's compile
+    exhausts the remote helper); anything larger falls back to the XLA
+    bond step.  The COMPLEX pair kernels (factor=2)
+    keep the 18 MB monolith ceiling: past it (fourier chi>=192 at ECG
+    shapes) the full pair-kernel program exhausts the remote compile
+    helper's memory even with the split-tail route and chained q=1 tail
+    kernels (SIGKILL on a quiet machine — scripts/k1c_bisect.py,
+    scripts/split_tail_c_probe.py), so complex large-chi takes the XLA
+    bond path, which remains correct and close to fused throughput (r3
+    measured fused within ~10% of XLA on the complex path)."""
+    from ..ops.pallas_bond import (MAX_FOOTPRINT, SPLIT_MAX_FOOTPRINT,
+                                   kernel_footprint)
+    limit = MAX_FOOTPRINT if factor > 1 else SPLIT_MAX_FOOTPRINT
+    return factor * kernel_footprint(C, chi, d, N) <= limit
 
 
 def _pallas_eligible(dtype, loss, bbopt, update_iters, rescale, svd_alg,
