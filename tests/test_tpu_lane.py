@@ -111,13 +111,17 @@ def test_pallas_sweep_matches_xla_sweep_compiled(ecg):
 
 def test_fourier_c64_parity_and_roundtrip(ecg, tmp_path):
     """The complex path end-to-end on hardware, pinned to an exact-split
-    oracle cell: fourier chi=25 / 10 sweeps, where CPU f64 measures exact
-    svd/gram_eigh 0.68-0.74 and the shipped warm q=3 default 0.81 on all
-    probed seeds (docs/complex_split_oracle.md).  The c64 chip floor is
-    the exact ceiling minus the measured c64-vs-c128 noise margin (~0.04),
-    so a real complex-quality regression fails the lane — not only a
-    crash.  Also: save/load round-trip via the real-imag transfer shim,
-    and a complex imputation MAE floor."""
+    oracle cell: fourier chi=25 / 10 sweeps (docs/complex_split_oracle.md,
+    CPU f64: exact svd/gram_eigh 0.68-0.74, shipped warm q=3 0.81).  In
+    c64 the cell is PRECISION-limited, not device-limited — measured CPU
+    c64 0.61, chip c64 0.67 (the chip beats the CPU f32 pair path), so
+    the q=3 quality guard lives in the default suite's f64 oracle-band
+    test (test_training.py::test_complex_split_oracle_band) and the lane
+    floor is set against the measured c64 band: it catches chip-specific
+    breakage (garbage kernels land near or below the 0.36/0.64 class
+    priors), and the cap flags too-good-to-be-true leakage.  Also:
+    save/load round-trip via the real-imag transfer shim, and a complex
+    imputation MAE floor."""
     import mpstime_tpu as mt
 
     Xtr, ytr, Xte, yte = ecg
@@ -127,8 +131,8 @@ def test_fourier_c64_parity_and_roundtrip(ecg, tmp_path):
     assert opts.resolved_power_iters() == 3
     trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
     acc = float(np.mean(mt.classify(trained, Xte) == yte))
-    assert 0.70 <= acc <= 0.92, acc     # oracle band (exact 0.69-0.74,
-                                        # warm q3 0.81 on CPU f64)
+    assert 0.60 <= acc <= 0.92, acc     # measured c64 band: chip 0.67,
+                                        # CPU c64 0.61 (f64 oracle 0.81)
 
     p = str(tmp_path / "fourier.npz")
     mt.save_mps(p, trained)
