@@ -24,6 +24,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -71,6 +72,7 @@ def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
     kw = dict(loss="KLD", bbopt="TSGO", update_iters=1,
               rescale=(False, True), svd_alg=opts.resolved_svd_alg(),
               power_iters=opts.resolved_power_iters(),
+              orth=opts.resolved_orth_alg(),
               refresh_every=refresh_every)
     eta = jnp.asarray(opts.eta, rdt)
     cutoff = jnp.asarray(opts.cutoff, rdt)
@@ -296,6 +298,36 @@ def _mesh_datapoint():
         return {"mesh_check_ok": False, "mesh_check_error": str(e)[:200]}
 
 
+_CHI320_CHILD = r"""
+import json
+import numpy as np
+import bench
+d = np.load("tests/data/ecg200.npz")
+t, _, _ = bench._steady_sweep_time(d["X_train"], d["y_train"], chi=320, d=5,
+                                   nsweeps_block=4, reps=3,
+                                   measure_percall=False)
+print(json.dumps({"t": t}))
+"""
+
+
+def _chi320_datapoint():
+    """chi=320 rides the split-tail fused route whose ~12-minute cold
+    compile can get the axon compile helper SIGKILLed when the remote
+    service restarted and lost its executable cache (observed r4) — run it
+    in an isolated subprocess so a compile failure costs this one datapoint
+    rather than the whole bench."""
+    try:
+        out = subprocess.run([sys.executable, "-c", _CHI320_CHILD],
+                             capture_output=True, text=True, timeout=2400,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = out.stdout.strip().splitlines()[-1]
+        return {"ecg200_sweep_time_chi320":
+                round(json.loads(line)["t"], 5)}
+    except Exception as e:                               # noqa: BLE001
+        return {"ecg200_sweep_time_chi320": None,
+                "ecg200_sweep_time_chi320_error": str(e)[:160]}
+
+
 def main():
     import jax
 
@@ -303,42 +335,62 @@ def main():
     X, y = d_npz["X_train"], d_npz["y_train"]
     Xte, yte = d_npz["X_test"], d_npz["y_test"]
 
-    t64, t64_percall, acc64 = _steady_sweep_time(X, y, chi=64, d=5)
-    t32, _, _ = _steady_sweep_time(X, y, chi=32, d=5, measure_percall=False)
-    t128, _, acc128 = _steady_sweep_time(X, y, chi=128, d=5,
-                                         measure_percall=False)
+    record = {}
+
+    def step(fn, *keys):
+        """Run one workload; on failure record <firstkey>_error and None
+        values so a single cold-compile casualty (e.g. the axon service
+        restarting mid-round and SIGKILLing a big recompile) degrades to a
+        missing datapoint instead of killing the whole bench."""
+        try:
+            vals = fn()
+        except Exception as e:                           # noqa: BLE001
+            record.update({k: None for k in keys})
+            record[keys[0] + "_error"] = str(e)[:160]
+            return
+        for k, v in zip(keys, vals if isinstance(vals, tuple) else (vals,)):
+            record[k] = round(v, 5) if isinstance(v, float) else v
+
+    step(lambda: _steady_sweep_time(X, y, chi=64, d=5),
+         "ecg200_sweep_time_chi64", "ecg200_sweep_time_chi64_percall",
+         "train_acc_after_8_sweeps_chi64")
+    step(lambda: _steady_sweep_time(X, y, chi=32, d=5,
+                                    measure_percall=False)[0],
+         "ecg200_sweep_time_chi32")
+    step(lambda: (lambda r: (r[0], r[2]))(_steady_sweep_time(
+        X, y, chi=128, d=5, measure_percall=False)),
+        "ecg200_sweep_time_chi128", "train_acc_after_8_sweeps_chi128")
     # big-chi fused path (raised Mosaic VMEM budget; was the XLA fallback
     # at 0.095 / 0.158 in r2)
-    t192, _, _ = _steady_sweep_time(X, y, chi=192, d=5, nsweeps_block=4,
-                                    measure_percall=False)
-    t256, _, _ = _steady_sweep_time(X, y, chi=256, d=5, nsweeps_block=4,
-                                    measure_percall=False)
-    # chi=320 runs fused through the r4 split-tail route (the warm power
-    # step as its own kernel — bond_step's split_tail; was an XLA fallback)
-    t320, _, _ = _steady_sweep_time(X, y, chi=320, d=5, nsweeps_block=4,
-                                    reps=3, measure_percall=False)
+    step(lambda: _steady_sweep_time(X, y, chi=192, d=5, nsweeps_block=4,
+                                    measure_percall=False)[0],
+         "ecg200_sweep_time_chi192")
+    step(lambda: _steady_sweep_time(X, y, chi=256, d=5, nsweeps_block=4,
+                                    measure_percall=False)[0],
+         "ecg200_sweep_time_chi256")
     # complex-encoding path (fourier c64 — fused real-imag pair kernels,
     # ops/pallas_bond_c.py, q=3 power steps per refresh = the shipped
     # complex default; the K2 datapoint is a perf-knob reference only —
     # under q=3 it costs accuracy, docs/complex_split_oracle.md section 6)
-    t_f64c, _, acc_f = _steady_sweep_time(X, y, chi=64, d=5,
-                                          measure_percall=False,
-                                          encoding="fourier")
-    t_f64c2, _, _ = _steady_sweep_time(X, y, chi=64, d=5,
-                                       measure_percall=False,
-                                       encoding="fourier", refresh_every=2)
+    step(lambda: (lambda r: (r[0], r[2]))(_steady_sweep_time(
+        X, y, chi=64, d=5, measure_percall=False, encoding="fourier")),
+        "fourier_c64_sweep_time_chi64", "fourier_train_acc_after_8_sweeps")
+    step(lambda: _steady_sweep_time(X, y, chi=64, d=5, measure_percall=False,
+                                    encoding="fourier", refresh_every=2)[0],
+         "fourier_c64_sweep_time_chi64_refresh2")
 
     # long-sequence scaling: T=512 synthetic, ECG-like sample count
     rng = np.random.default_rng(0)
-    T_long, N_long = 512, 100
+    T_long = 512
     t_ax = np.linspace(0, 8 * np.pi, T_long)
     Xl = np.concatenate([
         np.sin(t_ax[None] + rng.uniform(0, 6, (50, 1))),
         np.sin(3 * t_ax[None] + rng.uniform(0, 6, (50, 1)))])
     Xl += 0.1 * rng.standard_normal(Xl.shape)
     yl = np.repeat([0, 1], 50)
-    t_long, _, _ = _steady_sweep_time(Xl, yl, chi=64, d=5, nsweeps_block=4,
-                                      measure_percall=False)
+    step(lambda: _steady_sweep_time(Xl, yl, chi=64, d=5, nsweeps_block=4,
+                                    measure_percall=False)[0],
+         "longT512_sweep_time_chi64")
 
     # IPD-shaped synthetic anchor workload (T=24, N=67, 2 classes)
     T_ipd = 24
@@ -350,52 +402,46 @@ def main():
     yi = np.repeat([0, 1], [34, 33])
     # tiny workload -> most sensitive to remote-service jitter; use more
     # reps (measured swings up to 8x with 3 reps)
-    t_ipd, _, _ = _steady_sweep_time(Xi, yi, chi=25, d=5, reps=9,
-                                     measure_percall=False)
+    step(lambda: _steady_sweep_time(Xi, yi, chi=25, d=5, reps=9,
+                                    measure_percall=False)[0],
+         "ipd_shape_sweep_time_chi25")
 
-    t_imp, B_imp, mae_imp = _impute_batch_time(X, y, Xte, yte)
-    t_imp_f, _, _ = _impute_batch_time(X, y, Xte, yte, encoding="fourier")
-    t_fold_eval = _fold_eval_time(X, y, Xte, yte)
-    t_fold_train, acc_fold = _tune_fold_train_time()
-    t_padded_fit, padded_rank_ok = _padded_fit_time(X, y)
+    step(lambda: _impute_batch_time(X, y, Xte, yte),
+         "ecg200_impute_batch_time", "impute_batch_B", "impute_batch_mae")
+    step(lambda: _impute_batch_time(X, y, Xte, yte, encoding="fourier")[0],
+         "fourier_c64_impute_batch_time")
+    step(lambda: _fold_eval_time(X, y, Xte, yte), "ecg200_fold_eval_time")
+    step(_tune_fold_train_time, "tune_fold_train_time",
+         "tune_fold_train_acc")
+    step(lambda: _padded_fit_time(X, y), "padded_trial_fit_time",
+         "padded_rank_cap_ok")
+    # chi=320 last + isolated: its split-tail cold compile is the one
+    # workload that can take down the compile helper (see _chi320_datapoint)
+    record.update(_chi320_datapoint())
     mesh = _mesh_datapoint()
 
     baseline = 0.80  # s/sweep, Julia reference anchor (module docstring)
-    record = {
+    t64 = record.get("ecg200_sweep_time_chi64")
+    t_ipd = record.get("ipd_shape_sweep_time_chi25")
+    t_fold_eval = record.get("ecg200_fold_eval_time")
+    t_fold_train = record.get("tune_fold_train_time")
+    out = {
         "metric": "ecg200_sweep_time_chi64",
-        "value": round(t64, 5),
+        "value": t64,
         "unit": "s/sweep",
-        "vs_baseline": round(baseline / t64, 2),
-        "ecg200_sweep_time_chi64_percall": round(t64_percall, 5),
-        "ecg200_sweep_time_chi32": round(t32, 5),
-        "ecg200_sweep_time_chi128": round(t128, 5),
-        "ecg200_sweep_time_chi192": round(t192, 5),
-        "ecg200_sweep_time_chi256": round(t256, 5),
-        "ecg200_sweep_time_chi320": round(t320, 5),
-        "fourier_c64_sweep_time_chi64": round(t_f64c, 5),
-        "fourier_c64_sweep_time_chi64_refresh2": round(t_f64c2, 5),
-        "fourier_train_acc_after_8_sweeps": round(acc_f, 4),
-        "fourier_c64_impute_batch_time": round(t_imp_f, 5),
-        "longT512_sweep_time_chi64": round(t_long, 5),
-        "ipd_shape_sweep_time_chi25": round(t_ipd, 5),
-        "ipd_shape_vs_baseline": round(baseline / t_ipd, 2),
-        "train_acc_after_8_sweeps_chi64": round(acc64, 4),
-        "train_acc_after_8_sweeps_chi128": round(acc128, 4),
-        "ecg200_impute_batch_time": round(t_imp, 5),
-        "impute_batch_B": B_imp,
-        "impute_batch_mae": round(mae_imp, 4),
-        "ecg200_fold_eval_time": round(t_fold_eval, 5),
-        "fold_eval_vs_ref_1.9s": round(1.9 / t_fold_eval, 1),
-        "tune_fold_train_time": round(t_fold_train, 5),
-        "tune_fold_train_vs_ref_128s": round(128.0 / t_fold_train, 0),
-        "tune_fold_train_acc": round(acc_fold, 4),
-        "padded_trial_fit_time": round(t_padded_fit, 5),
-        "padded_rank_cap_ok": padded_rank_ok,
-        "device": str(jax.devices()[0]),
-        "shapes": {"T": 96, "N": 100, "chi": 64, "d": 5},
+        "vs_baseline": round(baseline / t64, 2) if t64 else None,
     }
-    record.update(mesh)
-    print(json.dumps(record))
+    out.update(record)
+    if t_ipd:
+        out["ipd_shape_vs_baseline"] = round(baseline / t_ipd, 2)
+    if t_fold_eval:
+        out["fold_eval_vs_ref_1.9s"] = round(1.9 / t_fold_eval, 1)
+    if t_fold_train:
+        out["tune_fold_train_vs_ref_128s"] = round(128.0 / t_fold_train, 0)
+    out["device"] = str(jax.devices()[0])
+    out["shapes"] = {"T": 96, "N": 100, "chi": 64, "d": 5}
+    out.update(mesh)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -100,6 +100,96 @@ def _qr_orth(Y: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.complex(Qe[:R], Qe[R:]).astype(Y.dtype)
 
 
+#: Quintic Newton-Schulz coefficients (aggressive singular-value inflation;
+#: the polynomial a*x + b*x^3 + c*x^5 maps (0, 1] into (0, ~1.18] and
+#: multiplies tiny singular values by ~a per step).
+_NS_QA, _NS_QB, _NS_QC = 3.4445, -4.7750, 2.0315
+#: Iteration counts PER POWER STEP: quintic warmup steps inflate
+#: sigma_min by ~3.44 each, then cubic cleanup steps converge
+#: quadratically to orthonormality; with the revival bound
+#: kappa <= ~1/_NS_REVIVE (below), 8+6 reaches f32-roundoff
+#: orthogonality with margin (measured: 6+6 covers kappa 1e4).
+_NS_QUINTIC, _NS_CUBIC = 8, 6
+#: The NS route runs the warm refresh as SUBSPACE ITERATION — NS polar
+#: orthonormalization after EVERY power step, not column normalization
+#: with one orthogonalization at the end — plus an eps*Y_prev revival
+#: before each NS.  Two failure modes of the naive end-orthogonalized
+#: form demand this (both measured, ECG200):
+#:
+#: * Death spiral: the warm split caches Q as the next sweep's V0, and a
+#:   direction NS leaves unconverged (near-null in Y) comes back as a
+#:   near-ZERO cached column that the power step can never resurrect —
+#:   subspace rank collapses over sweeps (fourier train-acc 0.91 -> 0.32;
+#:   QR avoids it via orthonormal fill-in).  The eps*Y_prev term keeps
+#:   every cached direction alive and bounds kappa(input) at ~1/eps.
+#: * Gram resolution floor: NS works through X^H X, which is blind to
+#:   column amplitudes below ~sqrt(eps_f32) ~ 2e-4.  After q
+#:   column-normalized power steps Y's amplitude ratios are the
+#:   (2q)-th power of the bond spectrum's, so an END-of-loop NS at q=3
+#:   (the complex default) caps subspace resolution at relative energies
+#:   ~(2e-4)^(1/3) ~ 6e-2 and fourier underfits (0.33 train acc).
+#:   Orthonormalizing BETWEEN steps resets the dynamic range each step,
+#:   giving per-step resolution ~2e-4 in energy — finer than the f32
+#:   END-QR's own (6e-8)^(1/3) ~ 4e-3 floor.  Measured: fourier f32
+#:   subspace-iteration NS 0.73/0.64 train/test == the QR route's
+#:   0.72/0.66; legendre 0.87 test vs QR 0.84.
+_NS_REVIVE = 1e-3
+
+
+def ns_orth(Y: jnp.ndarray, n_quintic: int = _NS_QUINTIC,
+            n_cubic: int = _NS_CUBIC) -> jnp.ndarray:
+    """Matmul-only polar orthogonalization (Newton-Schulz iteration).
+
+    Returns an orthonormal basis of span(Y) — the unitary polar factor
+    Y (Y^H Y)^(-1/2), reached by iterating odd matrix polynomials in
+    Y^H Y.  Serves the same role as :func:`_qr_orth` (any orthonormal
+    basis of the span works for the randomized/lean/warm splits; the MPS
+    gauge freedom absorbs the difference), with two structural advantages:
+
+    * every op is a matmul, so it runs INSIDE the fused Pallas bond
+      kernels (in-kernel twins in ops/pallas_bond.py /_c.py), removing
+      the per-bond XLA QR dispatch — the one op that forced a
+      K1 -> QR -> K2 kernel split;
+    * on complex input the iteration is complex-structure-preserving by
+      construction (all ops are complex matmuls), so the rank-deficient
+      fill-in hazard of the realified-Householder route (_qr_orth
+      docstring) does not arise: exactly-zero directions stay exactly
+      zero and the downstream cutoff mask discards them.
+
+    Convergence: singular values of the iterate approach 1 from
+    sigma/||Y|| — the quintic warmup multiplies small ones by ~3.44 per
+    step, the cubic tail is quadratically convergent.  With the default
+    counts, sigma_min/sigma_max >= ~1e-4 reaches f32-roundoff
+    orthonormality; smaller directions (numerically rank-deficient)
+    collapse toward zero columns instead of being filled in.
+
+    Matmuls run at HIGHEST precision: on TPU the default f32 matmul is
+    bf16-based, whose ~1e-3 rounding would cap the achievable
+    orthogonality three decades short.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    dot = partial(jnp.dot, precision=hi)
+    rdt = Y.real.dtype
+    nf = jnp.sqrt(jnp.sum(jnp.abs(Y) ** 2)) * rdt.type(1.0 + 1e-3)
+    X = Y / jnp.maximum(nf, jnp.finfo(rdt).tiny)
+    eye = jnp.eye(Y.shape[1], dtype=Y.dtype)
+    for _ in range(n_quintic):
+        G = dot(X.conj().T, X)
+        G2 = dot(G, G)
+        X = dot(X, _NS_QA * eye + _NS_QB * G + _NS_QC * G2)
+    for _ in range(n_cubic):
+        G = dot(X.conj().T, X)
+        X = 1.5 * X - 0.5 * dot(X, G)
+    return X
+
+
+def _orth(Y: jnp.ndarray, orth: str) -> jnp.ndarray:
+    """Basis-of-span dispatcher for the randomized/lean/warm splits."""
+    if orth == "ns":
+        return ns_orth(Y)
+    return _qr_orth(Y)
+
+
 def _sketch_k(keep: int, other: int) -> int:
     """Sketch width: keep + max(keep/8, 8) oversampling, capped by the small
     dimension.  With q=2 power iterations this small oversampling already
@@ -109,7 +199,8 @@ def _sketch_k(keep: int, other: int) -> int:
 
 
 def randomized_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
-                          max_rank=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                          max_rank=None, orth: str = "qr"
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Randomized truncated split (column side): find an orthonormal basis of
     the dominant right-singular subspace by sketched power iteration, then
     Rayleigh-Ritz for ordering/cutoff.
@@ -132,7 +223,7 @@ def randomized_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
     # under/overflow (power iteration raises the dynamic range to ~2q+1)
     Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
                         jnp.finfo(Y.real.dtype).tiny)
-    Q = _qr_orth(Y)                   # [C, k]
+    Q = _orth(Y, orth)                   # [C, k]
     B = M @ Q                                     # [R, k]
     S = B.conj().T @ B                            # [k, k] ritz Gram
     w, W = jnp.linalg.eigh(S)
@@ -149,7 +240,8 @@ def randomized_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
 
 
 def randomized_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
-                           max_rank=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                           max_rank=None, orth: str = "qr"
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mirror of :func:`randomized_split_left` on the row side: orthonormal
     U [R, keep] spanning the dominant left-singular subspace, SVh = U^H M."""
     R, C = M.shape
@@ -162,7 +254,7 @@ def randomized_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
         Y = M @ (M.conj().T @ Y)
     Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
                         jnp.finfo(Y.real.dtype).tiny)
-    Q = _qr_orth(Y)                   # [R, k]
+    Q = _orth(Y, orth)                   # [R, k]
     B = Q.conj().T @ M                            # [k, C]
     S = B @ B.conj().T                            # [k, k]
     w, W = jnp.linalg.eigh(S)
@@ -178,7 +270,8 @@ def randomized_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
 
 
 def lean_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
-                    max_rank=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    max_rank=None, orth: str = "qr"
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Randomized split without the Rayleigh-Ritz eigh.
 
     Key observation: the Ritz rotation never changes the *span* of the
@@ -210,7 +303,7 @@ def lean_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
     # (power iteration raises the dynamic range to the 2q+1 power)
     Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
                         jnp.finfo(Y.real.dtype).tiny)
-    Q = _qr_orth(Y)                   # [C, k]
+    Q = _orth(Y, orth)                   # [C, k]
     B = M @ Q                                     # [R, k] = U S (mixed)
     w = jnp.sum(jnp.abs(B) ** 2, axis=0)          # column energies
     order = jnp.argsort(-w)
@@ -226,7 +319,8 @@ def lean_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
 
 
 def lean_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
-                     max_rank=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     max_rank=None, orth: str = "qr"
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mirror of :func:`lean_split_left` on the row side."""
     R, C = M.shape
     k = min(keep, R)
@@ -236,7 +330,7 @@ def lean_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
         Y = M @ (M.conj().T @ Y)
     Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
                         jnp.finfo(Y.real.dtype).tiny)
-    Q = _qr_orth(Y)                   # [R, k]
+    Q = _orth(Y, orth)                   # [R, k]
     B = Q.conj().T @ M                            # [k, C] = S Vh (mixed)
     w = jnp.sum(jnp.abs(B) ** 2, axis=1)
     order = jnp.argsort(-w)
@@ -252,7 +346,8 @@ def lean_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
 
 
 def warm_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
-                    q: int = 1, refresh: bool = True, max_rank=None
+                    q: int = 1, refresh: bool = True, max_rank=None,
+                    orth: str = "qr"
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Warm-started eigh-free split (column side).
 
@@ -272,12 +367,16 @@ def warm_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
     if refresh:
         Y = V0[:, :k]
         # per-STEP column normalization: q > 1 raises the dynamic range to
-        # the (2q)-th power otherwise, overflowing f32 mid-iteration
+        # the (2q)-th power otherwise, overflowing f32 mid-iteration.
+        # orth="ns" instead runs SUBSPACE ITERATION: revival + NS polar
+        # after every step (see the _NS_REVIVE comment for why).
+        eps = Y.real.dtype.type(_NS_REVIVE)
         for _ in range(q):
-            Y = M.conj().T @ (M @ Y)
-            Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
-                                jnp.finfo(Y.real.dtype).tiny)
-        Q = _qr_orth(Y)                   # [C, k]
+            Z = M.conj().T @ (M @ Y)
+            Z = Z / jnp.maximum(jnp.linalg.norm(Z, axis=0, keepdims=True),
+                                jnp.finfo(Z.real.dtype).tiny)
+            Y = ns_orth(Z + eps * Y) if orth == "ns" else Z
+        Q = Y if orth == "ns" else _orth(Y, orth)      # [C, k]
     else:
         # frozen sweep: split directly against the cached orthonormal basis
         # (no power step, no QR); the cadence is set by the caller
@@ -297,19 +396,22 @@ def warm_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
 
 
 def warm_split_right(M: jnp.ndarray, U0: jnp.ndarray, keep: int, cutoff,
-                     q: int = 1, refresh: bool = True, max_rank=None
+                     q: int = 1, refresh: bool = True, max_rank=None,
+                     orth: str = "qr"
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Mirror of :func:`warm_split_left` on the row side; U0 [R, keep]."""
     R = M.shape[0]
     k = min(keep, R)
     if refresh:
         Y = U0[:, :k]
-        # per-step normalization: see warm_split_left
+        # per-step normalization / NS subspace iteration: warm_split_left
+        eps = Y.real.dtype.type(_NS_REVIVE)
         for _ in range(q):
-            Y = M @ (M.conj().T @ Y)
-            Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
-                                jnp.finfo(Y.real.dtype).tiny)
-        Q = _qr_orth(Y)                   # [R, k]
+            Z = M @ (M.conj().T @ Y)
+            Z = Z / jnp.maximum(jnp.linalg.norm(Z, axis=0, keepdims=True),
+                                jnp.finfo(Z.real.dtype).tiny)
+            Y = ns_orth(Z + eps * Y) if orth == "ns" else Z
+        Q = Y if orth == "ns" else _orth(Y, orth)      # [R, k]
     else:
         Q = U0[:, :k]
     B = Q.conj().T @ M
@@ -342,15 +444,17 @@ def warm_sketch_init(n: int, keep: int, dtype) -> jnp.ndarray:
 
 def split_bond_left(M: jnp.ndarray, keep: int, cutoff,
                     alg: str = "gram_eigh",
-                    max_rank=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    max_rank=None, orth: str = "qr"
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Split M [R, C] -> (US [R, keep], Vh [keep, C]) with V column-orthonormal,
     truncated+masked.  Used going left: U*S is absorbed into the new center
     (reference RealRealHighDimension.jl:171-173)."""
     R, C = M.shape
     if alg == "randomized":
-        return randomized_split_left(M, keep, cutoff, max_rank=max_rank)
+        return randomized_split_left(M, keep, cutoff, max_rank=max_rank,
+                                     orth=orth)
     if alg == "randomized_lean":
-        return lean_split_left(M, keep, cutoff, max_rank=max_rank)
+        return lean_split_left(M, keep, cutoff, max_rank=max_rank, orth=orth)
     if alg == "svd":
         U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
         mask = _trunc_mask(S * S, keep, cutoff, max_rank)
@@ -380,15 +484,17 @@ def split_bond_left(M: jnp.ndarray, keep: int, cutoff,
 
 def split_bond_right(M: jnp.ndarray, keep: int, cutoff,
                      alg: str = "gram_eigh",
-                     max_rank=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     max_rank=None, orth: str = "qr"
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Split M [R, C] -> (U [R, keep], SVh [keep, C]) with U column-orthonormal,
     truncated+masked.  Used going right: S*Vh is absorbed into the new center
     (reference RealRealHighDimension.jl:189-191)."""
     R, C = M.shape
     if alg == "randomized":
-        return randomized_split_right(M, keep, cutoff, max_rank=max_rank)
+        return randomized_split_right(M, keep, cutoff, max_rank=max_rank,
+                                      orth=orth)
     if alg == "randomized_lean":
-        return lean_split_right(M, keep, cutoff, max_rank=max_rank)
+        return lean_split_right(M, keep, cutoff, max_rank=max_rank, orth=orth)
     if alg == "svd":
         U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
         mask = _trunc_mask(S * S, keep, cutoff, max_rank)

@@ -3,17 +3,24 @@
 The scan-based sweep (training/sweep.py) is op-*latency* bound on TPU: a
 bond step is ~25 small XLA ops of a few microseconds' issue cost each,
 while its actual MXU time is <1 us (measured: 66 us/bond skeleton at
-ECG200 chi=64 on v5e).  These kernels collapse everything except the thin
-QR into two ``pallas_call``s per bond, all operands resident in VMEM:
+ECG200 chi=64 on v5e).  These kernels collapse the whole bond step into
+two ``pallas_call``s per bond, all operands resident in VMEM:
 
-  K1 (pre-QR):   form the two-site bond tensor, KLD gradient over the
-                 whole batch, TSGO update + renormalization, and the
-                 warm-subspace power step  ->  (BT_new, Y)
-  QR (XLA):      thin QR of Y — the one op Pallas can't express cheaply
-  K2 (post-QR):  Rayleigh quotients + ITensor-style cutoff mask (computed
-                 with an O(k^2) pairwise suffix rule instead of a sort),
-                 the split factors in their final core layouts, and the
-                 scaled environment step  ->  (center, V/U, env, logscale)
+  K1:  form the two-site bond tensor, KLD gradient over the whole batch,
+       TSGO update + renormalization, and the warm-subspace refresh —
+       with ``orth="ns"`` (the accelerator default) each power step ends
+       in an in-kernel matmul-only Newton-Schulz polar
+       orthogonalization (_ns_orth_value), so K1 emits the orthonormal
+       basis Q directly  ->  (BT_new, Q)
+  K2:  Rayleigh quotients + ITensor-style cutoff mask (computed with an
+       O(k^2) pairwise suffix rule instead of a sort), the split factors
+       in their final core layouts, and the scaled environment step
+       ->  (center, V/U, env, logscale)
+
+With ``orth="qr"`` K1 emits the pre-orthogonalization Y instead and one
+thin XLA QR runs between the kernels (K1 -> QR -> K2) — Householder QR
+is the one op Pallas cannot express as matmuls.  Measured at ECG200
+chi=64: ns 0.0085 s/sweep vs qr 0.0134 (docs/tpu_performance.md).
 
 Mosaic constraints shape the implementation: vector reshapes that merge or
 split the minor (lane) dimension are unsupported, so
@@ -154,8 +161,36 @@ def _kron_batch_major(major, minor):
 # K1: bond tensor + KLD gradient + TSGO step + power step
 # --------------------------------------------------------------------------
 
+def _ns_orth_value(X):
+    """Matmul-only Newton-Schulz polar orthogonalization of a live value
+    (Mosaic-safe twin of ops/decomp.ns_orth — same coefficients and
+    iteration counts so the fused and XLA paths stay in parity; no
+    jnp.eye: X @ (aI + bG + cG2) is algebraically a*X + X @ (bG + cG2)).
+    Emitting the orthonormal basis straight from the kernel removes the
+    per-bond XLA QR — the one op that forced a K1 -> QR -> K2 split.
+    Used per power step (subspace iteration with eps-revival): see
+    ops/decomp._NS_REVIVE for the two measured failure modes that rule
+    out a single end-of-loop orthogonalization."""
+    from .decomp import _NS_CUBIC, _NS_QA, _NS_QB, _NS_QC, _NS_QUINTIC
+    f32 = jnp.float32
+    nf2 = jnp.sum(X * X) * f32(1.0 + 1e-3) ** 2
+    X = X * jax.lax.rsqrt(jnp.maximum(nf2, jnp.finfo(f32).tiny))
+    for _ in range(_NS_QUINTIC):
+        G = jax.lax.dot_general(X, X, (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+        G2 = jnp.dot(G, G, preferred_element_type=f32)
+        X = _NS_QA * X + jnp.dot(X, _NS_QB * G + _NS_QC * G2,
+                                 preferred_element_type=f32)
+    for _ in range(_NS_CUBIC):
+        G = jax.lax.dot_general(X, X, (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+        X = 1.5 * X - 0.5 * jnp.dot(X, G, preferred_element_type=f32)
+    return X
+
+
 def _power_step_tail(BT, V0, y_ref, *, C: int, chi: int, d: int,
-                     forward: bool, emit_y: bool, q: int) -> None:
+                     forward: bool, emit_y: bool, q: int,
+                     orth: str = "qr") -> None:
     """Warm power step(s): q applications of the bond-tensor Gram to the
     cached subspace, per-column normalization between steps (q > 1 would
     otherwise raise the dynamic range to the (2q)-th power and overflow
@@ -170,6 +205,7 @@ def _power_step_tail(BT, V0, y_ref, *, C: int, chi: int, d: int,
     if not emit_y:
         y_ref[:] = V0     # frozen sweep: pass the cached basis through
         return
+    from .decomp import _NS_REVIVE
     Y = V0
     for _ in range(q):
         if not forward:
@@ -204,12 +240,18 @@ def _power_step_tail(BT, V0, y_ref, *, C: int, chi: int, d: int,
                         y_ref[:] = y_ref[:] + term
             Ynew = y_ref[:]
         nrm = jnp.sqrt(jnp.sum(Ynew * Ynew, axis=0, keepdims=True))
-        Y = Ynew / jnp.maximum(nrm, jnp.finfo(f32).tiny)
+        Ynorm = Ynew / jnp.maximum(nrm, jnp.finfo(f32).tiny)
+        if orth == "ns":
+            # subspace iteration: revival + in-kernel polar per step;
+            # y_ref leaves as the orthonormal Q, no XLA QR needed
+            Y = _ns_orth_value(Ynorm + f32(_NS_REVIVE) * Y)
+        else:
+            Y = Ynorm
     y_ref[:] = Y
 
 
 def _k1_tail_kernel(v0_ref, bt_ref, y_ref, *, C: int, chi: int, d: int,
-                    forward: bool, q: int):
+                    forward: bool, q: int, orth: str = "qr"):
     """Standalone warm power step for large chi: the monolithic K1 with
     the in-kernel tail crashes the Mosaic compiler past chi=256 (the tail
     keeps all C*d bond-tensor blocks live through two extra matmuls each;
@@ -219,13 +261,13 @@ def _k1_tail_kernel(v0_ref, bt_ref, y_ref, *, C: int, chi: int, d: int,
     compiles at chi=384."""
     BT = [[bt_ref[c, :, k, :] for k in range(d)] for c in range(C)]
     _power_step_tail(BT, v0_ref[:], y_ref, C=C, chi=chi, d=d,
-                     forward=forward, emit_y=True, q=q)
+                     forward=forward, emit_y=True, q=q, orth=orth)
 
 
-def _k1_tail_call(BT, V0, *, C, chi, d, forward, q, est=None):
+def _k1_tail_call(BT, V0, *, C, chi, d, forward, q, orth="qr", est=None):
     f32 = jnp.float32
     kern = functools.partial(_k1_tail_kernel, C=C, chi=chi, d=d,
-                             forward=forward, q=q)
+                             forward=forward, q=q, orth=orth)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((chi * d, chi), f32),
@@ -239,7 +281,7 @@ def _k1_tail_call(BT, V0, *, C, chi, d, forward, q, est=None):
 def _k1_kernel(eta_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
                phir_ref, y1h_ref, w_ref, v0_ref, bt_ref, y_ref, *,
                C: int, chi: int, d: int, forward: bool,
-               emit_y: bool = True, q: int = 1):
+               emit_y: bool = True, q: int = 1, orth: str = "qr"):
     """Bond-tensor blocks BT[c, (a,i), k, b], batched KLD gradient, TSGO
     update with post-normalization, and the warm power step.
 
@@ -316,11 +358,11 @@ def _k1_kernel(eta_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
 
     # ---- warm power step(s) ------------------------------------------------
     _power_step_tail(BT, V0, y_ref, C=C, chi=chi, d=d, forward=forward,
-                     emit_y=emit_y, q=q)
+                     emit_y=emit_y, q=q, orth=orth)
 
 
 def _k1_call(eta, left, right, le, re, phil, phir, y1h, w, V0, *,
-             C, chi, d, forward, emit_y=True, q=1, est=None):
+             C, chi, d, forward, emit_y=True, q=1, orth="qr", est=None):
     f32 = jnp.float32
     if forward:
         left = left.reshape(C, chi * d, chi)   # free relayout outside Mosaic
@@ -330,7 +372,7 @@ def _k1_call(eta, left, right, le, re, phil, phir, y1h, w, V0, *,
         jax.ShapeDtypeStruct((chi * d, chi), f32),
     )
     kern = functools.partial(_k1_kernel, C=C, chi=chi, d=d, forward=forward,
-                             emit_y=emit_y, q=q)
+                             emit_y=emit_y, q=q, orth=orth)
     return pl.pallas_call(
         kern,
         out_shape=out_shape,
@@ -402,7 +444,8 @@ def _k1_grad_kernel(left_ref, right_ref, le_ref, re_ref, phil_ref,
 
 def _k1_update_kernel(eta_ref, left_ref, right_ref, g_ref, v0_ref,
                       bt_ref, y_ref, *, C: int, chi: int, d: int,
-                      forward: bool, emit_y: bool = True, q: int = 1):
+                      forward: bool, emit_y: bool = True, q: int = 1,
+                      orth: str = "qr"):
     """TSGO step + post-normalization + warm power step against the GLOBAL
     (psummed) gradient.  All operands replicated; every device computes the
     same result."""
@@ -442,7 +485,7 @@ def _k1_update_kernel(eta_ref, left_ref, right_ref, g_ref, v0_ref,
             bt_ref[c, :, k, :] = BT[c][k]
 
     _power_step_tail(BT, V0, y_ref, C=C, chi=chi, d=d, forward=forward,
-                     emit_y=emit_y, q=q)
+                     emit_y=emit_y, q=q, orth=orth)
 
 
 def _k1_grad_call(left, right, le, re, phil, phir, y1h, w, *,
@@ -464,7 +507,7 @@ def _k1_grad_call(left, right, le, re, phil, phir, y1h, w, *,
 
 
 def _k1_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
-                    emit_y=True, q=1, est=None):
+                    emit_y=True, q=1, orth="qr", est=None):
     f32 = jnp.float32
     if forward:
         left = left.reshape(C, chi * d, chi)
@@ -474,7 +517,7 @@ def _k1_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
         jax.ShapeDtypeStruct((chi * d, chi), f32),
     )
     kern = functools.partial(_k1_update_kernel, C=C, chi=chi, d=d,
-                             forward=forward, emit_y=emit_y, q=q)
+                             forward=forward, emit_y=emit_y, q=q, orth=orth)
     return pl.pallas_call(
         kern,
         out_shape=out_shape,
@@ -703,7 +746,8 @@ def _k2_env_call(Qm, env, env_ls, phi, *, chi, d, forward, est=None):
 
 def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
               eta, cutoff, *, forward: bool, refresh: bool = True,
-              axis_name: str = None, power_iters: int = 1, max_rank=None
+              axis_name: str = None, power_iters: int = 1,
+              orth: str = "qr", max_rank=None
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
                          jnp.ndarray]:
     """One fused bond step (everything except the QR).
@@ -745,25 +789,31 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
     if axis_name is None:
         BT, Y = _k1_call(eta2, left, right, le, re, phil, phir, y1h, w2, V0,
                          C=C, chi=chi, d=d, forward=forward, emit_y=emit,
-                         q=power_iters, est=est)
+                         q=power_iters, orth=orth, est=est)
     else:
         G = _k1_grad_call(left, right, le, re, phil, phir, y1h, w2,
                           C=C, chi=chi, d=d, forward=forward, est=est)
         G = jax.lax.psum(G, axis_name)
         BT, Y = _k1_update_call(eta2, left, right, G, V0, C=C, chi=chi, d=d,
                                 forward=forward, emit_y=emit,
-                                q=power_iters, est=est)
+                                q=power_iters, orth=orth, est=est)
     if split_tail:
         # One tail kernel per power step (q=1 each, chained): the per-step
         # column normalization makes this identical to q steps in-kernel,
         # and the q-fold-unrolled tail exhausts the compile helper at
         # large chi (measured on the complex twin: scripts/k1c_bisect.py).
+        # With orth="ns" each chained tail kernel carries its own
+        # per-step revival + NS polar (subspace iteration), so the chain
+        # output is already orthonormal.
         Y = V0
         for _ in range(power_iters):
             Y = _k1_tail_call(BT, Y, C=C, chi=chi, d=d, forward=forward,
-                              q=1, est=est)
+                              q=1, orth=orth, est=est)
     if refresh:
-        Q, _ = jnp.linalg.qr(Y)
+        if orth == "ns":
+            Q = Y          # orthonormalized in-kernel (_power_step_tail)
+        else:
+            Q, _ = jnp.linalg.qr(Y)
     else:
         # frozen sweep: V0 is the (orthonormal) basis cached at the last
         # refresh — split directly against it, no power step, no QR

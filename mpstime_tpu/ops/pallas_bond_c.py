@@ -111,6 +111,35 @@ def _pairs(refs):
     return out
 
 
+def _ns_orth_pair_value(X):
+    """Complex Newton-Schulz polar orthogonalization in pair algebra (twin
+    of pallas_bond._ns_orth_value / ops/decomp.ns_orth, same coefficients
+    and counts).  Every op is a pair matmul, so unlike the realified
+    Householder embedding (_qr_orth_pair) it is complex-structure-
+    preserving BY CONSTRUCTION — X^H X of a pair IS the complex Gram — and
+    it fuses into the kernels, removing the [2*chi*d, 2*chi] XLA QR that
+    dominated the complex refresh sweep (~60%% of it, docs/tpu_performance
+    .md).  Applied per power step with eps-revival (subspace iteration) —
+    see ops/decomp._NS_REVIVE for the measured failure modes of a single
+    end-of-loop orthogonalization."""
+    from .decomp import _NS_CUBIC, _NS_QA, _NS_QB, _NS_QC, _NS_QUINTIC
+    f32 = jnp.float32
+    nf2 = jnp.sum(_abs2(X)) * f32(1.0 + 1e-3) ** 2
+    inv = jax.lax.rsqrt(jnp.maximum(nf2, jnp.finfo(f32).tiny))
+    X = (X[0] * inv, X[1] * inv)
+    for _ in range(_NS_QUINTIC):
+        G = _cdot_ct(X, X)                       # X^H X (Hermitian)
+        G2 = _cdot(G, G)
+        P = (_NS_QB * G[0] + _NS_QC * G2[0], _NS_QB * G[1] + _NS_QC * G2[1])
+        XP = _cdot(X, P)
+        X = (_NS_QA * X[0] + XP[0], _NS_QA * X[1] + XP[1])
+    for _ in range(_NS_CUBIC):
+        G = _cdot_ct(X, X)
+        XG = _cdot(X, G)
+        X = (1.5 * X[0] - 0.5 * XG[0], 1.5 * X[1] - 0.5 * XG[1])
+    return X
+
+
 # --------------------------------------------------------------------------
 # K1: bond tensor + complex KLD gradient + TSGO + power step
 # --------------------------------------------------------------------------
@@ -168,7 +197,7 @@ def _k1c_bt_grad(left, right, le, re, phil, phir, y1h, w, *,
 
 def _k1c_tsgo_power(eta, BT, G, V0, bt_r, bt_i, y_r, y_i, *,
                     C: int, chi: int, d: int, forward: bool, emit_y: bool,
-                    q: int = 1):
+                    q: int = 1, orth: str = "qr"):
     """Shared K1 tail: TSGO step + post-normalization against the (local or
     psummed) gradient, then ``q`` warm power steps with per-column
     normalization between them (pair twin of pallas_bond._power_step_tail;
@@ -194,11 +223,12 @@ def _k1c_tsgo_power(eta, BT, G, V0, bt_r, bt_i, y_r, y_i, *,
             bt_i[c, :, k, :] = BT[c][k][1]
 
     _k1c_power(BT, V0, y_r, y_i, C=C, chi=chi, d=d, forward=forward,
-               emit_y=emit_y, q=q)
+               emit_y=emit_y, q=q, orth=orth)
 
 
 def _k1c_power(BT, V0, y_r, y_i, *, C: int, chi: int, d: int,
-               forward: bool, emit_y: bool, q: int) -> None:
+               forward: bool, emit_y: bool, q: int,
+               orth: str = "qr") -> None:
     """Warm power step(s) on the bond-tensor pair (the tail of
     _k1c_tsgo_power, also run standalone by _k1c_tail_kernel on the
     large-chi split route)."""
@@ -207,6 +237,8 @@ def _k1c_power(BT, V0, y_r, y_i, *, C: int, chi: int, d: int,
         y_r[:] = V0[0]
         y_i[:] = V0[1]
         return
+    from .decomp import _NS_REVIVE
+    eps = f32(_NS_REVIVE)
     Y = V0
     for _ in range(q):
         if not forward:
@@ -227,7 +259,14 @@ def _k1c_power(BT, V0, y_r, y_i, *, C: int, chi: int, d: int,
             for k in range(d):
                 y_r[k * chi:(k + 1) * chi, :] = Yk[k][0] * inv_n
                 y_i[k * chi:(k + 1) * chi, :] = Yk[k][1] * inv_n
-            Y = (y_r[:], y_i[:])
+            Yn = (y_r[:], y_i[:])
+            if orth == "ns":
+                Y = _ns_orth_pair_value((Yn[0] + eps * Y[0],
+                                         Yn[1] + eps * Y[1]))
+                y_r[:] = Y[0]
+                y_i[:] = Y[1]
+            else:
+                Y = Yn
         else:
             Yn = (jnp.zeros((chi * d, chi), f32),
                   jnp.zeros((chi * d, chi), f32))
@@ -237,14 +276,21 @@ def _k1c_power(BT, V0, y_r, y_i, *, C: int, chi: int, d: int,
                     Yn = _cadd(Yn, _cdot(BT[c][k], MtU))
             nrm2 = jnp.sum(_abs2(Yn), axis=0, keepdims=True)
             inv_n = jax.lax.rsqrt(jnp.maximum(nrm2, jnp.finfo(f32).tiny))
-            Y = (Yn[0] * inv_n, Yn[1] * inv_n)
+            Ynorm = (Yn[0] * inv_n, Yn[1] * inv_n)
+            if orth == "ns":
+                # subspace iteration: revival + pair polar per step; the
+                # refs leave as the complex-orthonormal Q, no XLA QR
+                Y = _ns_orth_pair_value((Ynorm[0] + eps * Y[0],
+                                         Ynorm[1] + eps * Y[1]))
+            else:
+                Y = Ynorm
             y_r[:] = Y[0]
             y_i[:] = Y[1]
 
 
 def _k1c_kernel(eta_ref, y1h_ref, w_ref, *refs,
                 C: int, chi: int, d: int, forward: bool, emit_y: bool,
-                q: int = 1):
+                q: int = 1, orth: str = "qr"):
     eta = eta_ref[0, 0]
     y1h = y1h_ref[:]                  # [N, C] real
     w = w_ref[:]                      # [N, 1] real
@@ -254,11 +300,12 @@ def _k1c_kernel(eta_ref, y1h_ref, w_ref, *refs,
     BT, G = _k1c_bt_grad(left, right, le, re, phil, phir, y1h, w,
                          C=C, chi=chi, d=d, forward=forward)
     _k1c_tsgo_power(eta, BT, G, V0, bt_r, bt_i, y_r, y_i,
-                    C=C, chi=chi, d=d, forward=forward, emit_y=emit_y, q=q)
+                    C=C, chi=chi, d=d, forward=forward, emit_y=emit_y, q=q,
+                    orth=orth)
 
 
 def _k1c_call(eta, y1h, w, left, right, le, re, phil, phir, V0, *,
-              C, chi, d, forward, emit_y, q, est):
+              C, chi, d, forward, emit_y, q, orth, est):
     f32 = jnp.float32
     out_shape = (
         jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
@@ -267,7 +314,7 @@ def _k1c_call(eta, y1h, w, left, right, le, re, phil, phir, V0, *,
         jax.ShapeDtypeStruct((chi * d, chi), f32),
     )
     kern = functools.partial(_k1c_kernel, C=C, chi=chi, d=d, forward=forward,
-                             emit_y=emit_y, q=q)
+                             emit_y=emit_y, q=q, orth=orth)
     flat = []
     for p in (left, right, le, re, phil, phir, V0):
         flat.extend(p)
@@ -282,7 +329,7 @@ def _k1c_call(eta, y1h, w, left, right, le, re, phil, phir, V0, *,
 
 
 def _k1c_tail_kernel(v0_r, v0_i, bt_r, bt_i, y_r, y_i, *, C: int, chi: int,
-                     d: int, forward: bool, q: int):
+                     d: int, forward: bool, q: int, orth: str = "qr"):
     """Standalone complex warm power step (pair twin of
     pallas_bond._k1_tail_kernel): past SPLIT_TAIL_FOOTPRINT the in-kernel
     tail crashes the Mosaic compiler, so bond_step_c runs K1 with
@@ -291,17 +338,17 @@ def _k1c_tail_kernel(v0_r, v0_i, bt_r, bt_i, y_r, y_i, *, C: int, chi: int,
     BT = [[(bt_r[c, :, k, :], bt_i[c, :, k, :]) for k in range(d)]
           for c in range(C)]
     _k1c_power(BT, (v0_r[:], v0_i[:]), y_r, y_i, C=C, chi=chi, d=d,
-               forward=forward, emit_y=True, q=q)
+               forward=forward, emit_y=True, q=q, orth=orth)
 
 
-def _k1c_tail_call(BTp, V0, *, C, chi, d, forward, q, est):
+def _k1c_tail_call(BTp, V0, *, C, chi, d, forward, q, orth="qr", est=None):
     f32 = jnp.float32
     out_shape = (
         jax.ShapeDtypeStruct((chi * d, chi), f32),
         jax.ShapeDtypeStruct((chi * d, chi), f32),
     )
     kern = functools.partial(_k1c_tail_kernel, C=C, chi=chi, d=d,
-                             forward=forward, q=q)
+                             forward=forward, q=q, orth=orth)
     return pl.pallas_call(
         kern,
         out_shape=out_shape,
@@ -336,7 +383,8 @@ def _k1c_grad_kernel(y1h_ref, w_ref, *refs, C: int, chi: int, d: int,
 
 
 def _k1c_update_kernel(eta_ref, *refs, C: int, chi: int, d: int,
-                       forward: bool, emit_y: bool, q: int = 1):
+                       forward: bool, emit_y: bool, q: int = 1,
+                       orth: str = "qr"):
     eta = eta_ref[0, 0]
     # pairs: left, right, G, V0 (4 pairs = 8 refs)
     (left, right, Gp, V0) = _pairs(refs[:8])
@@ -358,7 +406,8 @@ def _k1c_update_kernel(eta_ref, *refs, C: int, chi: int, d: int,
                                       right[1][c, :, k, :]))
             G[c][k] = (Gp[0][c, :, k, :], Gp[1][c, :, k, :])
     _k1c_tsgo_power(eta, BT, G, V0, bt_r, bt_i, y_r, y_i,
-                    C=C, chi=chi, d=d, forward=forward, emit_y=emit_y, q=q)
+                    C=C, chi=chi, d=d, forward=forward, emit_y=emit_y, q=q,
+                    orth=orth)
 
 
 def _k1c_grad_call(y1h, w, left, right, le, re, phil, phir, *,
@@ -384,7 +433,7 @@ def _k1c_grad_call(y1h, w, left, right, le, re, phil, phir, *,
 
 
 def _k1c_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
-                     emit_y, q, est):
+                     emit_y, q, orth, est):
     f32 = jnp.float32
     out_shape = (
         jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
@@ -393,7 +442,7 @@ def _k1c_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
         jax.ShapeDtypeStruct((chi * d, chi), f32),
     )
     kern = functools.partial(_k1c_update_kernel, C=C, chi=chi, d=d,
-                             forward=forward, emit_y=emit_y, q=q)
+                             forward=forward, emit_y=emit_y, q=q, orth=orth)
     flat = []
     for p in (left, right, G, V0):
         flat.extend(p)
@@ -641,7 +690,7 @@ def _qr_orth_pair(Y: Tuple[jnp.ndarray, jnp.ndarray]
 def bond_step_c(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
                 eta, cutoff, *, forward: bool, refresh: bool = True,
                 axis_name: str = None, power_iters: int = 1,
-                max_rank=None):
+                orth: str = "qr", max_rank=None):
     """One fused complex bond step.  Every complex operand is a (re, im)
     pair of f32 arrays with the shapes of the real kernel's operands;
     returns pair-typed (center_c', core', env') plus real env_ls' and the
@@ -675,26 +724,31 @@ def bond_step_c(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
         BT_r, BT_i, Y_r, Y_i = _k1c_call(
             eta2, y1h, w2, left, right, le, re, phil, phir, V0,
             C=C, chi=chi, d=d, forward=forward, emit_y=emit,
-            q=power_iters, est=est)
+            q=power_iters, orth=orth, est=est)
     else:
         G = _k1c_grad_call(y1h, w2, left, right, le, re, phil, phir,
                            C=C, chi=chi, d=d, forward=forward, est=est)
         G = jax.lax.psum(G, axis_name)
         BT_r, BT_i, Y_r, Y_i = _k1c_update_call(
             eta2, left, right, G, V0, C=C, chi=chi, d=d, forward=forward,
-            emit_y=emit, q=power_iters, est=est)
+            emit_y=emit, q=power_iters, orth=orth, est=est)
     if split_tail:
         # One tail kernel per power step (q=1 each, chained — identical to
         # q steps in-kernel thanks to the per-step normalization): the
         # q=3-unrolled pair tail alone SIGKILLs the remote compile helper
         # at chi=192 (scripts/k1c_bisect.py), a q=1 tail compiles.
+        # With orth="ns" each chained tail kernel carries its own
+        # per-step revival + pair NS (subspace iteration).
         Yp = V0
         for _ in range(power_iters):
             Yp = _k1c_tail_call((BT_r, BT_i), Yp, C=C, chi=chi, d=d,
-                                forward=forward, q=1, est=est)
+                                forward=forward, q=1, orth=orth, est=est)
         Y_r, Y_i = Yp
     if refresh:
-        Q = _qr_orth_pair((Y_r, Y_i))
+        if orth == "ns":
+            Q = (Y_r, Y_i)   # orthonormalized in-kernel (_k1c_power)
+        else:
+            Q = _qr_orth_pair((Y_r, Y_i))
     else:
         Q = V0
     env = le if forward else re

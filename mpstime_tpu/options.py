@@ -150,6 +150,19 @@ class MPSOptions:
     # large-chi complex fits prefer svd_alg="svd" on CPU f64.  Real
     # encodings measure accuracy-saturated at q=1.
     subspace_power_iters: int = 0
+    # Orthogonalization inside the randomized/lean/warm splits:
+    #   "auto" -> accelerators: "ns"; CPU: "qr"
+    #   "qr"   -> thin Householder QR (complex via the realified embedding,
+    #             ops/decomp._qr_orth)
+    #   "ns"   -> matmul-only Newton-Schulz polar iteration
+    #             (ops/decomp.ns_orth).  Spans the same subspace as QR (the
+    #             MPS gauge freedom absorbs the basis difference); being
+    #             matmul-only it runs INSIDE the fused Pallas bond kernels,
+    #             collapsing the per-bond K1 -> XLA-QR -> K2 dispatch
+    #             sequence to two kernels, and on complex inputs it is
+    #             structure-preserving by construction (no Householder
+    #             fill-in hazard on rank-deficient subspaces).
+    orth_alg: str = "auto"
 
     # Domain of a custom encoding (encoding="custom"): fit_mps stamps the
     # EncodingSpec's range here so preprocessing scales into the right
@@ -187,6 +200,9 @@ class MPSOptions:
             raise ValueError(f"bbopt must be 'GD', 'TSGO' or 'CGD', "
                              f"got {self.bbopt!r}")
         object.__setattr__(self, "bbopt", bb)
+        if self.orth_alg not in ("auto", "qr", "ns"):
+            raise ValueError(f"orth_alg must be 'auto', 'qr' or 'ns', "
+                             f"got {self.orth_alg!r}")
         if isinstance(self.rescale, list):
             object.__setattr__(self, "rescale", tuple(self.rescale))
         if isinstance(self.data_bounds, list):
@@ -239,6 +255,17 @@ class MPSOptions:
         # while q=3 beats exact at chi<=40 on both probed seeds (chi=64
         # remains noisy for every fast alg — see the oracle doc).
         return "randomized_warm"
+
+    def resolved_orth_alg(self) -> str:
+        """Split-orthogonalization algorithm: explicit value wins; auto
+        resolves to the matmul-only Newton-Schulz polar route on
+        accelerators (it fuses into the Pallas bond kernels — see the field
+        comment) and thin QR on CPU (LAPACK QR is cheap there and NS's
+        fixed iteration count buys nothing)."""
+        if self.orth_alg != "auto":
+            return self.orth_alg
+        import jax
+        return "qr" if jax.default_backend() == "cpu" else "ns"
 
     def resolved_power_iters(self) -> int:
         """Warm-split power steps per refresh: explicit value wins; auto (0)

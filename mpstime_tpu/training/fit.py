@@ -231,7 +231,8 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
     sweep_kw = dict(loss=opts.loss_grad, bbopt=opts.bbopt,
                     update_iters=opts.update_iters, rescale=opts.rescale,
                     svd_alg=opts.resolved_svd_alg(),
-                    power_iters=opts.resolved_power_iters())
+                    power_iters=opts.resolved_power_iters(),
+                    orth=opts.resolved_orth_alg())
     eta_a = jnp.asarray(opts.eta, dtype=real_dt)
     cutoff_a = jnp.asarray(opts.cutoff, dtype=np.float64
                            if real_dt == np.float64 else np.float32)

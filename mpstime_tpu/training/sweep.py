@@ -144,7 +144,7 @@ def init_left_env_state(cores: jnp.ndarray, phis_c: jnp.ndarray):
 def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 class_weight, eta, cutoff, *, loss: str, bbopt: str,
                 update_iters: int, rescale: Tuple[bool, bool], svd_alg: str,
-                power_iters: int = 1,
+                power_iters: int = 1, orth: str = "qr",
                 refresh: bool = True, track_cost: bool = False,
                 axis_name: Optional[str] = None,
                 platform: Optional[str] = None,
@@ -177,6 +177,16 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
         and _pallas_eligible(dtype, loss, bbopt, update_iters, rescale,
                              svd_alg, platform=platform)
     cplx = cplx and pallas    # below, cplx means "complex pair kernels"
+    if pallas and orth == "ns":
+        est = pallas_bond.kernel_footprint(C, chi, d, N) * (2 if cplx else 1)
+        if est > pallas_bond.SPLIT_TAIL_FOOTPRINT:
+            # On the large-chi split-tail route the per-step NS unroll makes
+            # the chained tail kernels big enough to OOM-SIGKILL the remote
+            # compile helper (measured chi=320 ECG shapes, r4); the QR
+            # split-tail route is proven there, so demote.  NS covers the
+            # monolithic-kernel range (chi <= 256 at ECG shapes: 1.6-2.3x
+            # over QR, docs/tpu_performance.md).
+            orth = "qr"
 
     def _m(f, *xs):
         """Map f over matching leaves: (re, im) pairs in the complex-pair
@@ -232,14 +242,14 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                     x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["vb"], eta, cutoff,
                     forward=False, refresh=refresh, axis_name=axis_name,
-                    power_iters=power_iters, max_rank=max_rank)
+                    power_iters=power_iters, orth=orth, max_rank=max_rank)
                 return (center, v2, ls2), dict(V=V, re=v2, re_ls=ls2, qv=Qv)
             if pallas:
                 center, V, v2, ls2, Qv = pallas_bond.bond_step(
                     x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["vb"], eta, cutoff,
                     forward=False, refresh=refresh, axis_name=axis_name,
-                    power_iters=power_iters, max_rank=max_rank)
+                    power_iters=power_iters, orth=orth, max_rank=max_rank)
                 return (center, v2, ls2), dict(V=V, re=v2, re_ls=ls2, qv=Qv)
             BT = jnp.einsum("aim,mkbc->aikbc", x["A"], center)
             cost, BT = upd(BT, x["le"], re_v, x["phi_l"].conj(),
@@ -250,10 +260,10 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
             if warm:
                 US, Vh, Qv = warm_split_left(M, x["vb"], chi, cutoff,
                                              q=power_iters, refresh=refresh,
-                                             max_rank=max_rank)
+                                             max_rank=max_rank, orth=orth)
             else:
                 US, Vh = split_bond_left(M, chi, cutoff, svd_alg,
-                                         max_rank=max_rank)
+                                         max_rank=max_rank, orth=orth)
                 Qv = None
             center = US.reshape(chi, d, C, chi).transpose(0, 1, 3, 2)
             V = Vh.reshape(chi, d, chi)
@@ -300,7 +310,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                     x["B"], center, le_v, x["re"], le_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["uf"], eta, cutoff,
                     forward=True, refresh=refresh, axis_name=axis_name,
-                    power_iters=power_iters, max_rank=max_rank)
+                    power_iters=power_iters, orth=orth, max_rank=max_rank)
                 return (center, v2, ls2), dict(U=Unew, le=v2, le_ls=ls2,
                                                qu=Qu)
             if pallas:
@@ -308,7 +318,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                     x["B"], center, le_v, x["re"], le_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["uf"], eta, cutoff,
                     forward=True, refresh=refresh, axis_name=axis_name,
-                    power_iters=power_iters, max_rank=max_rank)
+                    power_iters=power_iters, orth=orth, max_rank=max_rank)
                 return (center, v2, ls2), dict(U=Unew, le=v2, le_ls=ls2,
                                                qu=Qu)
             BT = jnp.einsum("aimc,mkb->aikbc", center, x["B"])
@@ -319,10 +329,10 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
             if warm:
                 U, SVh, Qu = warm_split_right(M, x["uf"], chi, cutoff,
                                               q=power_iters, refresh=refresh,
-                                              max_rank=max_rank)
+                                              max_rank=max_rank, orth=orth)
             else:
                 U, SVh = split_bond_right(M, chi, cutoff, svd_alg,
-                                          max_rank=max_rank)
+                                          max_rank=max_rank, orth=orth)
                 Qu = None
             Unew = U.reshape(chi, d, chi)
             center = SVh.reshape(chi, d, chi, C)
@@ -363,7 +373,7 @@ def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
                 y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
                 eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
                 rescale: Tuple[bool, bool], svd_alg: str, subspaces=None,
-                power_iters: int = 1,
+                power_iters: int = 1, orth: str = "qr",
                 refresh: bool = True, track_cost: bool = False,
                 axis_name: Optional[str] = None,
                 platform: Optional[str] = None, max_rank=None):
@@ -382,7 +392,7 @@ def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
         cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot, class_weight,
         eta, cutoff, loss=loss, bbopt=bbopt, update_iters=update_iters,
         rescale=rescale, svd_alg=svd_alg, power_iters=power_iters,
-        refresh=refresh,
+        orth=orth, refresh=refresh,
         track_cost=track_cost, axis_name=axis_name, platform=platform,
         max_rank=max_rank)
     if warm:
@@ -395,13 +405,13 @@ def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("loss", "bbopt", "update_iters", "rescale",
-                                   "svd_alg", "power_iters", "track_cost",
-                                   "axis_name", "platform"))
+                                   "svd_alg", "power_iters", "orth",
+                                   "track_cost", "axis_name", "platform"))
 def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
                y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
                eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
                rescale: Tuple[bool, bool], svd_alg: str,
-               power_iters: int = 1,
+               power_iters: int = 1, orth: str = "qr",
                track_cost: bool = False, axis_name: Optional[str] = None,
                platform: Optional[str] = None, max_rank=None
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -414,7 +424,7 @@ def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
     out = _sweep_once(cores, center, phis_c, y_onehot, class_weight,
                       eta, cutoff, loss=loss, bbopt=bbopt,
                       update_iters=update_iters, rescale=rescale,
-                      svd_alg=svd_alg, power_iters=power_iters,
+                      svd_alg=svd_alg, power_iters=power_iters, orth=orth,
                       track_cost=track_cost,
                       axis_name=axis_name, platform=platform,
                       max_rank=max_rank)
@@ -424,12 +434,13 @@ def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("loss", "bbopt", "update_iters", "rescale",
-                                   "svd_alg", "power_iters", "refresh",
+                                   "svd_alg", "power_iters", "orth",
+                                   "refresh",
                                    "track_cost", "axis_name", "platform"))
 def full_sweep_warm(cores, center, subspaces, phis_c, y_onehot, class_weight,
                     eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
                     rescale: Tuple[bool, bool], svd_alg: str,
-                    power_iters: int = 1,
+                    power_iters: int = 1, orth: str = "qr",
                     refresh: bool = True, track_cost: bool = False,
                     axis_name: Optional[str] = None,
                     platform: Optional[str] = None, max_rank=None):
@@ -443,7 +454,7 @@ def full_sweep_warm(cores, center, subspaces, phis_c, y_onehot, class_weight,
                        eta, cutoff, subspaces=subspaces, loss=loss,
                        bbopt=bbopt, update_iters=update_iters,
                        rescale=rescale, svd_alg=svd_alg,
-                       power_iters=power_iters, refresh=refresh,
+                       power_iters=power_iters, orth=orth, refresh=refresh,
                        track_cost=track_cost, axis_name=axis_name,
                        platform=platform, max_rank=max_rank)
 
@@ -453,7 +464,7 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
                       class_weight: jnp.ndarray,
                       eta, cutoff, *, nsweeps: int, loss: str, bbopt: str,
                       update_iters: int, rescale: Tuple[bool, bool],
-                      svd_alg: str, power_iters: int = 1,
+                      svd_alg: str, power_iters: int = 1, orth: str = "qr",
                       refresh_every: int = 1,
                       axis_name: Optional[str] = None,
                       platform: Optional[str] = None, max_rank=None
@@ -475,7 +486,7 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
     warm = svd_alg == "randomized_warm"
     kw = dict(loss=loss, bbopt=bbopt, update_iters=update_iters,
               rescale=rescale, svd_alg=svd_alg, power_iters=power_iters,
-              axis_name=axis_name,
+              orth=orth, axis_name=axis_name,
               platform=platform, max_rank=max_rank)
     LE, LE_ls = init_left_env_state(cores, phis_c)
     if warm:
@@ -518,4 +529,4 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
 # differ only in sweep count share one compiled program
 full_sweeps = partial(jax.jit, static_argnames=(
     "loss", "bbopt", "update_iters", "rescale", "svd_alg", "power_iters",
-    "refresh_every", "axis_name", "platform"))(_full_sweeps_impl)
+    "orth", "refresh_every", "axis_name", "platform"))(_full_sweeps_impl)

@@ -228,6 +228,58 @@ class TestDecomp:
         np.testing.assert_array_equal(np.asarray(US)[:, ~live[:20]] * 0,
                                       np.asarray(US)[:, ~live[:20]])
 
+    @pytest.mark.parametrize("dtype", [np.float64, np.complex128,
+                                       np.float32, np.complex64])
+    def test_ns_orth_orthonormal_and_span(self, dtype):
+        # matmul-only Newton-Schulz polar: orthonormal to dtype roundoff
+        # and spanning the input columns, for kappa within the iteration
+        # budget's reach (ops/decomp._NS_QUINTIC comment)
+        from mpstime_tpu.ops.decomp import ns_orth
+        rng = np.random.default_rng(11)
+        m, n, kappa = 120, 24, 1e3
+        cplx = np.dtype(dtype).kind == "c"
+        U = np.linalg.qr(rng.standard_normal((m, n))
+                         + (1j * rng.standard_normal((m, n)) if cplx else 0))[0]
+        V = np.linalg.qr(rng.standard_normal((n, n))
+                         + (1j * rng.standard_normal((n, n)) if cplx else 0))[0]
+        s = np.logspace(0, -np.log10(kappa), n)
+        Y = ((U * s) @ V.conj().T).astype(dtype)
+        Q = np.asarray(ns_orth(jnp.asarray(Y)))
+        tol = 1e-12 if Q.real.dtype == np.float64 else 5e-6
+        np.testing.assert_allclose(Q.conj().T @ Q, np.eye(n), atol=tol)
+        span = np.linalg.norm(Q @ (Q.conj().T @ Y) - Y) / np.linalg.norm(Y)
+        assert span < (1e-11 if Q.real.dtype == np.float64 else 1e-4)
+
+    def test_warm_split_ns_subspace_iteration(self):
+        # orth="ns" runs revival + per-step polar (subspace iteration):
+        # kept directions stay orthonormal, the split converges to
+        # near-optimal truncation over repeated warm calls, and the split
+        # factors reconstruct the matrix like the QR route does.  (On
+        # exactly rank-deficient input the NS route keeps orthonormal
+        # junk directions with smeared small energies where QR's fill-in
+        # is exactly masked — a documented trade, see _NS_REVIVE.)
+        from mpstime_tpu.ops.decomp import warm_sketch_init, warm_split_left
+        rng = np.random.default_rng(7)
+        A = rng.standard_normal((640, 30)) @ rng.standard_normal((30, 320)) \
+            + 1e-3 * rng.standard_normal((640, 320))
+        A = jnp.asarray(A)
+        V0 = warm_sketch_init(320, 64, np.float64)
+        U, S, _ = np.linalg.svd(np.asarray(A), full_matrices=False)
+        opt = np.linalg.norm(S[64:]) / np.linalg.norm(S)
+        for _ in range(4):
+            US, Vh, V0 = warm_split_left(A, V0, 64, 1e-12, orth="ns")
+        err = np.linalg.norm(np.asarray(US @ Vh) - np.asarray(A)) \
+            / np.linalg.norm(np.asarray(A))
+        assert err <= 1.5 * opt + 1e-8
+        kept = np.abs(np.asarray(Vh)).sum(1) > 1e-9
+        G = np.asarray(Vh @ Vh.conj().T)
+        np.testing.assert_allclose(G[np.ix_(kept, kept)],
+                                   np.eye(kept.sum()), atol=1e-8)
+        # the cached basis itself is orthonormal (it feeds the frozen
+        # sweeps and the next refresh directly)
+        np.testing.assert_allclose(np.asarray(V0.conj().T @ V0),
+                                   np.eye(64), atol=1e-8)
+
     def test_lean_split_matches_span_quality(self):
         # cold eigh-free split: valid isometry + reconstruction within a
         # modest factor of optimal on a fast-decaying spectrum

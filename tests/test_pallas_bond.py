@@ -46,7 +46,8 @@ def _rand_bond(chi=6, d=3, C=2, N=12, seed=1):
 
 class TestPallasBondParity:
     @pytest.mark.parametrize("q", [1, 3])
-    def test_backward_bond_matches_xla(self, interpret, q):
+    @pytest.mark.parametrize("orth", ["qr", "ns"])
+    def test_backward_bond_matches_xla(self, interpret, q, orth):
         b = _rand_bond()
         chi, d, C = b["chi"], b["d"], b["C"]
         eta = jnp.float32(0.05)
@@ -59,7 +60,7 @@ class TestPallasBondParity:
                               loss="KLD", bbopt="TSGO", update_iters=1,
                               rescale=(False, True))
         M = BT2.transpose(0, 1, 4, 2, 3).reshape(chi * d * C, d * chi)
-        US, Vh, Qv = warm_split_left(M, V0, chi, cutoff, q=q)
+        US, Vh, Qv = warm_split_left(M, V0, chi, cutoff, q=q, orth=orth)
         center_x = US.reshape(chi, d, C, chi).transpose(0, 1, 3, 2)
         V_x = Vh.reshape(chi, d, chi)
         v2_x, ls2_x = env_step_right_scaled(b["re"], b["re_ls"], V_x,
@@ -68,7 +69,7 @@ class TestPallasBondParity:
         cp, Vp, v2p, ls2p, Qvp = pallas_bond.bond_step(
             b["A"], jnp.moveaxis(b["center"], 3, 0), b["le"], b["re"],
             b["re_ls"], b["phil"], b["phir"], b["y1h"], b["w"], V0,
-            eta, cutoff, forward=False, power_iters=q)
+            eta, cutoff, forward=False, power_iters=q, orth=orth)
         np.testing.assert_allclose(np.moveaxis(np.asarray(cp), 0, 3),
                                    np.asarray(center_x), rtol=1e-4, atol=3e-5)
         np.testing.assert_allclose(np.asarray(Vp), np.asarray(V_x),
@@ -81,7 +82,8 @@ class TestPallasBondParity:
                                    rtol=1e-4, atol=3e-5)
 
     @pytest.mark.parametrize("q", [1, 3])
-    def test_forward_bond_matches_xla(self, interpret, q):
+    @pytest.mark.parametrize("orth", ["qr", "ns"])
+    def test_forward_bond_matches_xla(self, interpret, q, orth):
         b = _rand_bond(seed=3)
         chi, d, C = b["chi"], b["d"], b["C"]
         eta = jnp.float32(0.05)
@@ -94,7 +96,7 @@ class TestPallasBondParity:
                                loss="KLD", bbopt="TSGO", update_iters=1,
                                rescale=(False, True))
         Mf = BTf2.reshape(chi * d, d * chi * C)
-        Uu, SVh, Qu = warm_split_right(Mf, U0, chi, cutoff, q=q)
+        Uu, SVh, Qu = warm_split_right(Mf, U0, chi, cutoff, q=q, orth=orth)
         U_x = Uu.reshape(chi, d, chi)
         center_x = SVh.reshape(chi, d, chi, C)
         v2_x, ls2_x = env_step_left_scaled(b["le"], b["re_ls"], U_x,
@@ -103,7 +105,7 @@ class TestPallasBondParity:
         cp, Up, v2p, ls2p, Qup = pallas_bond.bond_step(
             b["A"], jnp.moveaxis(b["center"], 3, 0), b["le"], b["re"],
             b["re_ls"], b["phil"], b["phir"], b["y1h"], b["w"], U0,
-            eta, cutoff, forward=True, power_iters=q)
+            eta, cutoff, forward=True, power_iters=q, orth=orth)
         np.testing.assert_allclose(np.moveaxis(np.asarray(cp), 0, 3),
                                    np.asarray(center_x), rtol=1e-4, atol=3e-5)
         np.testing.assert_allclose(np.asarray(Up), np.asarray(U_x),

@@ -58,7 +58,7 @@ def _rand_bond_c(chi=6, d=3, C=2, N=12, seed=1):
     )
 
 
-def _xla_backward(b, eta, cutoff, V0, refresh=True):
+def _xla_backward(b, eta, cutoff, V0, refresh=True, orth="qr"):
     chi, d, C = b["chi"], b["d"], b["C"]
     BT = jnp.einsum("aim,mkbc->aikbc", b["A"], b["center"])
     _, BT2 = apply_update(BT, b["le"], b["re"], b["phil"].conj(),
@@ -67,7 +67,8 @@ def _xla_backward(b, eta, cutoff, V0, refresh=True):
                           loss="KLD", bbopt="TSGO", update_iters=1,
                           rescale=(False, True))
     M = BT2.transpose(0, 1, 4, 2, 3).reshape(chi * d * C, d * chi)
-    US, Vh, Qv = warm_split_left(M, V0, chi, cutoff, refresh=refresh)
+    US, Vh, Qv = warm_split_left(M, V0, chi, cutoff, refresh=refresh,
+                                 orth=orth)
     center_x = US.reshape(chi, d, C, chi).transpose(0, 1, 3, 2)
     V_x = Vh.reshape(chi, d, chi)
     v2_x, ls2_x = env_step_right_scaled(b["re"], b["re_ls"], V_x, b["phir"])
@@ -75,11 +76,13 @@ def _xla_backward(b, eta, cutoff, V0, refresh=True):
 
 
 class TestComplexPallasBondParity:
-    def test_backward_bond_matches_xla(self, interpret):
+    @pytest.mark.parametrize("orth", ["qr", "ns"])
+    def test_backward_bond_matches_xla(self, interpret, orth):
         b = _rand_bond_c()
         eta, cutoff = jnp.float32(0.05), jnp.float32(1e-10)
         V0 = warm_sketch_init(b["d"] * b["chi"], b["chi"], np.complex128)
-        center_x, V_x, v2_x, ls2_x, Qv = _xla_backward(b, eta, cutoff, V0)
+        center_x, V_x, v2_x, ls2_x, Qv = _xla_backward(b, eta, cutoff, V0,
+                                                       orth=orth)
 
         cp, Vp, v2p, ls2p, Qvp = pallas_bond_c.bond_step_c(
             _pair(b["A"]), _pair(jnp.moveaxis(b["center"], 3, 0)),
@@ -87,7 +90,7 @@ class TestComplexPallasBondParity:
             _pair(b["phil"]),
             _pair(b["phir"]), b["y1h"].astype(jnp.float32),
             b["w"].astype(jnp.float32), _pair(V0), eta, cutoff,
-            forward=False)
+            forward=False, orth=orth)
         np.testing.assert_allclose(np.moveaxis(_comb(cp), 0, 3),
                                    np.asarray(center_x), rtol=1e-4, atol=5e-5)
         np.testing.assert_allclose(_comb(Vp), np.asarray(V_x),

@@ -268,12 +268,35 @@ class TestWarmSplitTraining:
         preds_b = mt.classify(t_logged, Xte)
         assert np.mean(preds_a == preds_b) == 1.0
 
+    @pytest.mark.parametrize("enc,dt,floor_tr,floor_te", [
+        ("legendre", "float32", 1.0, 0.80),
+        ("fourier", "complex64", 0.62, 0.55),
+    ])
+    def test_orth_ns_training_band(self, ecg200, enc, dt, floor_tr,
+                                   floor_te):
+        # orth_alg="ns" (the accelerator default): Newton-Schulz subspace
+        # iteration replacing the per-bond QR.  Measured f32 bands vs the
+        # QR route (ECG200 chi=25, 8 sweeps): legendre 1.00/0.87 train/test
+        # (QR 1.00/0.84), fourier 0.73/0.64 (QR 0.72/0.66) — assert floors
+        # a few points under so a real regression fails loudly.
+        Xtr, ytr, Xte, yte = ecg200
+        opts = mt.MPSOptions(nsweeps=8, chi_max=25, d=5, verbosity=-1,
+                             log_level=-1, svd_alg="randomized_warm",
+                             dtype=dt, encoding=enc, orth_alg="ns")
+        trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        assert np.mean(mt.classify(trained, Xtr) == ytr) >= floor_tr
+        assert np.mean(mt.classify(trained, Xte) == yte) >= floor_te
+
     def test_auto_alg_resolution(self):
         import jax
         o = mt.MPSOptions(chi_max=64)
         assert o.resolved_svd_alg() == (
             "gram_eigh" if jax.default_backend() == "cpu"
             else "randomized_warm")
+        # orth auto: matmul-only NS on accelerators, QR on CPU
+        assert mt.MPSOptions().resolved_orth_alg() == (
+            "qr" if jax.default_backend() == "cpu" else "ns")
+        assert mt.MPSOptions(orth_alg="ns").resolved_orth_alg() == "ns"
         assert mt.MPSOptions(svd_alg="randomized").resolved_svd_alg() == \
             "randomized"
         # auto power iters: 1 for real encodings, 3 for complex ones
