@@ -278,27 +278,18 @@ def _k1_tail_call(BT, V0, *, C, chi, d, forward, q, orth="qr", est=None):
     )(V0, BT)
 
 
-def _k1_kernel(eta_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
-               phir_ref, y1h_ref, w_ref, v0_ref, bt_ref, y_ref, *,
-               C: int, chi: int, d: int, forward: bool,
-               emit_y: bool = True, q: int = 1, orth: str = "qr"):
-    """Bond-tensor blocks BT[c, (a,i), k, b], batched KLD gradient, TSGO
-    update with post-normalization, and the warm power step.
+def _k1_body(eta, left_ref, right_ref, le, re, phil, phir, y1h, w, V0,
+             y_ref, *, C: int, chi: int, d: int, forward: bool,
+             emit_y: bool, q: int, orth: str):
+    """Shared K1 math: bond-tensor blocks BT[c][k] [chi*d, chi] (returned
+    as live values), batched KLD gradient, TSGO update with
+    post-normalization, and the warm power step written to y_ref.
 
     backward: left=A [chi,d,chi], right=center [C, chi, d, chi]
               (center[c, m, k, b], left bond m), Y spans the (k,b) side.
     forward:  left=center [C, chi, d, chi] (center[c, a, i, m]),
               right=B [chi,d,chi], Y spans the (a,i) side."""
     f32 = jnp.float32
-    eta = eta_ref[0, 0]
-
-    le = le_ref[:]                    # [N, chi]
-    re = re_ref[:]                    # [N, chi]
-    phil = phil_ref[:]                # [N, d]
-    phir = phir_ref[:]                # [N, d]
-    y1h = y1h_ref[:]                  # [N, C]
-    w = w_ref[:]                      # [N, 1]
-    V0 = v0_ref[:]                    # [d*chi or chi*d, chi] (k-blocked rows)
 
     L = _kron_batch_major(le, phil)   # [N, chi*d] cols (a, i)
 
@@ -354,11 +345,26 @@ def _k1_kernel(eta_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
     for c in range(C):
         for k in range(d):
             BT[c][k] = BT[c][k] * bn
-            bt_ref[c, :, k, :] = BT[c][k]
 
     # ---- warm power step(s) ------------------------------------------------
     _power_step_tail(BT, V0, y_ref, C=C, chi=chi, d=d, forward=forward,
                      emit_y=emit_y, q=q, orth=orth)
+    return BT
+
+
+def _k1_kernel(eta_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
+               phir_ref, y1h_ref, w_ref, v0_ref, bt_ref, y_ref, *,
+               C: int, chi: int, d: int, forward: bool,
+               emit_y: bool = True, q: int = 1, orth: str = "qr"):
+    """_k1_body + bond-tensor emission (the two-kernel route: BT crosses
+    to K2 through HBM)."""
+    BT = _k1_body(eta_ref[0, 0], left_ref, right_ref, le_ref[:], re_ref[:],
+                  phil_ref[:], phir_ref[:], y1h_ref[:], w_ref[:], v0_ref[:],
+                  y_ref, C=C, chi=chi, d=d, forward=forward, emit_y=emit_y,
+                  q=q, orth=orth)
+    for c in range(C):
+        for k in range(d):
+            bt_ref[c, :, k, :] = BT[c][k]
 
 
 def _k1_call(eta, left, right, le, re, phil, phir, y1h, w, V0, *,
@@ -532,7 +538,7 @@ def _k1_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
 # K2: Rayleigh quotients + cutoff mask + split factors + env step
 # --------------------------------------------------------------------------
 
-def _k2_project_mask(cutoff, max_rank, bt_ref, Q, *, C: int, chi: int,
+def _k2_project_mask(cutoff, max_rank, bt_at, Q, *, C: int, chi: int,
                      d: int, forward: bool):
     """Shared K2 math: project the bond tensor onto Q, compute direction
     energies, and build the ITensor-style cutoff masks.  Returns
@@ -548,7 +554,7 @@ def _k2_project_mask(cutoff, max_rank, bt_ref, Q, *, C: int, chi: int,
             acc = None
             for k in range(d):
                 Qk = Q[k * chi:(k + 1) * chi, :]    # [chi, keep]
-                term = jnp.dot(bt_ref[c, :, k, :], Qk,
+                term = jnp.dot(bt_at(c, k), Qk,
                                preferred_element_type=f32)
                 acc = term if acc is None else acc + term
             B[c] = acc
@@ -558,7 +564,7 @@ def _k2_project_mask(cutoff, max_rank, bt_ref, Q, *, C: int, chi: int,
         wv_c = jnp.zeros((chi, 1), f32)             # per-direction rowsums
         for c in range(C):
             for k in range(d):
-                B_ck = jnp.dot(Q.T, bt_ref[c, :, k, :],
+                B_ck = jnp.dot(Q.T, bt_at(c, k),
                                preferred_element_type=f32)
                 B[c][k] = B_ck
                 wv_c = wv_c + jnp.dot(B_ck * B_ck, jnp.ones((chi, 1), f32),
@@ -654,7 +660,8 @@ def _k2_kernel(cutoff_ref, bt_ref, q_ref, env_ref, envls_ref, phi_ref,
               core = U [chi, d, keep], env advance = left step with
               (le, phi_l)."""
     B, mask_row, mask_col, Qm = _k2_project_mask(
-        cutoff_ref[0, 0], cutoff_ref[0, 1], bt_ref, q_ref[:], C=C, chi=chi,
+        cutoff_ref[0, 0], cutoff_ref[0, 1],
+        lambda c, k: bt_ref[c, :, k, :], q_ref[:], C=C, chi=chi,
         d=d, forward=forward)
     _k2_emit(B, mask_row, mask_col, Qm, center_ref, core_ref,
              C=C, chi=chi, d=d, forward=forward)
@@ -667,7 +674,8 @@ def _k2_split_kernel(cutoff_ref, bt_ref, q_ref, center_ref, core_ref,
     """Replicated half of K2 for the dp path: split factors + masked
     isometry Qm (consumed by _k2_env_kernel on each shard)."""
     B, mask_row, mask_col, Qm = _k2_project_mask(
-        cutoff_ref[0, 0], cutoff_ref[0, 1], bt_ref, q_ref[:], C=C, chi=chi,
+        cutoff_ref[0, 0], cutoff_ref[0, 1],
+        lambda c, k: bt_ref[c, :, k, :], q_ref[:], C=C, chi=chi,
         d=d, forward=forward)
     _k2_emit(B, mask_row, mask_col, Qm, center_ref, core_ref,
              C=C, chi=chi, d=d, forward=forward)
@@ -741,6 +749,68 @@ def _k2_env_call(Qm, env, env_ls, phi, *, chi, d, forward, est=None):
 
 
 # --------------------------------------------------------------------------
+# K12: the whole bond step as ONE kernel (r4, orth="ns" route)
+#
+# With the QR replaced by the in-kernel NS polar there is no XLA op left
+# between K1 and K2, so the single-device bond step fuses into one
+# pallas_call: the bond tensor lives and dies in VMEM (never written to
+# HBM — saves 2x its size in HBM traffic per bond) and the per-bond
+# launch count halves.  Applies whenever no orthogonalization has to
+# happen OUTSIDE the kernel: orth="ns" refresh bonds and (any-orth)
+# frozen bonds.  The dp path keeps its split kernels (the gradient psum
+# must run between them).
+# --------------------------------------------------------------------------
+
+def _k12_kernel(scal_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
+                phir_ref, y1h_ref, w_ref, v0_ref, envls_ref,
+                center_ref, core_ref, env2_ref, envls2_ref, y_ref, *,
+                C: int, chi: int, d: int, forward: bool,
+                emit_y: bool, q: int, orth: str):
+    """One-kernel bond step: _k1_body (BT stays a live VMEM value) then
+    the K2 projection/cutoff/emit/env-advance against it.  scal_ref packs
+    [eta, cutoff, max_rank] in SMEM."""
+    BT = _k1_body(scal_ref[0, 0], left_ref, right_ref, le_ref[:], re_ref[:],
+                  phil_ref[:], phir_ref[:], y1h_ref[:], w_ref[:], v0_ref[:],
+                  y_ref, C=C, chi=chi, d=d, forward=forward, emit_y=emit_y,
+                  q=q, orth=orth)
+    B, mask_row, mask_col, Qm = _k2_project_mask(
+        scal_ref[0, 1], scal_ref[0, 2], lambda c, k: BT[c][k], y_ref[:],
+        C=C, chi=chi, d=d, forward=forward)
+    _k2_emit(B, mask_row, mask_col, Qm, center_ref, core_ref,
+             C=C, chi=chi, d=d, forward=forward)
+    env = le_ref[:] if forward else re_ref[:]
+    phi = phil_ref[:] if forward else phir_ref[:]
+    _k2_env_advance(Qm, env, phi, envls_ref, env2_ref, envls2_ref,
+                    chi=chi, d=d, forward=forward)
+
+
+def _k12_call(scal, left, right, le, re, phil, phir, y1h, w, V0, env_ls, *,
+              C, chi, d, forward, emit_y, q, orth, est=None):
+    f32 = jnp.float32
+    N = le.shape[0]
+    if forward:
+        left = left.reshape(C, chi * d, chi)
+        right = right.transpose(1, 0, 2)
+    out_shape = (
+        jax.ShapeDtypeStruct((C, chi, d, chi), f32),   # center blocks
+        jax.ShapeDtypeStruct((chi, d, chi), f32),      # new core
+        jax.ShapeDtypeStruct((N, chi), f32),           # env'
+        jax.ShapeDtypeStruct((N, 1), f32),             # env_ls'
+        jax.ShapeDtypeStruct((chi * d, chi), f32),     # Q (subspace cache)
+    )
+    kern = functools.partial(_k12_kernel, C=C, chi=chi, d=d, forward=forward,
+                             emit_y=emit_y, q=q, orth=orth)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[_smem_scalar()] + [_vmem()] * 10,
+        out_specs=tuple(_vmem() for _ in range(5)),
+        interpret=_INTERPRET,
+        **_compiler_kw(est),
+    )(scal, left, right, le, re, phil, phir, y1h, w, V0, env_ls)
+
+
+# --------------------------------------------------------------------------
 # public bond step
 # --------------------------------------------------------------------------
 
@@ -779,6 +849,20 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
         left, right = center_c, A_or_B
     else:
         left, right = A_or_B, center_c
+
+    # Single-kernel route: when nothing has to run OUTSIDE the kernel
+    # between K1 and K2 (orth="ns" refresh bonds; frozen bonds under any
+    # orth) and the footprint fits the monolith range, the whole bond
+    # step is ONE pallas_call and the bond tensor never touches HBM.
+    if (axis_name is None and est <= SPLIT_TAIL_FOOTPRINT
+            and (not refresh or orth == "ns")):
+        scal = jnp.stack([eta.astype(jnp.float32),
+                          cutoff.astype(jnp.float32), mr])[None, :]
+        center2, core, env2, env_ls2, Q = _k12_call(
+            scal, left, right, le, re, phil, phir, y1h, w2, V0,
+            env_ls[:, None], C=C, chi=chi, d=d, forward=forward,
+            emit_y=refresh, q=power_iters, orth=orth, est=est)
+        return center2, core, env2, env_ls2[:, 0], Q
 
     # Past SPLIT_TAIL_FOOTPRINT the in-kernel power tail crashes the Mosaic
     # compiler (chi=320: K1 with emit_y=False compiles, any kernel containing

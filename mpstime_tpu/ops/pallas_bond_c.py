@@ -219,11 +219,13 @@ def _k1c_tsgo_power(eta, BT, G, V0, bt_r, bt_i, y_r, y_i, *,
     for c in range(C):
         for k in range(d):
             BT[c][k] = _cmul_real(BT[c][k], bn)
-            bt_r[c, :, k, :] = BT[c][k][0]
-            bt_i[c, :, k, :] = BT[c][k][1]
+            if bt_r is not None:     # None on the merged K12c route: the
+                bt_r[c, :, k, :] = BT[c][k][0]   # bond tensor stays a live
+                bt_i[c, :, k, :] = BT[c][k][1]   # VMEM value
 
     _k1c_power(BT, V0, y_r, y_i, C=C, chi=chi, d=d, forward=forward,
                emit_y=emit_y, q=q, orth=orth)
+    return BT
 
 
 def _k1c_power(BT, V0, y_r, y_i, *, C: int, chi: int, d: int,
@@ -460,16 +462,14 @@ def _k1c_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
 # K2: projection + cutoff + split factors + env step (complex)
 # --------------------------------------------------------------------------
 
-def _k2c_project_mask(cutoff, max_rank, bt, Q, *, C: int, chi: int, d: int,
-                      forward: bool):
+def _k2c_project_mask(cutoff, max_rank, bt_ck, Q, *, C: int, chi: int,
+                      d: int, forward: bool):
     """Shared complex K2 math (pair twin of pallas_bond._k2_project_mask):
     project the bond-tensor pair onto Q, direction energies (|.|^2 over both
-    components), and the ITensor cutoff masks.  Returns
+    components), and the ITensor cutoff masks.  ``bt_ck(c, k)`` yields the
+    (re, im) bond-tensor block [chi*d, chi].  Returns
     (B, mask_row, mask_col, Qm) with B/Qm pair-typed."""
     f32 = jnp.float32
-
-    def bt_ck(c, k):
-        return (bt[0][c, :, k, :], bt[1][c, :, k, :])
 
     def q_k(k):
         return (Q[0][k * chi:(k + 1) * chi, :], Q[1][k * chi:(k + 1) * chi, :])
@@ -571,8 +571,9 @@ def _k2c_kernel(cutoff_ref, *refs, C: int, chi: int, d: int, forward: bool):
     envls_ref = refs[8]
     (center_r, center_i, core_r, core_i, env2_r, env2_i, envls2) = refs[9:]
     B, mask_row, mask_col, Qm = _k2c_project_mask(
-        cutoff_ref[0, 0], cutoff_ref[0, 1], bt, Q, C=C, chi=chi, d=d,
-        forward=forward)
+        cutoff_ref[0, 0], cutoff_ref[0, 1],
+        lambda c, k: (bt[0][c, :, k, :], bt[1][c, :, k, :]), Q,
+        C=C, chi=chi, d=d, forward=forward)
     _k2c_emit(B, mask_row, mask_col, Qm, center_r, center_i, core_r, core_i,
               C=C, chi=chi, d=d, forward=forward)
     _k2c_env_advance(Qm, env, phi, envls_ref, env2_r, env2_i, envls2,
@@ -586,8 +587,9 @@ def _k2c_split_kernel(cutoff_ref, *refs, C: int, chi: int, d: int,
     (bt, Q) = _pairs(refs[:4])
     (center_r, center_i, core_r, core_i, qm_r, qm_i) = refs[4:]
     B, mask_row, mask_col, Qm = _k2c_project_mask(
-        cutoff_ref[0, 0], cutoff_ref[0, 1], bt, Q, C=C, chi=chi, d=d,
-        forward=forward)
+        cutoff_ref[0, 0], cutoff_ref[0, 1],
+        lambda c, k: (bt[0][c, :, k, :], bt[1][c, :, k, :]), Q,
+        C=C, chi=chi, d=d, forward=forward)
     _k2c_emit(B, mask_row, mask_col, Qm, center_r, center_i, core_r, core_i,
               C=C, chi=chi, d=d, forward=forward)
     qm_r[:] = Qm[0]
@@ -672,6 +674,69 @@ def _k2c_call(cutoff, BT, Q, env, env_ls, phi, *, C, chi, d, forward, est):
 
 
 # --------------------------------------------------------------------------
+# K12c: the whole complex bond step as ONE kernel (pair twin of
+# pallas_bond._k12_kernel — valid whenever no orthogonalization has to run
+# outside the kernel: orth="ns" refresh bonds and frozen bonds).  The bond
+# tensor pair stays a live VMEM value, never touching HBM.
+# --------------------------------------------------------------------------
+
+def _k12c_kernel(scal_ref, y1h_ref, w_ref, *refs, C: int, chi: int, d: int,
+                 forward: bool, emit_y: bool, q: int, orth: str):
+    eta = scal_ref[0, 0]
+    y1h = y1h_ref[:]
+    w = w_ref[:]
+    # pairs: left, right, le, re, phil, phir, V0 (7 pairs = 14 refs)
+    (left, right, le, re, phil, phir, V0) = _pairs(refs[:14])
+    envls_ref = refs[14]
+    (center_r, center_i, core_r, core_i, env2_r, env2_i, envls2,
+     y_r, y_i) = refs[15:]
+    BT, G = _k1c_bt_grad(left, right, le, re, phil, phir, y1h, w,
+                         C=C, chi=chi, d=d, forward=forward)
+    BT = _k1c_tsgo_power(eta, BT, G, V0, None, None, y_r, y_i,
+                         C=C, chi=chi, d=d, forward=forward,
+                         emit_y=emit_y, q=q, orth=orth)
+    B, mask_row, mask_col, Qm = _k2c_project_mask(
+        scal_ref[0, 1], scal_ref[0, 2], lambda c, k: BT[c][k],
+        (y_r[:], y_i[:]), C=C, chi=chi, d=d, forward=forward)
+    _k2c_emit(B, mask_row, mask_col, Qm, center_r, center_i, core_r, core_i,
+              C=C, chi=chi, d=d, forward=forward)
+    env = le if forward else re
+    phi = phil if forward else phir
+    _k2c_env_advance(Qm, env, phi, envls_ref, env2_r, env2_i, envls2,
+                     chi=chi, d=d, forward=forward)
+
+
+def _k12c_call(scal, y1h, w, left, right, le, re, phil, phir, V0, env_ls, *,
+               C, chi, d, forward, emit_y, q, orth, est=None):
+    f32 = jnp.float32
+    N = le[0].shape[0]
+    out_shape = (
+        jax.ShapeDtypeStruct((C, chi, d, chi), f32),   # center re
+        jax.ShapeDtypeStruct((C, chi, d, chi), f32),   # center im
+        jax.ShapeDtypeStruct((chi, d, chi), f32),      # core re
+        jax.ShapeDtypeStruct((chi, d, chi), f32),      # core im
+        jax.ShapeDtypeStruct((N, chi), f32),           # env' re
+        jax.ShapeDtypeStruct((N, chi), f32),           # env' im
+        jax.ShapeDtypeStruct((N, 1), f32),             # env_ls'
+        jax.ShapeDtypeStruct((chi * d, chi), f32),     # Q re
+        jax.ShapeDtypeStruct((chi * d, chi), f32),     # Q im
+    )
+    kern = functools.partial(_k12c_kernel, C=C, chi=chi, d=d,
+                             forward=forward, emit_y=emit_y, q=q, orth=orth)
+    flat = []
+    for pr in (left, right, le, re, phil, phir, V0):
+        flat.extend(pr)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[pb._smem_scalar()] + [pb._vmem()] * (2 + 14 + 1),
+        out_specs=tuple(pb._vmem() for _ in range(9)),
+        interpret=pb._INTERPRET,
+        **pb._compiler_kw(est),
+    )(scal, y1h, w, *flat, env_ls)
+
+
+# --------------------------------------------------------------------------
 # public complex bond step (pair-typed operands)
 # --------------------------------------------------------------------------
 
@@ -714,6 +779,17 @@ def bond_step_c(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
         left, right = center_c, A_or_B
     else:
         left, right = A_or_B, center_c
+
+    # Single-kernel route (pair twin of pallas_bond's K12 path)
+    if (axis_name is None and est <= pb.SPLIT_TAIL_FOOTPRINT
+            and (not refresh or orth == "ns")):
+        scal = jnp.stack([eta.astype(jnp.float32),
+                          cutoff.astype(jnp.float32), mr])[None, :]
+        (c_r, c_i, k_r, k_i, e_r, e_i, ls2, q_r, q_i) = _k12c_call(
+            scal, y1h, w2, left, right, le, re, phil, phir, V0,
+            env_ls[:, None], C=C, chi=chi, d=d, forward=forward,
+            emit_y=refresh, q=power_iters, orth=orth, est=est)
+        return ((c_r, c_i), (k_r, k_i), (e_r, e_i), ls2[:, 0], (q_r, q_i))
 
     # Large-chi route (mirrors pallas_bond.bond_step): past
     # SPLIT_TAIL_FOOTPRINT the in-kernel power tail crashes the Mosaic
