@@ -201,6 +201,33 @@ class TestPallasBondParity:
             np.testing.assert_allclose(np.asarray(s), np.asarray(m),
                                        rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("forward", [False, True])
+    def test_kernel_launch_count(self, interpret, forward):
+        # Pin the per-bond pallas_call count (the K12 contract): with
+        # orth="ns" nothing runs outside the kernel between K1 and K2, so a
+        # refresh bond is ONE kernel and the bond tensor never leaves VMEM;
+        # frozen bonds are one kernel under any orth; the qr route stays
+        # two kernels around the XLA QR.
+        b = _rand_bond(seed=11)
+        eta = jnp.float32(0.05)
+        cutoff = jnp.float32(1e-10)
+        V0 = warm_sketch_init(b["d"] * b["chi"], b["chi"], np.float32)
+        args = (b["A"], jnp.moveaxis(b["center"], 3, 0), b["le"], b["re"],
+                b["re_ls"], b["phil"], b["phir"], b["y1h"], b["w"], V0,
+                eta, cutoff)
+
+        def n_kernels(**kw):
+            jaxpr = jax.make_jaxpr(
+                lambda *a: pallas_bond.bond_step(*a, forward=forward,
+                                                 **kw))(*args)
+            return sum(e.primitive.name == "pallas_call"
+                       for e in jaxpr.jaxpr.eqns)
+
+        assert n_kernels(orth="ns") == 1
+        assert n_kernels(orth="ns", refresh=False) == 1
+        assert n_kernels(orth="qr", refresh=False) == 1
+        assert n_kernels(orth="qr") == 2
+
     def test_training_through_pallas_path(self, interpret, ecg200):
         # a short real training run through the interpreted Pallas sweep
         # reaches the same accuracy regime as the XLA path

@@ -164,6 +164,46 @@ class TestComplexPallasBondParity:
             np.testing.assert_allclose(np.asarray(s), np.asarray(m),
                                        rtol=1e-5, atol=1e-6)
 
+    def test_kernel_launch_count(self, interpret):
+        # Pair twin of the real launch-count contract: orth="ns" refresh
+        # bonds and frozen bonds are ONE kernel (K12c — the bond tensor
+        # pair never leaves VMEM); the qr route stays two kernels around
+        # the realified XLA QR.
+        b = _rand_bond_c(seed=11)
+        eta, cutoff = jnp.float32(0.05), jnp.float32(1e-10)
+        V0 = warm_sketch_init(b["d"] * b["chi"], b["chi"], np.complex128)
+        args = (_pair(b["A"]), _pair(jnp.moveaxis(b["center"], 3, 0)),
+                _pair(b["le"]), _pair(b["re"]), b["re_ls"].astype(jnp.float32),
+                _pair(b["phil"]), _pair(b["phir"]),
+                b["y1h"].astype(jnp.float32), b["w"].astype(jnp.float32),
+                _pair(V0), eta, cutoff)
+
+        def _flatten(a):
+            return jax.tree_util.tree_leaves(a)
+
+        def _regroup(flat):
+            out, i = [], 0
+            for x in args:
+                if isinstance(x, tuple):
+                    out.append((flat[i], flat[i + 1]))
+                    i += 2
+                else:
+                    out.append(flat[i])
+                    i += 1
+            return out
+
+        def n_kernels(**kw):
+            jaxpr = jax.make_jaxpr(
+                lambda *fl: pallas_bond_c.bond_step_c(
+                    *_regroup(fl), forward=False, **kw))(*_flatten(args))
+            return sum(e.primitive.name == "pallas_call"
+                       for e in jaxpr.jaxpr.eqns)
+
+        assert n_kernels(orth="ns") == 1
+        assert n_kernels(orth="ns", refresh=False) == 1
+        assert n_kernels(orth="qr", refresh=False) == 1
+        assert n_kernels(orth="qr") == 2
+
     def test_frozen_bond_matches_xla(self, interpret):
         b = _rand_bond_c(seed=5)
         eta, cutoff = jnp.float32(0.05), jnp.float32(1e-10)
