@@ -74,6 +74,12 @@ SPLIT_TAIL_FOOTPRINT = 18 * 2 ** 20  # past this, bond_step splits the
 MAX_FOOTPRINT = 18 * 2 ** 20      # ceiling for kernels that carry the
                                   # in-kernel power tail (monolithic K1 and
                                   # the complex pair kernels)
+BLOCK_MAX_FOOTPRINT = 12 * 2 ** 20  # ceiling for the multi-bond block
+                                  # kernel (K12m): blocks engage only while
+                                  # the Bb-blocked operands + center scratch
+                                  # fit comfortably under the monolith
+                                  # range — large chi is compute-bound and
+                                  # keeps the single-bond K12
 SPLIT_MAX_FOOTPRINT = 30 * 2 ** 20  # ceiling for the real split-tail route:
                                   # chi=320 at ECG shapes (est 26 MB) runs
                                   # fused at 0.164 s/sweep; chi=384 (37 MB)
@@ -278,27 +284,39 @@ def _k1_tail_call(BT, V0, *, C, chi, d, forward, q, orth="qr", est=None):
     )(V0, BT)
 
 
-def _k1_body(eta, left_ref, right_ref, le, re, phil, phir, y1h, w, V0,
+def _ref_accessors(left_ref, right_ref, chi, d, forward):
+    """The single-bond kernels' operand accessors for _k1_body: left/right
+    read straight from the pallas input refs (backward pre-merge happens
+    here; forward arrives pre-merged from the caller)."""
+    if forward:
+        return (lambda c: left_ref[c]), (lambda k: right_ref[k])
+    return (lambda: left_ref[:].reshape(chi * d, chi),
+            lambda c, k: right_ref[c, :, k, :])
+
+
+def _k1_body(eta, left_at, right_at, le, re, phil, phir, y1h, w, V0,
              y_ref, *, C: int, chi: int, d: int, forward: bool,
              emit_y: bool, q: int, orth: str):
     """Shared K1 math: bond-tensor blocks BT[c][k] [chi*d, chi] (returned
     as live values), batched KLD gradient, TSGO update with
     post-normalization, and the warm power step written to y_ref.
 
-    backward: left=A [chi,d,chi], right=center [C, chi, d, chi]
-              (center[c, m, k, b], left bond m), Y spans the (k,b) side.
-    forward:  left=center [C, chi, d, chi] (center[c, a, i, m]),
-              right=B [chi,d,chi], Y spans the (a,i) side."""
+    Operands arrive through accessors so the same body serves the
+    single-bond kernels (ref-backed) and the multi-bond block kernel
+    (scratch-backed carry):
+    backward: left_at() -> merged A2 [chi*d, chi],
+              right_at(c, k) -> center block [chi, chi]
+              (center[c, m, k, b], left bond m); Y spans the (k,b) side.
+    forward:  left_at(c) -> merged center class slice [chi*d, chi]
+              (the caller pre-merges — Mosaic crashes on per-class
+              ref-slice reshapes at large chi, scripts/k1_fwd_bisect.py),
+              right_at(k) -> B block [chi, chi]; Y spans the (a,i) side."""
     f32 = jnp.float32
 
     L = _kron_batch_major(le, phil)   # [N, chi*d] cols (a, i)
 
     if not forward:
-        A2 = left_ref[:].reshape(chi * d, chi)        # leading-dim merge
-    # forward: the caller pre-reshapes center to [C, chi*d, chi] so each
-    # class slice is usable directly — Mosaic crashes on per-class
-    # ref-slice reshapes at large chi (measured: fwd K1 at chi=320 fails
-    # the remote compiler at every VMEM budget with the in-kernel form)
+        A2 = left_at()                                # merged [chi*d, chi]
 
     # ---- BT blocks + per-class scaled yhat --------------------------------
     BT = [[None] * d for _ in range(C)]
@@ -306,13 +324,13 @@ def _k1_body(eta, left_ref, right_ref, le, re, phil, phir, y1h, w, V0,
     for c in range(C):
         acc = None
         if forward:
-            Cc2 = left_ref[c]                         # [chi*d, chi]
+            Cc2 = left_at(c)                          # [chi*d, chi]
         for k in range(d):
             if forward:
-                Bk = right_ref[k]                     # [chi, chi]
+                Bk = right_at(k)                      # [chi, chi]
                 BT_ck = jnp.dot(Cc2, Bk, preferred_element_type=f32)
             else:
-                Cck = right_ref[c, :, k, :]           # [chi, chi]
+                Cck = right_at(c, k)                  # [chi, chi]
                 BT_ck = jnp.dot(A2, Cck, preferred_element_type=f32)
             BT[c][k] = BT_ck                          # [chi*d, chi]
             t_ck = jnp.dot(L, BT_ck, preferred_element_type=f32)  # [N, chi]
@@ -358,7 +376,8 @@ def _k1_kernel(eta_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
                emit_y: bool = True, q: int = 1, orth: str = "qr"):
     """_k1_body + bond-tensor emission (the two-kernel route: BT crosses
     to K2 through HBM)."""
-    BT = _k1_body(eta_ref[0, 0], left_ref, right_ref, le_ref[:], re_ref[:],
+    left_at, right_at = _ref_accessors(left_ref, right_ref, chi, d, forward)
+    BT = _k1_body(eta_ref[0, 0], left_at, right_at, le_ref[:], re_ref[:],
                   phil_ref[:], phir_ref[:], y1h_ref[:], w_ref[:], v0_ref[:],
                   y_ref, C=C, chi=chi, d=d, forward=forward, emit_y=emit_y,
                   q=q, orth=orth)
@@ -623,10 +642,11 @@ def _k2_emit(B, mask_row, mask_col, Qm, center_ref, core_ref, *,
         core_ref[:] = Qm.reshape(chi, d, chi)       # [chi(l), d, keep]
 
 
-def _k2_env_advance(Qm, env, phi, envls_ref, env2_ref, envls2_ref, *,
-                    chi: int, d: int, forward: bool):
+def _k2_env_vals(Qm, env, phi, envls, *, chi: int, d: int, forward: bool):
     """Advance the (local) environment through the new isometry, with
-    per-sample renormalization and log-scale accumulation."""
+    per-sample renormalization and log-scale accumulation.  Value-level
+    core shared by the single-bond kernels (ref-wrapping below) and the
+    multi-bond block kernel (env carried as live values)."""
     f32 = jnp.float32
     N = env.shape[0]
     v2 = jnp.zeros((N, chi), f32)
@@ -642,8 +662,17 @@ def _k2_env_advance(Qm, env, phi, envls_ref, env2_ref, envls2_ref, *,
         v2 = jnp.dot(tmp, Qm, preferred_element_type=f32)
     nrm = jnp.sqrt(jnp.sum(v2 * v2, axis=1, keepdims=True))
     safe = jnp.maximum(nrm, jnp.finfo(f32).tiny)
-    env2_ref[:] = v2 / jnp.where(nrm > 0, safe, 1.0)
-    envls2_ref[:] = envls_ref[:] + jnp.where(nrm > 0, jnp.log(safe), 0.0)
+    env2 = v2 / jnp.where(nrm > 0, safe, 1.0)
+    envls2 = envls + jnp.where(nrm > 0, jnp.log(safe), 0.0)
+    return env2, envls2
+
+
+def _k2_env_advance(Qm, env, phi, envls_ref, env2_ref, envls2_ref, *,
+                    chi: int, d: int, forward: bool):
+    env2, envls2 = _k2_env_vals(Qm, env, phi, envls_ref[:],
+                                chi=chi, d=d, forward=forward)
+    env2_ref[:] = env2
+    envls2_ref[:] = envls2
 
 
 def _k2_kernel(cutoff_ref, bt_ref, q_ref, env_ref, envls_ref, phi_ref,
@@ -769,7 +798,8 @@ def _k12_kernel(scal_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
     """One-kernel bond step: _k1_body (BT stays a live VMEM value) then
     the K2 projection/cutoff/emit/env-advance against it.  scal_ref packs
     [eta, cutoff, max_rank] in SMEM."""
-    BT = _k1_body(scal_ref[0, 0], left_ref, right_ref, le_ref[:], re_ref[:],
+    left_at, right_at = _ref_accessors(left_ref, right_ref, chi, d, forward)
+    BT = _k1_body(scal_ref[0, 0], left_at, right_at, le_ref[:], re_ref[:],
                   phil_ref[:], phir_ref[:], y1h_ref[:], w_ref[:], v0_ref[:],
                   y_ref, C=C, chi=chi, d=d, forward=forward, emit_y=emit_y,
                   q=q, orth=orth)
@@ -808,6 +838,184 @@ def _k12_call(scal, left, right, le, re, phil, phir, y1h, w, V0, env_ls, *,
         interpret=_INTERPRET,
         **_compiler_kw(est),
     )(scal, left, right, le, re, phil, phir, y1h, w, V0, env_ls)
+
+
+# --------------------------------------------------------------------------
+# K12m: a BLOCK of consecutive bond steps as ONE kernel (r4).
+#
+# Even with K12 the sweep issues one kernel per bond, and the per-launch
+# skeleton (~tens of us on the remote TPU service) dominates at small chi.
+# The sequential dependency between bonds is only through the center, the
+# environment, and the subspace cache — all of which fit VMEM — so a block
+# of Bb bonds runs as one pallas_call: the center carries through a VMEM
+# scratch ref (read back with the same strided [c, :, k, :] pattern the
+# single-bond kernel uses on its HBM input ref), the environment and
+# log-scales carry as live values, and per-bond outputs (new cores,
+# environments, subspace caches) land in Bb-blocked output refs.  Same
+# eligibility as K12 (orth="ns" refresh bonds / frozen bonds, no dp) plus
+# a block footprint gate; remainder bonds (Bb does not divide T-1) run
+# through the single-bond K12.
+# --------------------------------------------------------------------------
+
+def block_footprint(C: int, chi: int, d: int, N: int, Bb: int) -> int:
+    """Estimated VMEM residents of the Bb-bond block kernel: the
+    single-bond working set, the center scratch carry, and the Bb-blocked
+    operand/output refs."""
+    f = 4
+    per_bond = (3 * chi * d * chi       # lhs + new core + subspace cache
+                + 2 * N * chi           # env operand + env output
+                + 2 * N * d + N) * f    # phis + log-scales
+    return (kernel_footprint(C, chi, d, N)
+            + C * chi * d * chi * f     # center scratch
+            + Bb * per_bond)
+
+
+def _merge_center_rows(cs_ref, c, chi, d):
+    """Merged [chi*d, chi] class slice (rows (a, i), i minor) of the
+    standard-layout center scratch, via exact one-hot scatter matmuls:
+    merged[a*d+i, m] = cs[c, a, i, m].  Mosaic rejects per-class ref-slice
+    reshapes at large chi (scripts/k1_fwd_bisect.py), and strided row
+    writes don't exist — the E_i products are exact (0/1 weights), so the
+    forward block carry is bit-identical to the pre-merged HBM input the
+    single-bond kernel reads."""
+    f32 = jnp.float32
+    rows = jax.lax.broadcasted_iota(jnp.int32, (chi * d, chi), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (chi * d, chi), 1)
+    acc = None
+    for i in range(d):
+        Ei = (rows == cols * d + i).astype(f32)       # [chi*d, chi] one-hot
+        term = jnp.dot(Ei, cs_ref[c, :, i, :], preferred_element_type=f32)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _k12m_kernel(scal_ref, lhs_blk_ref, envx_blk_ref, phil_blk_ref,
+                 phir_blk_ref, y1h_ref, w_ref, v0_blk_ref, center0_ref,
+                 env0_ref, envls0_ref,
+                 center_out_ref, v_blk_ref, env_blk_ref, envls_blk_ref,
+                 qv_blk_ref, cs_ref, y_ref, *,
+                 Bb: int, C: int, chi: int, d: int, forward: bool,
+                 emit_y: bool, q: int, orth: str):
+    """Bb consecutive bond steps (statically unrolled): per bond the K1
+    body against the carried center (input ref for bond 0, VMEM scratch
+    after), the K2 projection/cutoff/emit, and the env advance on live
+    values.
+
+    backward: lhs_blk = merged A2 per bond [Bb, chi*d, chi], envx_blk =
+    LE[j] per bond, env carry = the right environment.
+    forward:  lhs_blk = B cores k-leading [Bb, d, chi, chi], envx_blk =
+    RE[j+2] per bond, env carry = the left environment; the merged center
+    class slices are rebuilt from scratch via _merge_center_rows."""
+    eta = scal_ref[0, 0]
+    cutoff = scal_ref[0, 1]
+    mr = scal_ref[0, 2]
+    y1h = y1h_ref[:]
+    w = w_ref[:]
+    env = env0_ref[:]
+    envls = envls0_ref[:]
+    for b in range(Bb):
+        phil = phil_blk_ref[b]
+        phir = phir_blk_ref[b]
+        if forward:
+            le, re = env, envx_blk_ref[b]
+            right_at = lambda k, _b=b: lhs_blk_ref[_b, k]          # noqa: E731
+            if b == 0:
+                left_at = lambda c: center0_ref[c]                 # noqa: E731
+            else:
+                left_at = lambda c: _merge_center_rows(cs_ref, c, chi, d)  # noqa: E731
+        else:
+            le, re = envx_blk_ref[b], env
+            left_at = lambda _b=b: lhs_blk_ref[_b]                 # noqa: E731
+            if b == 0:
+                right_at = lambda c, k: center0_ref[c, :, k, :]    # noqa: E731
+            else:
+                right_at = lambda c, k: cs_ref[c, :, k, :]         # noqa: E731
+        BT = _k1_body(eta, left_at, right_at, le, re, phil, phir, y1h, w,
+                      v0_blk_ref[b], y_ref, C=C, chi=chi, d=d,
+                      forward=forward, emit_y=emit_y, q=q, orth=orth)
+        Q = y_ref[:]
+        Bv, mask_row, mask_col, Qm = _k2_project_mask(
+            cutoff, mr, lambda c, k: BT[c][k], Q, C=C, chi=chi, d=d,
+            forward=forward)
+        if not forward:
+            for c in range(C):
+                cs_ref[c] = (Bv[c] * mask_row).reshape(chi, d, chi)
+            for k in range(d):
+                v_blk_ref[b, :, k, :] = Qm[k * chi:(k + 1) * chi, :].T
+        else:
+            for c in range(C):
+                for k in range(d):
+                    cs_ref[c, :, k, :] = Bv[c][k] * mask_col
+            v_blk_ref[b] = Qm.reshape(chi, d, chi)
+        qv_blk_ref[b] = Q
+        env, envls = _k2_env_vals(Qm, env, phil if forward else phir,
+                                  envls, chi=chi, d=d, forward=forward)
+        env_blk_ref[b] = env
+        envls_blk_ref[b] = envls
+    for c in range(C):
+        center_out_ref[c] = cs_ref[c]
+
+
+def _k12m_call(scal, lhs_blk, envx_blk, phil_blk, phir_blk, y1h, w, v0_blk,
+               center0, env0, envls0, *, Bb, C, chi, d, forward, emit_y, q,
+               orth, est=None):
+    f32 = jnp.float32
+    N = env0.shape[0]
+    out_shape = (
+        jax.ShapeDtypeStruct((C, chi, d, chi), f32),   # center after block
+        jax.ShapeDtypeStruct((Bb, chi, d, chi), f32),  # new cores
+        jax.ShapeDtypeStruct((Bb, N, chi), f32),       # envs
+        jax.ShapeDtypeStruct((Bb, N, 1), f32),         # env log-scales
+        jax.ShapeDtypeStruct((Bb, chi * d, chi), f32),  # subspace caches
+    )
+    kern = functools.partial(_k12m_kernel, Bb=Bb, C=C, chi=chi, d=d,
+                             forward=forward, emit_y=emit_y, q=q, orth=orth)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[_smem_scalar()] + [_vmem()] * 10,
+        out_specs=tuple(_vmem() for _ in range(5)),
+        scratch_shapes=[pltpu.VMEM((C, chi, d, chi), f32),
+                        pltpu.VMEM((chi * d, chi), f32)],
+        interpret=_INTERPRET,
+        **_compiler_kw(est),
+    )(scal, lhs_blk, envx_blk, phil_blk, phir_blk, y1h, w, v0_blk,
+      center0, env0, envls0)
+
+
+def bond_block_steps(A_blk, center_c, envx_blk, env0, env_ls0, phil_blk,
+                     phir_blk, y1h, w, V0_blk, eta, cutoff, *,
+                     forward: bool, refresh: bool = True,
+                     power_iters: int = 1, orth: str = "ns", max_rank=None):
+    """Bb consecutive bond updates as ONE kernel (see _k12m_kernel).
+
+    A_blk [Bb, chi, d, chi]: the static cores in update order (backward:
+    cores[j], j descending; forward: cores[j+1], j ascending).  envx_blk
+    [Bb, N, chi]: the precomputed opposite-side environments per bond
+    (backward: LE[j]; forward: RE[j+2]).  env0/env_ls0: the advancing
+    environment carry entering the block.  Same eligibility as the K12
+    route in bond_step: orth="ns" refresh bonds or frozen bonds, no dp.
+
+    Returns (center', V_blk, env_blk, env_ls_blk, Q_blk) with per-bond
+    emissions Bb-blocked in update order."""
+    Bb, chi, d, _ = A_blk.shape
+    C = center_c.shape[0]
+    est = block_footprint(C, chi, d, env0.shape[0], Bb)
+    mr = (jnp.float32(chi) if max_rank is None
+          else max_rank.astype(jnp.float32))
+    scal = jnp.stack([eta.astype(jnp.float32),
+                      cutoff.astype(jnp.float32), mr])[None, :]
+    if forward:
+        lhs = A_blk.transpose(0, 2, 1, 3)           # [Bb, d, chi, chi]
+        center0 = center_c.reshape(C, chi * d, chi)  # free relayout in XLA
+    else:
+        lhs = A_blk.reshape(Bb, chi * d, chi)
+        center0 = center_c
+    center2, V_blk, env_blk, envls_blk, q_blk = _k12m_call(
+        scal, lhs, envx_blk, phil_blk, phir_blk, y1h, w[:, None], V0_blk,
+        center0, env0, env_ls0[:, None], Bb=Bb, C=C, chi=chi, d=d,
+        forward=forward, emit_y=refresh, q=power_iters, orth=orth, est=est)
+    return center2, V_blk, env_blk, envls_blk[:, :, 0], q_blk
 
 
 # --------------------------------------------------------------------------

@@ -52,6 +52,23 @@ from ..ops.env import (boundary_env, build_left_envs, env_step_left_scaled,
                        env_step_right_scaled)
 
 
+BOND_BLOCK = None
+"""Override for the multi-bond block size (K12m): None = auto (largest of
+8/6/4/3/2 whose block footprint fits pallas_bond.BLOCK_MAX_FOOTPRINT),
+1 = disable blocking (probe/debug knob — read at trace time, so changing
+it requires a retrace)."""
+
+
+def _auto_block(C: int, chi: int, d: int, N: int, T: int) -> int:
+    if BOND_BLOCK is not None:
+        return max(1, min(int(BOND_BLOCK), T - 1))
+    for Bb in (8, 6, 4, 3, 2):
+        if (Bb <= T - 1 and pallas_bond.block_footprint(C, chi, d, N, Bb)
+                <= pallas_bond.BLOCK_MAX_FOOTPRINT):
+            return Bb
+    return 1
+
+
 def _pallas_vmem_ok(C: int, chi: int, d: int, N: int,
                     factor: int = 1) -> bool:
     """Estimated VMEM footprint of the fused bond kernels vs what fits.
@@ -275,8 +292,47 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 ys["cost"] = cost
             return (center, v2, ls2), ys
 
-    (center, _, _), ys_b = jax.lax.scan(backward_step, (center, e0, ls0),
-                                        xs_b)
+    # Multi-bond block route (K12m): one kernel per Bb consecutive bonds —
+    # same eligibility as the single-kernel K12 (ns refresh / frozen, no
+    # dp), remainder bonds through the single-bond body.  Engages only on
+    # the real path for now (the complex pair twin stays single-bond).
+    BB = (_auto_block(C, chi, d, N, T)
+          if (pallas and not cplx and axis_name is None
+              and (orth == "ns" or not refresh)) else 1)
+
+    def _scan_blocked(step_fn, block_fn, carry, xs, block_keys):
+        """Scan block_fn over [nb, BB]-blocked xs, then step_fn over the
+        remainder bonds; ys come back per-bond in update order."""
+        nbonds = T - 1
+        nb = nbonds // BB
+        ncov = nb * BB
+        xs_h = {k: xs[k][:ncov].reshape((nb, BB) + xs[k].shape[1:])
+                for k in block_keys}
+        carry, ys_h = jax.lax.scan(block_fn, carry, xs_h)
+        ys_h = {k: v.reshape((ncov,) + v.shape[2:]) for k, v in ys_h.items()}
+        if ncov < nbonds:
+            xs_t = {k: v[ncov:] for k, v in xs.items()}
+            carry, ys_t = jax.lax.scan(step_fn, carry, xs_t)
+            ys_h = {k: jnp.concatenate([ys_h[k], ys_t[k]]) for k in ys_h}
+        return carry, ys_h
+
+    if BB > 1:
+        def backward_block(carry, x):
+            center, re_v, re_ls = carry
+            center, V, env_b, ls_b, Qv = pallas_bond.bond_block_steps(
+                x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
+                x["phi_r"], y_onehot, class_weight, x["vb"], eta, cutoff,
+                forward=False, refresh=refresh, power_iters=power_iters,
+                orth=orth, max_rank=max_rank)
+            return (center, env_b[-1], ls_b[-1]), dict(
+                V=V, re=env_b, re_ls=ls_b, qv=Qv)
+
+        (center, _, _), ys_b = _scan_blocked(
+            backward_step, backward_block, (center, e0, ls0), xs_b,
+            ("A", "le", "phi_l", "phi_r", "vb"))
+    else:
+        (center, _, _), ys_b = jax.lax.scan(backward_step, (center, e0, ls0),
+                                            xs_b)
     # new cores[1..T-1] (emitted for j = T-2..0 -> slots T-1..1)
     cores_mid = _m(lambda c, v: jnp.concatenate([c[:1], fl(v)], 0),
                    cores, ys_b["V"])
@@ -344,8 +400,23 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 ys["cost"] = cost
             return (center, v2, ls2), ys
 
-    (center, _, _), ys_f = jax.lax.scan(forward_step, (center, e0, ls0),
-                                        xs_f)
+    if BB > 1:
+        def forward_block(carry, x):
+            center, le_v, le_ls = carry
+            center, U, env_b, ls_b, Qu = pallas_bond.bond_block_steps(
+                x["B"], center, x["re"], le_v, le_ls, x["phi_l"],
+                x["phi_r"], y_onehot, class_weight, x["uf"], eta, cutoff,
+                forward=True, refresh=refresh, power_iters=power_iters,
+                orth=orth, max_rank=max_rank)
+            return (center, env_b[-1], ls_b[-1]), dict(
+                U=U, le=env_b, le_ls=ls_b, qu=Qu)
+
+        (center, _, _), ys_f = _scan_blocked(
+            forward_step, forward_block, (center, e0, ls0), xs_f,
+            ("B", "re", "phi_l", "phi_r", "uf"))
+    else:
+        (center, _, _), ys_f = jax.lax.scan(forward_step, (center, e0, ls0),
+                                            xs_f)
     cores_out = _m(lambda u, c: jnp.concatenate([u, c[T - 1:]], 0),
                    ys_f["U"], cores_mid)
     if warm:

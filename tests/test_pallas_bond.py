@@ -202,6 +202,85 @@ class TestPallasBondParity:
                                        rtol=1e-5, atol=1e-6)
 
     @pytest.mark.parametrize("forward", [False, True])
+    @pytest.mark.parametrize("refresh,orth,q", [(True, "ns", 1),
+                                                (True, "ns", 3),
+                                                (False, "qr", 1)])
+    def test_block_steps_match_single_chain(self, interpret, forward,
+                                            refresh, orth, q):
+        # The multi-bond block kernel (K12m) must reproduce the chained
+        # single-bond K12 exactly: the center carry goes value->scratch->
+        # strided read (same access pattern as the single kernel's HBM
+        # input), and the forward merged view is rebuilt with exact one-hot
+        # scatter matmuls — so parity is bit-level, not just tolerance.
+        from mpstime_tpu.ops.pallas_bond import bond_block_steps
+
+        rng = np.random.default_rng(13)
+        chi, d, C, N, Bb = 6, 3, 2, 12, 4
+        f32 = np.float32
+
+        def r(*s):
+            return jnp.asarray(rng.standard_normal(s).astype(f32))
+
+        A_blk = r(Bb, chi, d, chi)
+        center = r(C, chi, d, chi)
+        envx_blk = r(Bb, N, chi)
+        phil_blk = jnp.asarray(rng.uniform(-0.8, 0.8, (Bb, N, d)).astype(f32))
+        phir_blk = jnp.asarray(rng.uniform(-0.8, 0.8, (Bb, N, d)).astype(f32))
+        y1h = jnp.asarray(np.eye(C, dtype=f32)[rng.integers(0, C, N)])
+        w = jnp.full((N,), 1.0 / N, jnp.float32)
+        env0, ls0 = r(N, chi), r(N)
+        V0_blk = jnp.stack([warm_sketch_init(d * chi, chi, f32)] * Bb)
+        eta, cutoff = jnp.float32(0.05), jnp.float32(1e-10)
+
+        c_ref, env, ls = center, env0, ls0
+        singles = []
+        for b in range(Bb):
+            le = envx_blk[b] if not forward else env
+            re = env if not forward else envx_blk[b]
+            c_ref, V, env, ls, Q = pallas_bond.bond_step(
+                A_blk[b], c_ref, le, re, ls, phil_blk[b], phir_blk[b],
+                y1h, w, V0_blk[b], eta, cutoff, forward=forward,
+                refresh=refresh, power_iters=q, orth=orth)
+            singles.append((V, env, ls, Q))
+
+        c_blk, V_blk, env_blk, ls_blk, q_blk = bond_block_steps(
+            A_blk, center, envx_blk, env0, ls0, phil_blk, phir_blk, y1h,
+            w, V0_blk, eta, cutoff, forward=forward, refresh=refresh,
+            power_iters=q, orth=orth)
+        np.testing.assert_allclose(np.asarray(c_blk), np.asarray(c_ref),
+                                   rtol=1e-6, atol=1e-7)
+        for b, (V, env, ls, Q) in enumerate(singles):
+            np.testing.assert_allclose(np.asarray(V_blk[b]), np.asarray(V),
+                                       rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(env_blk[b]),
+                                       np.asarray(env), rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(ls_blk[b]), np.asarray(ls),
+                                       rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(q_blk[b]), np.asarray(Q),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_blocked_training_matches_unblocked(self, interpret, ecg200,
+                                                monkeypatch):
+        # Through the public boundary: an ns-route fit with the auto block
+        # size (T=96 -> BB=8, 95 bonds = 11 blocks + 7 remainder) equals
+        # the BOND_BLOCK=1 run bit-for-bit at fixed seed.
+        from mpstime_tpu.training import sweep
+
+        Xtr, ytr, *_ = ecg200
+        Xtr, ytr = Xtr[:30], ytr[:30]
+        opts = mt.MPSOptions(nsweeps=2, chi_max=10, d=3, verbosity=-1,
+                             log_level=-1, dtype="float32",
+                             svd_alg="randomized_warm", orth_alg="ns")
+        blocked, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        monkeypatch.setattr(sweep, "BOND_BLOCK", 1)
+        jax.clear_caches()
+        single, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        np.testing.assert_array_equal(np.asarray(blocked.mps.center),
+                                      np.asarray(single.mps.center))
+        np.testing.assert_array_equal(np.asarray(blocked.mps.cores),
+                                      np.asarray(single.mps.cores))
+
+    @pytest.mark.parametrize("forward", [False, True])
     def test_kernel_launch_count(self, interpret, forward):
         # Pin the per-bond pallas_call count (the K12 contract): with
         # orth="ns" nothing runs outside the kernel between K1 and K2, so a
