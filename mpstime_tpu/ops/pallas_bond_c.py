@@ -144,23 +144,35 @@ def _ns_orth_pair_value(X):
 # K1: bond tensor + complex KLD gradient + TSGO + power step
 # --------------------------------------------------------------------------
 
-def _k1c_bt_grad(left, right, le, re, phil, phir, y1h, w, *,
+def _val_accessors(left, right, chi, d, forward):
+    """Accessor pair over full-value operands (the single-bond kernels read
+    their refs whole): backward left_at() -> merged A2 pair,
+    right_at(c, k) -> center block pair; forward left_at(c) -> merged
+    center class-slice pair, right_at(k) -> B block pair."""
+    if forward:
+        return (lambda c: (left[0][c].reshape(chi * d, chi),
+                           left[1][c].reshape(chi * d, chi)),
+                lambda k: (right[0][:, k, :], right[1][:, k, :]))
+    return (lambda: (left[0].reshape(chi * d, chi),
+                     left[1].reshape(chi * d, chi)),
+            lambda c, k: (right[0][c, :, k, :], right[1][c, :, k, :]))
+
+
+def _k1c_bt_grad(left_at, right_at, le, re, phil, phir, y1h, w, *,
                  C: int, chi: int, d: int, forward: bool):
     """Shared K1 math: bond-tensor blocks + the (local-batch) complex KLD
-    gradient, both as pair lists BT[c][k] / G[c][k] of [chi*d, chi]."""
+    gradient, both as pair lists BT[c][k] / G[c][k] of [chi*d, chi].
+    Operands arrive through accessors (see _val_accessors; the multi-bond
+    block kernel substitutes scratch-backed ones)."""
     L1 = _ckron_batch(_cconj(le), phil)          # [N, chi*d]
 
     if not forward:
-        A2 = (left[0].reshape(chi * d, chi), left[1].reshape(chi * d, chi))
+        A2 = left_at()
 
     def bt_block(c, k):
         if forward:
-            Cc2 = (left[0][c].reshape(chi * d, chi),
-                   left[1][c].reshape(chi * d, chi))
-            Bk = (right[0][:, k, :], right[1][:, k, :])
-            return _cdot(Cc2, Bk)
-        Cck = (right[0][c, :, k, :], right[1][c, :, k, :])
-        return _cdot(A2, Cck)
+            return _cdot(left_at(c), right_at(k))
+        return _cdot(A2, right_at(c, k))
 
     def r1(k):
         return _cmul((phir[0][:, k:k + 1], phir[1][:, k:k + 1]), _cconj(re))
@@ -299,7 +311,8 @@ def _k1c_kernel(eta_ref, y1h_ref, w_ref, *refs,
     # pair operands: left, right, le, re, phil, phir, V0 (7 pairs = 14 refs)
     (left, right, le, re, phil, phir, V0) = _pairs(refs[:14])
     bt_r, bt_i, y_r, y_i = refs[14:]
-    BT, G = _k1c_bt_grad(left, right, le, re, phil, phir, y1h, w,
+    left_at, right_at = _val_accessors(left, right, chi, d, forward)
+    BT, G = _k1c_bt_grad(left_at, right_at, le, re, phil, phir, y1h, w,
                          C=C, chi=chi, d=d, forward=forward)
     _k1c_tsgo_power(eta, BT, G, V0, bt_r, bt_i, y_r, y_i,
                     C=C, chi=chi, d=d, forward=forward, emit_y=emit_y, q=q,
@@ -376,7 +389,8 @@ def _k1c_grad_kernel(y1h_ref, w_ref, *refs, C: int, chi: int, d: int,
     # pairs: left, right, le, re, phil, phir (6 pairs = 12 refs)
     (left, right, le, re, phil, phir) = _pairs(refs[:12])
     g_r, g_i = refs[12:]
-    _, G = _k1c_bt_grad(left, right, le, re, phil, phir, y1h, w,
+    left_at, right_at = _val_accessors(left, right, chi, d, forward)
+    _, G = _k1c_bt_grad(left_at, right_at, le, re, phil, phir, y1h, w,
                         C=C, chi=chi, d=d, forward=forward)
     for c in range(C):
         for k in range(d):
@@ -540,10 +554,11 @@ def _k2c_emit(B, mask_row, mask_col, Qm, center_r, center_i, core_r, core_i,
         core_i[:] = Qm[1].reshape(chi, d, chi)
 
 
-def _k2c_env_advance(Qm, env, phi, envls_ref, env2_r, env2_i, envls2, *,
-                     chi: int, d: int, forward: bool):
+def _k2c_env_vals(Qm, env, phi, envls, *, chi: int, d: int, forward: bool):
     """Advance the (local) pair environment through the masked isometry,
-    with per-sample renormalization and log-scale accumulation."""
+    with per-sample renormalization and log-scale accumulation.  Value-
+    level core shared by the single-bond kernels (ref-wrapping below) and
+    the multi-bond block kernel (env carried as live values)."""
     f32 = jnp.float32
     N = env[0].shape[0]
     if not forward:
@@ -560,9 +575,17 @@ def _k2c_env_advance(Qm, env, phi, envls_ref, env2_r, env2_i, envls2, *,
     nrm = jnp.sqrt(nrm2)
     safe = jnp.maximum(nrm, jnp.finfo(f32).tiny)
     inv = jnp.where(nrm > 0, 1.0 / safe, 1.0)
-    env2_r[:] = v2[0] * inv
-    env2_i[:] = v2[1] * inv
-    envls2[:] = envls_ref[:] + jnp.where(nrm > 0, jnp.log(safe), 0.0)
+    return ((v2[0] * inv, v2[1] * inv),
+            envls + jnp.where(nrm > 0, jnp.log(safe), 0.0))
+
+
+def _k2c_env_advance(Qm, env, phi, envls_ref, env2_r, env2_i, envls2, *,
+                     chi: int, d: int, forward: bool):
+    env2, ls2 = _k2c_env_vals(Qm, env, phi, envls_ref[:],
+                              chi=chi, d=d, forward=forward)
+    env2_r[:] = env2[0]
+    env2_i[:] = env2[1]
+    envls2[:] = ls2
 
 
 def _k2c_kernel(cutoff_ref, *refs, C: int, chi: int, d: int, forward: bool):
@@ -690,7 +713,8 @@ def _k12c_kernel(scal_ref, y1h_ref, w_ref, *refs, C: int, chi: int, d: int,
     envls_ref = refs[14]
     (center_r, center_i, core_r, core_i, env2_r, env2_i, envls2,
      y_r, y_i) = refs[15:]
-    BT, G = _k1c_bt_grad(left, right, le, re, phil, phir, y1h, w,
+    left_at, right_at = _val_accessors(left, right, chi, d, forward)
+    BT, G = _k1c_bt_grad(left_at, right_at, le, re, phil, phir, y1h, w,
                          C=C, chi=chi, d=d, forward=forward)
     BT = _k1c_tsgo_power(eta, BT, G, V0, None, None, y_r, y_i,
                          C=C, chi=chi, d=d, forward=forward,
@@ -734,6 +758,151 @@ def _k12c_call(scal, y1h, w, left, right, le, re, phil, phir, V0, env_ls, *,
         interpret=pb._INTERPRET,
         **pb._compiler_kw(est),
     )(scal, y1h, w, *flat, env_ls)
+
+
+# --------------------------------------------------------------------------
+# K12mc: a BLOCK of consecutive complex bond steps as ONE kernel (pair twin
+# of pallas_bond._k12m_kernel): the center pair carries through VMEM
+# scratch refs, the environment pair and log-scales carry as live values,
+# and the forward merged-center class slices are rebuilt per component via
+# pallas_bond._merge_center_rows (exact one-hot scatter matmuls).
+# --------------------------------------------------------------------------
+
+def _k12mc_kernel(scal_ref, y1h_ref, w_ref, *refs, Bb: int, C: int,
+                  chi: int, d: int, forward: bool, emit_y: bool, q: int,
+                  orth: str):
+    eta = scal_ref[0, 0]
+    cutoff = scal_ref[0, 1]
+    mr = scal_ref[0, 2]
+    y1h = y1h_ref[:]
+    w = w_ref[:]
+    # blocked pair refs: lhs, envx, phil, phir, v0 (5 pairs), then
+    # center0 pair, env0 pair, envls0
+    (lhs_r, lhs_i, envx_r, envx_i, phil_r, phil_i, phir_r, phir_i,
+     v0_r, v0_i, c0_r, c0_i, env0_r, env0_i, envls0_ref) = refs[:15]
+    (co_r, co_i, v_blk_r, v_blk_i, env_blk_r, env_blk_i, envls_blk,
+     qv_blk_r, qv_blk_i) = refs[15:24]
+    cs_r, cs_i, y_r, y_i = refs[24:]
+    env = (env0_r[:], env0_i[:])
+    envls = envls0_ref[:]
+    for b in range(Bb):
+        phil = (phil_r[b], phil_i[b])
+        phir = (phir_r[b], phir_i[b])
+        if forward:
+            le, re = env, (envx_r[b], envx_i[b])
+            right_at = lambda k, _b=b: (lhs_r[_b, k], lhs_i[_b, k])   # noqa: E731
+            if b == 0:
+                left_at = lambda c: (c0_r[c], c0_i[c])                # noqa: E731
+            else:
+                left_at = lambda c: (                                 # noqa: E731
+                    pb._merge_center_rows(cs_r, c, chi, d),
+                    pb._merge_center_rows(cs_i, c, chi, d))
+        else:
+            le, re = (envx_r[b], envx_i[b]), env
+            left_at = lambda _b=b: (lhs_r[_b], lhs_i[_b])             # noqa: E731
+            if b == 0:
+                right_at = lambda c, k: (c0_r[c, :, k, :],            # noqa: E731
+                                         c0_i[c, :, k, :])
+            else:
+                right_at = lambda c, k: (cs_r[c, :, k, :],            # noqa: E731
+                                         cs_i[c, :, k, :])
+        BT, G = _k1c_bt_grad(left_at, right_at, le, re, phil, phir, y1h,
+                             w, C=C, chi=chi, d=d, forward=forward)
+        BT = _k1c_tsgo_power(eta, BT, G, (v0_r[b], v0_i[b]), None, None,
+                             y_r, y_i, C=C, chi=chi, d=d, forward=forward,
+                             emit_y=emit_y, q=q, orth=orth)
+        Q = (y_r[:], y_i[:])
+        Bv, mask_row, mask_col, Qm = _k2c_project_mask(
+            cutoff, mr, lambda c, k: BT[c][k], Q, C=C, chi=chi, d=d,
+            forward=forward)
+        if not forward:
+            for c in range(C):
+                cs_r[c] = (Bv[c][0] * mask_row).reshape(chi, d, chi)
+                cs_i[c] = (Bv[c][1] * mask_row).reshape(chi, d, chi)
+            for k in range(d):
+                v_blk_r[b, :, k, :] = Qm[0][k * chi:(k + 1) * chi, :].T
+                v_blk_i[b, :, k, :] = -Qm[1][k * chi:(k + 1) * chi, :].T
+        else:
+            for c in range(C):
+                for k in range(d):
+                    cs_r[c, :, k, :] = Bv[c][k][0] * mask_col
+                    cs_i[c, :, k, :] = Bv[c][k][1] * mask_col
+            v_blk_r[b] = Qm[0].reshape(chi, d, chi)
+            v_blk_i[b] = Qm[1].reshape(chi, d, chi)
+        qv_blk_r[b] = y_r[:]
+        qv_blk_i[b] = y_i[:]
+        env, envls = _k2c_env_vals(Qm, env, phil if forward else phir,
+                                   envls, chi=chi, d=d, forward=forward)
+        env_blk_r[b] = env[0]
+        env_blk_i[b] = env[1]
+        envls_blk[b] = envls
+    for c in range(C):
+        co_r[c] = cs_r[c]
+        co_i[c] = cs_i[c]
+
+
+def _k12mc_call(scal, y1h, w, lhs, envx_blk, phil_blk, phir_blk, v0_blk,
+                center0, env0, envls0, *, Bb, C, chi, d, forward, emit_y,
+                q, orth, est=None):
+    f32 = jnp.float32
+    N = env0[0].shape[0]
+    from jax.experimental.pallas import tpu as pltpu
+    out_shape = (
+        jax.ShapeDtypeStruct((C, chi, d, chi), f32),    # center re
+        jax.ShapeDtypeStruct((C, chi, d, chi), f32),    # center im
+        jax.ShapeDtypeStruct((Bb, chi, d, chi), f32),   # cores re
+        jax.ShapeDtypeStruct((Bb, chi, d, chi), f32),   # cores im
+        jax.ShapeDtypeStruct((Bb, N, chi), f32),        # envs re
+        jax.ShapeDtypeStruct((Bb, N, chi), f32),        # envs im
+        jax.ShapeDtypeStruct((Bb, N, 1), f32),          # env log-scales
+        jax.ShapeDtypeStruct((Bb, chi * d, chi), f32),  # subspaces re
+        jax.ShapeDtypeStruct((Bb, chi * d, chi), f32),  # subspaces im
+    )
+    kern = functools.partial(_k12mc_kernel, Bb=Bb, C=C, chi=chi, d=d,
+                             forward=forward, emit_y=emit_y, q=q, orth=orth)
+    flat = []
+    for pr in (lhs, envx_blk, phil_blk, phir_blk, v0_blk, center0, env0):
+        flat.extend(pr)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[pb._smem_scalar()] + [pb._vmem()] * (2 + 14 + 1),
+        out_specs=tuple(pb._vmem() for _ in range(9)),
+        scratch_shapes=[pltpu.VMEM((C, chi, d, chi), f32),
+                        pltpu.VMEM((C, chi, d, chi), f32),
+                        pltpu.VMEM((chi * d, chi), f32),
+                        pltpu.VMEM((chi * d, chi), f32)],
+        interpret=pb._INTERPRET,
+        **pb._compiler_kw(est),
+    )(scal, y1h, w, *flat, envls0)
+
+
+def bond_block_steps_c(A_blk, center_c, envx_blk, env0, env_ls0, phil_blk,
+                       phir_blk, y1h, w, V0_blk, eta, cutoff, *,
+                       forward: bool, refresh: bool = True,
+                       power_iters: int = 1, orth: str = "ns",
+                       max_rank=None):
+    """Bb consecutive complex bond updates as ONE kernel — pair twin of
+    pallas_bond.bond_block_steps (same operand conventions, pair-typed)."""
+    Bb, chi, d, _ = A_blk[0].shape
+    C = center_c[0].shape[0]
+    est = 2 * pb.block_footprint(C, chi, d, env0[0].shape[0], Bb)
+    mr = (jnp.float32(chi) if max_rank is None
+          else max_rank.astype(jnp.float32))
+    scal = jnp.stack([eta.astype(jnp.float32),
+                      cutoff.astype(jnp.float32), mr])[None, :]
+    if forward:
+        lhs = tuple(a.transpose(0, 2, 1, 3) for a in A_blk)
+        center0 = tuple(c.reshape(C, chi * d, chi) for c in center_c)
+    else:
+        lhs = tuple(a.reshape(Bb, chi * d, chi) for a in A_blk)
+        center0 = center_c
+    (co_r, co_i, v_r, v_i, e_r, e_i, ls_blk, q_r, q_i) = _k12mc_call(
+        scal, y1h, w[:, None], lhs, envx_blk, phil_blk, phir_blk, V0_blk,
+        center0, env0, env_ls0[:, None], Bb=Bb, C=C, chi=chi, d=d,
+        forward=forward, emit_y=refresh, q=power_iters, orth=orth, est=est)
+    return ((co_r, co_i), (v_r, v_i), (e_r, e_i), ls_blk[:, :, 0],
+            (q_r, q_i))
 
 
 # --------------------------------------------------------------------------

@@ -59,11 +59,18 @@ BOND_BLOCK = None
 it requires a retrace)."""
 
 
-def _auto_block(C: int, chi: int, d: int, N: int, T: int) -> int:
+def _auto_block(C: int, chi: int, d: int, N: int, T: int,
+                factor: int = 1, cap: int = 8) -> int:
+    """Auto block size for the K12m route: largest Bb <= cap whose block
+    footprint fits.  ``factor`` = 2 on the complex pair path (doubled
+    operands), whose cap is also lower — the pair NS unroll is ~4x the
+    instructions per power step and q defaults to 3, so the compile-size
+    budget spends faster."""
     if BOND_BLOCK is not None:
         return max(1, min(int(BOND_BLOCK), T - 1))
     for Bb in (8, 6, 4, 3, 2):
-        if (Bb <= T - 1 and pallas_bond.block_footprint(C, chi, d, N, Bb)
+        if (Bb <= min(cap, T - 1)
+                and factor * pallas_bond.block_footprint(C, chi, d, N, Bb)
                 <= pallas_bond.BLOCK_MAX_FOOTPRINT):
             return Bb
     return 1
@@ -292,13 +299,15 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 ys["cost"] = cost
             return (center, v2, ls2), ys
 
-    # Multi-bond block route (K12m): one kernel per Bb consecutive bonds —
-    # same eligibility as the single-kernel K12 (ns refresh / frozen, no
-    # dp), remainder bonds through the single-bond body.  Engages only on
-    # the real path for now (the complex pair twin stays single-bond).
-    BB = (_auto_block(C, chi, d, N, T)
-          if (pallas and not cplx and axis_name is None
+    # Multi-bond block route (K12m / K12mc): one kernel per Bb consecutive
+    # bonds — same eligibility as the single-kernel K12 (ns refresh /
+    # frozen, no dp), remainder bonds through the single-bond body.
+    BB = (_auto_block(C, chi, d, N, T, factor=2 if cplx else 1,
+                      cap=4 if cplx else 8)
+          if (pallas and axis_name is None
               and (orth == "ns" or not refresh)) else 1)
+    block_steps = (pallas_bond_c.bond_block_steps_c if cplx
+                   else pallas_bond.bond_block_steps)
 
     def _scan_blocked(step_fn, block_fn, carry, xs, block_keys):
         """Scan block_fn over [nb, BB]-blocked xs, then step_fn over the
@@ -306,25 +315,30 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
         nbonds = T - 1
         nb = nbonds // BB
         ncov = nb * BB
-        xs_h = {k: xs[k][:ncov].reshape((nb, BB) + xs[k].shape[1:])
-                for k in block_keys}
+
+        def blk(a):
+            return a[:ncov].reshape((nb, BB) + a.shape[1:])
+
+        xs_h = {k: _m(blk, xs[k]) for k in block_keys}
         carry, ys_h = jax.lax.scan(block_fn, carry, xs_h)
-        ys_h = {k: v.reshape((ncov,) + v.shape[2:]) for k, v in ys_h.items()}
+        ys_h = {k: _m(lambda a: a.reshape((ncov,) + a.shape[2:]), v)
+                for k, v in ys_h.items()}
         if ncov < nbonds:
-            xs_t = {k: v[ncov:] for k, v in xs.items()}
+            xs_t = {k: _m(lambda a: a[ncov:], v) for k, v in xs.items()}
             carry, ys_t = jax.lax.scan(step_fn, carry, xs_t)
-            ys_h = {k: jnp.concatenate([ys_h[k], ys_t[k]]) for k in ys_h}
+            ys_h = {k: _m(lambda a, b: jnp.concatenate([a, b]),
+                          ys_h[k], ys_t[k]) for k in ys_h}
         return carry, ys_h
 
     if BB > 1:
         def backward_block(carry, x):
             center, re_v, re_ls = carry
-            center, V, env_b, ls_b, Qv = pallas_bond.bond_block_steps(
+            center, V, env_b, ls_b, Qv = block_steps(
                 x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
                 x["phi_r"], y_onehot, class_weight, x["vb"], eta, cutoff,
                 forward=False, refresh=refresh, power_iters=power_iters,
                 orth=orth, max_rank=max_rank)
-            return (center, env_b[-1], ls_b[-1]), dict(
+            return (center, _m(lambda a: a[-1], env_b), ls_b[-1]), dict(
                 V=V, re=env_b, re_ls=ls_b, qv=Qv)
 
         (center, _, _), ys_b = _scan_blocked(
@@ -403,12 +417,12 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     if BB > 1:
         def forward_block(carry, x):
             center, le_v, le_ls = carry
-            center, U, env_b, ls_b, Qu = pallas_bond.bond_block_steps(
+            center, U, env_b, ls_b, Qu = block_steps(
                 x["B"], center, x["re"], le_v, le_ls, x["phi_l"],
                 x["phi_r"], y_onehot, class_weight, x["uf"], eta, cutoff,
                 forward=True, refresh=refresh, power_iters=power_iters,
                 orth=orth, max_rank=max_rank)
-            return (center, env_b[-1], ls_b[-1]), dict(
+            return (center, _m(lambda a: a[-1], env_b), ls_b[-1]), dict(
                 U=U, le=env_b, le_ls=ls_b, qu=Qu)
 
         (center, _, _), ys_f = _scan_blocked(

@@ -164,6 +164,79 @@ class TestComplexPallasBondParity:
             np.testing.assert_allclose(np.asarray(s), np.asarray(m),
                                        rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("forward", [False, True])
+    @pytest.mark.parametrize("refresh,orth,q", [(True, "ns", 3),
+                                                (False, "qr", 1)])
+    def test_block_steps_match_single_chain(self, interpret, forward,
+                                            refresh, orth, q):
+        # Pair twin of the real block-parity contract.  Complex tolerance
+        # is reassociation-level, not bit-level: the |.|^2 reductions fuse
+        # differently between the two program shapes under interpret mode
+        # (measured ~1e-7; over a full sweep this grows into benign
+        # trajectory divergence on degenerate spectra, exactly like the
+        # documented sharded-vs-single behaviour — docs/parallelism.md).
+        from mpstime_tpu.ops.pallas_bond_c import bond_block_steps_c
+
+        rng = np.random.default_rng(17)
+        chi, d, C, N, Bb = 6, 3, 2, 12, 3
+        f32 = np.float32
+
+        def pr(*s):
+            return (jnp.asarray(rng.standard_normal(s).astype(f32)),
+                    jnp.asarray(rng.standard_normal(s).astype(f32)))
+
+        def phip(*s):
+            th = rng.uniform(-np.pi, np.pi, s)
+            z = np.exp(1j * th) / np.sqrt(3)
+            return (jnp.asarray(z.real.astype(f32)),
+                    jnp.asarray(z.imag.astype(f32)))
+
+        A_blk = pr(Bb, chi, d, chi)
+        center = pr(C, chi, d, chi)
+        envx_blk = pr(Bb, N, chi)
+        phil_blk = phip(Bb, N, d)
+        phir_blk = phip(Bb, N, d)
+        y1h = jnp.asarray(np.eye(C, dtype=f32)[rng.integers(0, C, N)])
+        w = jnp.full((N,), 1.0 / N, jnp.float32)
+        env0 = pr(N, chi)
+        ls0 = jnp.asarray(rng.standard_normal(N).astype(f32))
+        V0 = pr(d * chi, chi)
+        V0_blk = (jnp.stack([V0[0]] * Bb), jnp.stack([V0[1]] * Bb))
+        eta, cutoff = jnp.float32(0.05), jnp.float32(1e-10)
+
+        def at(p, b):
+            return (p[0][b], p[1][b])
+
+        c_ref, env, ls = center, env0, ls0
+        singles = []
+        for b in range(Bb):
+            le = at(envx_blk, b) if not forward else env
+            re = env if not forward else at(envx_blk, b)
+            c_ref, V, env, ls, Q = pallas_bond_c.bond_step_c(
+                at(A_blk, b), c_ref, le, re, ls, at(phil_blk, b),
+                at(phir_blk, b), y1h, w, at(V0_blk, b), eta, cutoff,
+                forward=forward, refresh=refresh, power_iters=q, orth=orth)
+            singles.append((V, env, ls, Q))
+
+        c_blk, V_blk, env_blk, ls_blk, q_blk = bond_block_steps_c(
+            A_blk, center, envx_blk, env0, ls0, phil_blk, phir_blk, y1h,
+            w, V0_blk, eta, cutoff, forward=forward, refresh=refresh,
+            power_iters=q, orth=orth)
+        kw = dict(rtol=2e-5, atol=2e-6)
+        for comp in (0, 1):
+            np.testing.assert_allclose(np.asarray(c_blk[comp]),
+                                       np.asarray(c_ref[comp]), **kw)
+        for b, (V, env_s, ls_s, Q) in enumerate(singles):
+            for comp in (0, 1):
+                np.testing.assert_allclose(np.asarray(V_blk[comp][b]),
+                                           np.asarray(V[comp]), **kw)
+                np.testing.assert_allclose(np.asarray(env_blk[comp][b]),
+                                           np.asarray(env_s[comp]), **kw)
+                np.testing.assert_allclose(np.asarray(q_blk[comp][b]),
+                                           np.asarray(Q[comp]), **kw)
+            np.testing.assert_allclose(np.asarray(ls_blk[b]),
+                                       np.asarray(ls_s), **kw)
+
     def test_kernel_launch_count(self, interpret):
         # Pair twin of the real launch-count contract: orth="ns" refresh
         # bonds and frozen bonds are ONE kernel (K12c — the bond tensor
@@ -242,3 +315,24 @@ class TestComplexPallasBondParity:
         # d=3/chi=12/3 sweeps is a weak learner); the kernels must match
         # that regime, not beat it
         assert acc >= 0.75, acc
+
+    def test_fourier_training_through_blocked_complex_path(self, interpret,
+                                                           ecg200):
+        """orth_alg="ns" routes the c64 fit through the multi-bond block
+        kernels (K12mc).  Blocked and single-bond runs take different-but-
+        equally-valid trajectories (reassociation epsilon on degenerate
+        fourier spectra — same phenomenon as sharded-vs-single,
+        docs/parallelism.md), so this asserts QUALITY, not bitwise state."""
+        Xtr, ytr, *_ = ecg200
+        Xtr, ytr = Xtr[:30], ytr[:30]
+        opts = mt.MPSOptions(nsweeps=2, chi_max=10, d=3, encoding="fourier",
+                             verbosity=-1, log_level=-1, dtype="complex64",
+                             svd_alg="randomized_warm", orth_alg="ns")
+        trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        center = np.asarray(trained.mps.center)
+        assert center.dtype == np.complex64
+        assert np.isfinite(center).all()
+        acc = np.mean(mt.classify(trained, Xtr) == ytr)
+        # blocked 0.766 / single-bond 0.633 measured at this config — a
+        # weak-learner regime; the floor catches route breakage only
+        assert acc >= 0.6, acc
