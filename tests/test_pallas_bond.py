@@ -280,6 +280,50 @@ class TestPallasBondParity:
         np.testing.assert_array_equal(np.asarray(blocked.mps.cores),
                                       np.asarray(single.mps.cores))
 
+    def test_blocked_sweep_launch_structure(self, interpret):
+        # Structural contract of the block route: each half-sweep compiles
+        # to a block scan whose body is ONE pallas_call covering Bb bonds,
+        # plus a remainder scan whose body is the ONE single-bond K12 — so
+        # the pallas-bearing scan bodies of a full ns sweep are exactly
+        # four, each with a single kernel (T=96: 95 bonds = 11x8 + 7).
+        from mpstime_tpu.training.sweep import _sweep_once
+
+        T, chi, d, C, N = 96, 8, 3, 2, 10
+        rng = np.random.default_rng(3)
+        f32 = np.float32
+        cores = jnp.asarray(rng.standard_normal((T, chi, d, chi))
+                            .astype(f32))
+        center = jnp.asarray(rng.standard_normal((chi, d, chi, C))
+                             .astype(f32))
+        phis = jnp.asarray(rng.uniform(-0.8, 0.8, (T, N, d)).astype(f32))
+        y1h = jnp.asarray(np.eye(C, dtype=f32)[rng.integers(0, C, N)])
+        w = jnp.full((N,), 1.0 / N, jnp.float32)
+
+        jaxpr = jax.make_jaxpr(lambda *a: _sweep_once(
+            *a, loss="KLD", bbopt="TSGO", update_iters=1,
+            rescale=(False, True), svd_alg="randomized_warm",
+            power_iters=1, orth="ns"))(
+            cores, center, phis, y1h, w, jnp.float32(0.05),
+            jnp.float32(1e-10))
+
+        scan_counts = []
+
+        def walk(jx):
+            for e in jx.eqns:
+                for v in e.params.values():
+                    inner = getattr(v, "jaxpr", None)
+                    if inner is None:
+                        continue
+                    if e.primitive.name == "scan":
+                        n = sum(ee.primitive.name == "pallas_call"
+                                for ee in inner.eqns)
+                        if n:
+                            scan_counts.append(n)
+                    walk(inner)
+
+        walk(jaxpr.jaxpr)
+        assert sorted(scan_counts) == [1, 1, 1, 1], scan_counts
+
     @pytest.mark.parametrize("forward", [False, True])
     def test_kernel_launch_count(self, interpret, forward):
         # Pin the per-bond pallas_call count (the K12 contract): with
