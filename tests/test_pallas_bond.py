@@ -259,18 +259,24 @@ class TestPallasBondParity:
             np.testing.assert_allclose(np.asarray(q_blk[b]), np.asarray(Q),
                                        rtol=1e-6, atol=1e-7)
 
+    @pytest.mark.parametrize("orth,refresh_every", [("ns", 1), ("qr", 2)])
     def test_blocked_training_matches_unblocked(self, interpret, ecg200,
-                                                monkeypatch):
+                                                monkeypatch, orth,
+                                                refresh_every):
         # Through the public boundary: an ns-route fit with the auto block
         # size (T=96 -> BB=8, 95 bonds = 11 blocks + 7 remainder) equals
-        # the BOND_BLOCK=1 run bit-for-bit at fixed seed.
+        # the BOND_BLOCK=1 run bit-for-bit at fixed seed.  The (qr, 2)
+        # case pins the frozen-sweep block route: under a refresh cadence
+        # the frozen sweeps block under ANY orth while qr refresh sweeps
+        # stay single-bond — a mixed program.
         from mpstime_tpu.training import sweep
 
         Xtr, ytr, *_ = ecg200
         Xtr, ytr = Xtr[:30], ytr[:30]
-        opts = mt.MPSOptions(nsweeps=2, chi_max=10, d=3, verbosity=-1,
-                             log_level=-1, dtype="float32",
-                             svd_alg="randomized_warm", orth_alg="ns")
+        opts = mt.MPSOptions(nsweeps=2 * refresh_every, chi_max=10, d=3,
+                             verbosity=-1, log_level=-1, dtype="float32",
+                             svd_alg="randomized_warm", orth_alg=orth,
+                             subspace_refresh_every=refresh_every)
         blocked, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
         monkeypatch.setattr(sweep, "BOND_BLOCK", 1)
         jax.clear_caches()
