@@ -309,9 +309,12 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     block_steps = (pallas_bond_c.bond_block_steps_c if cplx
                    else pallas_bond.bond_block_steps)
 
-    def _scan_blocked(step_fn, block_fn, carry, xs, block_keys):
-        """Scan block_fn over [nb, BB]-blocked xs, then step_fn over the
-        remainder bonds; ys come back per-bond in update order."""
+    def _scan_blocked(block_fn, carry, xs, block_keys):
+        """Scan block_fn over [nb, BB]-blocked xs, then run the remainder
+        bonds as ONE more (rem-sized) block call — the block kernels are
+        Bb-static, so the tail is just another instantiation and each
+        half-sweep issues nb+1 kernels total; ys come back per-bond in
+        update order."""
         nbonds = T - 1
         nb = nbonds // BB
         ncov = nb * BB
@@ -324,8 +327,8 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
         ys_h = {k: _m(lambda a: a.reshape((ncov,) + a.shape[2:]), v)
                 for k, v in ys_h.items()}
         if ncov < nbonds:
-            xs_t = {k: _m(lambda a: a[ncov:], v) for k, v in xs.items()}
-            carry, ys_t = jax.lax.scan(step_fn, carry, xs_t)
+            xs_t = {k: _m(lambda a: a[ncov:], xs[k]) for k in block_keys}
+            carry, ys_t = block_fn(carry, xs_t)
             ys_h = {k: _m(lambda a, b: jnp.concatenate([a, b]),
                           ys_h[k], ys_t[k]) for k in ys_h}
         return carry, ys_h
@@ -342,7 +345,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 V=V, re=env_b, re_ls=ls_b, qv=Qv)
 
         (center, _, _), ys_b = _scan_blocked(
-            backward_step, backward_block, (center, e0, ls0), xs_b,
+            backward_block, (center, e0, ls0), xs_b,
             ("A", "le", "phi_l", "phi_r", "vb"))
     else:
         (center, _, _), ys_b = jax.lax.scan(backward_step, (center, e0, ls0),
@@ -426,7 +429,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 U=U, le=env_b, le_ls=ls_b, qu=Qu)
 
         (center, _, _), ys_f = _scan_blocked(
-            forward_step, forward_block, (center, e0, ls0), xs_f,
+            forward_block, (center, e0, ls0), xs_f,
             ("B", "re", "phi_l", "phi_r", "uf"))
     else:
         (center, _, _), ys_f = jax.lax.scan(forward_step, (center, e0, ls0),

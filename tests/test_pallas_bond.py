@@ -289,9 +289,9 @@ class TestPallasBondParity:
     def test_blocked_sweep_launch_structure(self, interpret):
         # Structural contract of the block route: each half-sweep compiles
         # to a block scan whose body is ONE pallas_call covering Bb bonds,
-        # plus a remainder scan whose body is the ONE single-bond K12 — so
-        # the pallas-bearing scan bodies of a full ns sweep are exactly
-        # four, each with a single kernel (T=96: 95 bonds = 11x8 + 7).
+        # plus ONE loose remainder-block kernel — so a full ns sweep at
+        # T=96 (95 bonds = 11x8 + 7) is 24 kernel launches: 2 scans of 11
+        # single-kernel bodies + 2 rem-sized tail blocks.
         from mpstime_tpu.training.sweep import _sweep_once
 
         T, chi, d, C, N = 96, 8, 3, 2, 10
@@ -313,9 +313,12 @@ class TestPallasBondParity:
             jnp.float32(1e-10))
 
         scan_counts = []
+        loose = [0]
 
-        def walk(jx):
+        def walk(jx, in_scan):
             for e in jx.eqns:
+                if e.primitive.name == "pallas_call" and not in_scan:
+                    loose[0] += 1
                 for v in e.params.values():
                     inner = getattr(v, "jaxpr", None)
                     if inner is None:
@@ -325,10 +328,13 @@ class TestPallasBondParity:
                                 for ee in inner.eqns)
                         if n:
                             scan_counts.append(n)
-                    walk(inner)
+                        walk(inner, True)
+                    else:
+                        walk(inner, in_scan)
 
-        walk(jaxpr.jaxpr)
-        assert sorted(scan_counts) == [1, 1, 1, 1], scan_counts
+        walk(jaxpr.jaxpr, False)
+        assert sorted(scan_counts) == [1, 1], scan_counts
+        assert loose[0] == 2, loose[0]
 
     @pytest.mark.parametrize("forward", [False, True])
     def test_kernel_launch_count(self, interpret, forward):
