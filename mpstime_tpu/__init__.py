@@ -18,7 +18,7 @@ from .encodings import (EncodingSpec, get_encoding, function_basis,
                         uniform_split)
 from .models.mps import MPS, SingleMPS, random_mps, contract_batch, \
     expand_label_index
-from .training.fit import fit_mps, TrainedMPS
+from .training.fit import fit_mps, fit_mps_batch, TrainedMPS
 from .summary import (classify, classify_overlap, get_training_summary,
                       sweep_summary, KL_div)
 from .utils.preprocessing import (TransformNorms, transform_data,
@@ -52,7 +52,7 @@ __all__ = [
     "uniform", "sahand_legendre", "histogram_split", "uniform_split",
     "is_omp_threading",
     "MPS", "SingleMPS", "random_mps", "contract_batch", "expand_label_index",
-    "fit_mps", "TrainedMPS",
+    "fit_mps", "fit_mps_batch", "TrainedMPS",
     "classify", "classify_overlap", "get_training_summary", "sweep_summary",
     "KL_div",
     "TransformNorms", "transform_data", "transform_train_data",

@@ -341,3 +341,137 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
 
     trained = TrainedMPS(mps, opts, norms, train_ds, custom_encoding)
     return trained, info, test_ds
+
+
+# Fields fit_mps_batch allows to differ between jobs: runtime-traced knobs
+# (eta, cutoff, the chi_max rank cap) and the init seed.  Everything else
+# shapes the compiled program and must be shared.
+_BATCH_VARIABLE_FIELDS = ("eta", "cutoff", "chi_max", "init_rng")
+
+
+def fit_mps_batch(jobs, opts: MPSOptions = None, opts_list=None
+                  ) -> list:
+    """Train F independent MPS models as ONE vmapped device program.
+
+    ``jobs``: a list of ``(X_train, y_train)`` pairs sharing T and the
+    label set; sample counts may differ (each job is padded to the
+    largest with zero-weight copies — exact for the KLD loss/gradient).
+    ``opts_list``: per-job options differing only in eta / cutoff /
+    chi_max / init_rng (the runtime-traced knobs: a padded-hyperopt
+    trial population, or CV folds at one config); pass ``opts`` instead
+    when all jobs share one config.
+
+    The sweeps run through :func:`training.sweep.batched_full_sweeps`:
+    the model axis rides every per-bond op via vmap on the XLA bond path,
+    amortizing the op-issue skeleton across models the way the Pallas
+    kernels amortize it within a bond — the complementary regime (many
+    small fits: hyperopt folds and trial populations; the reference runs
+    one sequential fit per (trial, fold), tuning.jl:158-176).  Always the
+    fused no-logging path; returns a list of TrainedMPS."""
+    from ..utils.compcache import maybe_enable_compilation_cache
+    maybe_enable_compilation_cache()
+
+    if opts_list is None:
+        opts_list = [opts if opts is not None else MPSOptions()] * len(jobs)
+    if len(opts_list) != len(jobs):
+        raise ValueError("opts_list must match jobs in length")
+    F = len(jobs)
+    if F == 0:
+        return []
+    def _static_key(o):
+        dd = o.to_dict()
+        for f in _BATCH_VARIABLE_FIELDS:
+            dd.pop(f)
+        return dd
+
+    base = _static_key(opts_list[0])
+    for o in opts_list[1:]:
+        if _static_key(o) != base:
+            raise ValueError(
+                "fit_mps_batch jobs may differ only in "
+                f"{_BATCH_VARIABLE_FIELDS}; other options shape the "
+                "compiled program and must be shared")
+
+    o0 = opts_list[0]
+    spec = get_encoding(o0.encoding, project=o0.projected_basis)
+    dtype = o0.resolved_dtype()
+    if spec.is_complex and np.dtype(dtype).kind != "c":
+        raise ValueError("Using a complex valued encoding but the MPS dtype "
+                         "is real. Set a complex dtype in MPSOptions.")
+    real_dt = np.dtype(o0.real_dtype())
+
+    # ---- per-job preprocess + encode (host-side, cheap) --------------------
+    Xs = [np.asarray(X, np.float64) for X, _ in jobs]
+    T = Xs[0].shape[1]
+    if any(X.shape[1] != T for X in Xs):
+        raise ValueError("all jobs must share the series length T")
+    ys = [np.asarray(y) if y is not None
+          else np.zeros(X.shape[0], np.int64) for (X, (_, y)) in
+          zip(Xs, jobs)]
+    labels = np.unique(ys[0])
+    C = len(labels)
+    dss, normss = [], []
+    for X, y in zip(Xs, ys):
+        if not np.array_equal(np.unique(y), labels):
+            raise ValueError("all jobs must share the label set")
+        X_s, _, norms, _ = transform_data(X, np.zeros((0, T)), opts_list[0])
+        dss.append(encode_dataset(X, X_s, y, o0, spec=spec, labels=labels,
+                                  dtype=dtype))
+        normss.append(norms)
+
+    # ---- shared caps + per-job runtime knobs -------------------------------
+    pad = o0.pad_to
+    chis = [o.chi_max for o in opts_list]
+    chi_pad = pad[0] if pad is not None else max(chis)
+    d_pad = pad[1] if pad is not None else o0.d
+    max_rank = jnp.asarray(chis, jnp.int32)        # always traced (one prog)
+    etas = jnp.asarray([o.eta for o in opts_list], real_dt)
+    cutoffs = jnp.asarray([o.cutoff for o in opts_list],
+                          np.float64 if real_dt == np.float64 else np.float32)
+
+    # ---- stack training tensors (zero-weight sample padding) ---------------
+    N_max = max(X.shape[0] for X in Xs)
+    N_max += (-N_max) % 8
+    phis_l, y1h_l, w_l, cores_l, cen_l = [], [], [], [], []
+    for o, X, ds in zip(opts_list, Xs, dss):
+        N = X.shape[0]
+        phis_c = jnp.conj(ds.X_enc).swapaxes(0, 1)
+        y1h = jax.nn.one_hot(jnp.asarray(ds.y_idx), C, dtype=real_dt)
+        counts = ds.class_distribution.astype(np.float64)
+        if o.train_classes_separately:
+            w = 1.0 / counts[ds.y_idx]
+        else:
+            w = np.full(N, 1.0 / N)
+        w = jnp.asarray(w, real_dt)
+        npad = N_max - N
+        if npad:
+            phis_c = jnp.concatenate(
+                [phis_c, jnp.repeat(phis_c[:, :1], npad, axis=1)], axis=1)
+            y1h = jnp.concatenate(
+                [y1h, jnp.repeat(y1h[:1], npad, axis=0)], axis=0)
+            w = jnp.concatenate([w, jnp.zeros((npad,), real_dt)], axis=0)
+        mps = random_mps(o.init_rng, T, o0.d, C, o.chi_init, chi_pad,
+                         dtype=dtype, pad_d=None if pad is None else d_pad)
+        phis_l.append(phis_c)
+        y1h_l.append(y1h)
+        w_l.append(w)
+        cores_l.append(mps.cores)
+        cen_l.append(mps.center)
+
+    from .sweep import batched_full_sweeps
+    cores_b, center_b = batched_full_sweeps(
+        jnp.stack(cores_l), jnp.stack(cen_l), jnp.stack(phis_l),
+        jnp.stack(y1h_l), jnp.stack(w_l), etas, cutoffs,
+        nsweeps=o0.nsweeps, loss=o0.loss_grad, bbopt=o0.bbopt,
+        update_iters=o0.update_iters, rescale=o0.rescale,
+        svd_alg=o0.resolved_svd_alg(),
+        power_iters=o0.resolved_power_iters(),
+        orth=o0.resolved_orth_alg(),
+        refresh_every=o0.subspace_refresh_every, max_rank=max_rank)
+    float(jnp.linalg.norm(center_b))     # reliable device barrier (axon)
+
+    out = []
+    for f, (o, ds, norms) in enumerate(zip(opts_list, dss, normss)):
+        mps = MPS(cores_b[f], center_b[f], T - 1).normalize()
+        out.append(TrainedMPS(mps, o, norms, ds, None))
+    return out

@@ -118,6 +118,11 @@ def _pallas_eligible(dtype, loss, bbopt, update_iters, rescale, svd_alg,
     e.g. tune(devices="cpu") on a TPU host pins jit to CPU devices while
     default_backend() still says tpu, and the Mosaic kernels cannot lower
     for CPU."""
+    if platform == "xla":
+        # explicit force-XLA sentinel (batched_full_sweeps: the model axis
+        # rides every op via vmap, which the Mosaic kernels can't batch) —
+        # checked before the interpret short-circuit on purpose
+        return False
     if svd_alg != "randomized_warm":
         return False
     if (loss, bbopt, int(update_iters)) != ("KLD", "TSGO", 1):
@@ -618,3 +623,56 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
 full_sweeps = partial(jax.jit, static_argnames=(
     "loss", "bbopt", "update_iters", "rescale", "svd_alg", "power_iters",
     "orth", "refresh_every", "axis_name", "platform"))(_full_sweeps_impl)
+
+
+def _batched_full_sweeps_impl(cores, center, phis_c, y_onehot, class_weight,
+                              eta, cutoff, *, nsweeps: int, loss: str,
+                              bbopt: str, update_iters: int,
+                              rescale: Tuple[bool, bool], svd_alg: str,
+                              power_iters: int = 1, orth: str = "qr",
+                              refresh_every: int = 1, max_rank=None
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Train F independent MPS models in ONE vmapped program.
+
+    Leading axis F on cores/center/phis_c/y_onehot/class_weight;
+    eta/cutoff/max_rank may be scalars (shared) or [F] (per-model —
+    padded hyperopt trials vary eta and the runtime chi cap, so a whole
+    trial population trains as one call).  nsweeps is the shared traced
+    fori bound.
+
+    Forces the XLA bond path (platform="xla"): under vmap the model axis
+    rides every per-bond op, so the op-issue skeleton amortizes across
+    models the way the Pallas kernels amortize it within a bond — the
+    complementary regime (many small fits: hyperopt folds and trial
+    populations).  With orth="ns" the whole batched sweep is matmuls:
+    the r3 "vmap fold-batching" dead end was the batched QR/eigh
+    serializing per element, and the NS route retired the QR itself.
+    Reference posture: one sequential fit per (trial, fold),
+    tuning.jl:158-176."""
+    F = cores.shape[0]
+    eta_b = jnp.broadcast_to(jnp.asarray(eta), (F,))
+    cut_b = jnp.broadcast_to(jnp.asarray(cutoff), (F,))
+    kw = dict(nsweeps=nsweeps, loss=loss, bbopt=bbopt,
+              update_iters=update_iters, rescale=rescale, svd_alg=svd_alg,
+              power_iters=power_iters, orth=orth,
+              refresh_every=refresh_every, axis_name=None, platform="xla")
+
+    if max_rank is None:
+        def one(co, ce, ph, y1, w, et, cu):
+            return _full_sweeps_impl(co, ce, ph, y1, w, et, cu,
+                                     max_rank=None, **kw)
+        return jax.vmap(one)(cores, center, phis_c, y_onehot,
+                             class_weight, eta_b, cut_b)
+
+    mr_b = jnp.broadcast_to(jnp.asarray(max_rank), (F,))
+
+    def one_mr(co, ce, ph, y1, w, et, cu, mr):
+        return _full_sweeps_impl(co, ce, ph, y1, w, et, cu,
+                                 max_rank=mr, **kw)
+    return jax.vmap(one_mr)(cores, center, phis_c, y_onehot,
+                            class_weight, eta_b, cut_b, mr_b)
+
+
+batched_full_sweeps = partial(jax.jit, static_argnames=(
+    "loss", "bbopt", "update_iters", "rescale", "svd_alg", "power_iters",
+    "orth", "refresh_every"))(_batched_full_sweeps_impl)

@@ -324,3 +324,77 @@ class TestWarmSplitTraining:
         assert opts.resolved_power_iters() == 3
         trained, info, ts = mt.fit_mps(Xtr, ytr, Xte, yte, opts)
         assert info["test_acc"][-1] >= 0.74
+
+
+class TestBatchedFit:
+    """fit_mps_batch: F independent models as one vmapped program
+    (training/sweep.batched_full_sweeps — the XLA bond path with the model
+    axis riding every op)."""
+
+    def test_batched_matches_sequential_nondegenerate(self):
+        # On a generic (non-degenerate) start the vmapped program matches
+        # per-model sequential sweeps to f64 roundoff; on the production
+        # padded init the trajectories diverge benignly (degenerate
+        # early-sweep spectra — the documented sharded-vs-single class).
+        import jax
+        import jax.numpy as jnp
+
+        from mpstime_tpu.training.sweep import batched_full_sweeps, full_sweeps
+
+        rng = np.random.default_rng(5)
+        T, chi, d, C, N, F = 16, 8, 3, 2, 24, 3
+        cores = jnp.asarray(rng.standard_normal((T, chi, d, chi)))
+        center = jnp.asarray(rng.standard_normal((chi, d, chi, C)))
+        w = jnp.full((N,), 1.0 / N)
+        kw = dict(nsweeps=2, loss="KLD", bbopt="TSGO", update_iters=1,
+                  rescale=(False, True), svd_alg="randomized_warm",
+                  power_iters=1, orth="ns")
+        ph_f = jnp.stack([jnp.asarray(rng.uniform(-0.8, 0.8, (T, N, d)))
+                          for _ in range(F)])
+        y_f = jnp.stack([jnp.asarray(np.eye(C)[rng.integers(0, C, N)])
+                         for _ in range(F)])
+        w_f = jnp.stack([w] * F)
+        etas = jnp.asarray([0.05, 0.08, 0.03])
+        bc, bce = batched_full_sweeps(
+            jnp.stack([cores] * F), jnp.stack([center] * F), ph_f, y_f,
+            w_f, etas, jnp.float64(1e-10), **kw)
+        for f in range(F):
+            sc, sce = full_sweeps(cores, center, ph_f[f], y_f[f], w_f[f],
+                                  etas[f], jnp.float64(1e-10),
+                                  platform="xla", **kw)
+            np.testing.assert_allclose(np.asarray(bc[f]), np.asarray(sc),
+                                       rtol=1e-8, atol=1e-9)
+            np.testing.assert_allclose(np.asarray(bce[f]), np.asarray(sce),
+                                       rtol=1e-8, atol=1e-9)
+
+    def test_fold_batch_quality(self, ecg200):
+        Xtr, ytr, Xte, yte = ecg200
+        jobs = [(Xtr[i:i + 80], ytr[i:i + 80]) for i in (0, 10, 20)]
+        opts = mt.MPSOptions(nsweeps=4, chi_max=15, d=4, verbosity=-1,
+                             log_level=-1, dtype="float32")
+        models = mt.fit_mps_batch(jobs, opts=opts)
+        assert len(models) == 3
+        for m in models:
+            acc = np.mean(mt.classify(m, Xte) == yte)
+            assert acc > 0.7, acc
+
+    def test_trial_population_rank_caps(self, ecg200):
+        # per-job eta + runtime chi cap under a shared padded program —
+        # the hyperopt trial axis as one device call
+        Xtr, ytr, *_ = ecg200
+        opts = mt.MPSOptions(nsweeps=3, chi_max=15, d=4, verbosity=-1,
+                             log_level=-1, dtype="float32")
+        ol = [opts.replace(eta=e, chi_max=c, pad_to=(20, 4))
+              for e, c in ((0.02, 10), (0.05, 15), (0.1, 20))]
+        models = mt.fit_mps_batch([(Xtr, ytr)] * 3, opts_list=ol)
+        for m, o in zip(models, ol):
+            assert int(np.max(m.mps.bond_dims())) <= o.chi_max
+            acc = np.mean(mt.classify(m, Xtr) == ytr)
+            assert acc > 0.7, acc
+
+    def test_mismatched_static_opts_raise(self, ecg200):
+        Xtr, ytr, *_ = ecg200
+        opts = mt.MPSOptions(nsweeps=2, chi_max=10, d=4, verbosity=-1)
+        with pytest.raises(ValueError, match="may differ only in"):
+            mt.fit_mps_batch([(Xtr, ytr)] * 2,
+                             opts_list=[opts, opts.replace(d=5)])
