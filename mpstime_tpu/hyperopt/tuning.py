@@ -174,6 +174,7 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
          devices=None,
          impute_method: str = "median",
          padded_trials: bool = True,
+         fold_batch: bool = False,
          pre_string: str = "") -> Tuple[Dict[str, Any], Dict]:
     """nfolds-fold hyperparameter tuning (reference tune, tuning.jl:354-512).
 
@@ -192,6 +193,17 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
     per distinct (chi_max, d); the compute overhead of cap-sized shapes is
     negligible next to the compiles it saves.  Ignored when the bounds
     cannot be derived.
+
+    ``fold_batch``: train a trial's CV folds as ONE vmapped device
+    program (:func:`~mpstime_tpu.fit_mps_batch`) instead of
+    sequentially — the fold axis rides every per-bond op, amortizing the
+    op-issue skeleton across folds.  Opt-in: batched and sequential fits
+    take different-but-equally-valid trajectories on the degenerate
+    initial spectra (reassociation epsilon — the sharded-vs-single
+    class), so the per-fold losses are not bit-reproducible against the
+    sequential route; the per-fold svd retry degrades to a whole-trial
+    sequential retry.  Ignored on fold-farming device pools (they own
+    the fold axis).
 
     Returns (best_params dict, cache dict mapping hyperparameter tuples to
     mean CV loss)."""
@@ -292,6 +304,35 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
                   f"finished in {time.time() - t0:.2f}s (loss={loss:.6g})")
         return loss
 
+    def sequential_folds_loss(hparams, opts) -> float:
+        return float(np.mean([cvloss(f, hparams, opts)
+                              for f in range(len(folds))]))
+
+    def folds_loss(hparams, opts) -> float:
+        """Mean CV loss of one trial.  With ``fold_batch``, all folds train
+        as ONE vmapped device call (fit_mps_batch); a numerical divergence
+        anywhere in the batch falls back to the sequential route, which
+        keeps the reference's per-fold svd retry semantics (tuning.jl:73-84)."""
+        if not fold_batch or len(folds) == 1:
+            return sequential_folds_loss(hparams, opts)
+        from ..training.fit import fit_mps_batch
+        t0 = time.time()
+        try:
+            models = fit_mps_batch([(Xs[tr], ys[tr]) for tr, _ in folds],
+                                   opts=opts)
+            losses = [float(np.mean(eval_loss(objective, m, Xs[val], ys[val],
+                                              windows, method=impute_method)))
+                      for m, (_, val) in zip(models, folds)]
+        except (FloatingPointError, np.linalg.LinAlgError):
+            if verbosity >= 1:
+                print(f"{pre_string}iter {state['iters']}: batched folds "
+                      "diverged, retrying sequentially")
+            return sequential_folds_loss(hparams, opts)
+        if verbosity >= 1:
+            print(f"{pre_string}iter {state['iters']}: {len(folds)} folds "
+                  f"batched in {time.time() - t0:.2f}s")
+        return float(np.mean(losses))
+
     from ..parallel.farm import (DeviceFarm, resolve_devices,
                                  resolve_process_farm)
 
@@ -374,12 +415,13 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
             if farm is not None and not farm_trials:
                 losses = farm.map(lambda f: cvloss(f, hparams, opts),
                                   range(len(folds)))
+                loss = float(np.mean(losses))
             elif executor is not None:
                 losses = list(executor.map(
                     lambda f: cvloss(f, hparams, opts), range(len(folds))))
+                loss = float(np.mean(losses))
             else:
-                losses = [cvloss(f, hparams, opts) for f in range(len(folds))]
-            loss = float(np.mean(losses))
+                loss = folds_loss(hparams, opts)
             with _ilock:
                 cache[key] = loss
         finally:
@@ -400,8 +442,7 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
         opts = opts0.replace(**hparams)
         if pad_caps is not None:
             opts = opts.replace(pad_to=pad_caps)
-        return float(np.mean([cvloss(f, hparams, opts)
-                              for f in range(len(folds))]))
+        return folds_loss(hparams, opts)
 
     def farmed_trials_map(xs) -> list:
         """Process-farmed twin of tr_objective for a BATCH of trial points

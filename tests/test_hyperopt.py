@@ -299,3 +299,25 @@ class TestTuneEndToEnd:
         assert res2[0]["fold"] == 0 and res2[1]["fold"] == 1
         # fold 0 was loaded from the checkpoint
         assert res2[0]["loss"] == res1[0]["loss"]
+
+
+class TestFoldBatch:
+    def test_tune_fold_batch_route(self, ecg200):
+        # fold_batch=True trains each trial's CV folds as ONE vmapped
+        # device call (fit_mps_batch).  Trajectories differ benignly from
+        # the sequential route (degenerate-spectrum reassociation), so the
+        # contract is a valid search result over the same trial set, not
+        # bitwise-equal losses.
+        Xtr, ytr, *_ = ecg200
+        X, y = Xtr[:50], ytr[:50]
+        params = {"eta": (0.01, 0.1), "chi_max": [10, 15], "d": [4]}
+        opts0 = mt.MPSOptions(nsweeps=2, verbosity=-5, log_level=-1,
+                              dtype="float32", sigmoid_transform=True)
+        best, cache = mt.tune(X, y, nfolds=3, parameters=params,
+                              objective=mt.MisclassificationRate(),
+                              opts0=opts0, maxiters=3, verbosity=-1,
+                              rng=7, fold_batch=True)
+        assert set(best) == {"eta", "chi_max", "d"}
+        assert best["chi_max"] in (10, 15)
+        assert len(cache) == 3
+        assert all(np.isfinite(v) for v in cache.values())
