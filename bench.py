@@ -220,6 +220,42 @@ def _tune_fold_train_time(reps=3):
     return float(np.median(times)), acc
 
 
+def _batched_fit_time(reps=3, F=8):
+    """F IPD-shaped fits as ONE vmapped device call (fit_mps_batch, the
+    hyperopt fold/trial-axis route) vs the same F fits sequentially through
+    fit_mps — the many-small-fits throughput datapoint (reference posture:
+    one sequential fit per (trial, fold), tuning.jl:158-176)."""
+    import mpstime_tpu as mt
+
+    rng = np.random.default_rng(2)
+    T = 24
+    t_ax = np.linspace(0, 2 * np.pi, T)
+    jobs = []
+    for _ in range(F):
+        Xf = np.concatenate([
+            np.sin(t_ax[None] + rng.uniform(0, 6, (27, 1))),
+            np.sin(3 * t_ax[None] + rng.uniform(0, 6, (27, 1)))])
+        Xf += 0.1 * rng.standard_normal(Xf.shape)
+        jobs.append((Xf, np.repeat([0, 1], 27)))
+    opts = mt.MPSOptions(nsweeps=5, chi_max=20, d=4, verbosity=-1,
+                         log_level=-1, dtype="float32")
+    mt.fit_mps_batch(jobs, opts=opts)                            # warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        models = mt.fit_mps_batch(jobs, opts=opts)
+        times.append(time.perf_counter() - t0)
+    t_batch = float(np.median(times))
+    acc = float(np.mean([np.mean(mt.classify(m, X) == y)
+                         for m, (X, y) in zip(models, jobs)]))
+    mt.fit_mps(*jobs[0], opts=opts)                              # warm
+    t0 = time.perf_counter()
+    for Xf, yf in jobs:
+        mt.fit_mps(Xf, yf, opts=opts)
+    t_seq = time.perf_counter() - t0
+    return t_batch, t_seq, round(t_seq / max(t_batch, 1e-9), 2), acc
+
+
 _MESH_CHILD = r"""
 import json, os, time
 flags = os.environ.get("XLA_FLAGS", "")
@@ -415,6 +451,8 @@ def main():
          "tune_fold_train_acc")
     step(lambda: _padded_fit_time(X, y), "padded_trial_fit_time",
          "padded_rank_cap_ok")
+    step(_batched_fit_time, "batched_fit8_time", "sequential_fit8_time",
+         "batched_fit8_speedup", "batched_fit8_mean_train_acc")
     # chi=320 last + isolated: its split-tail cold compile is the one
     # workload that can take down the compile helper (see _chi320_datapoint)
     record.update(_chi320_datapoint())
