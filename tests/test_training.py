@@ -398,3 +398,18 @@ class TestBatchedFit:
         with pytest.raises(ValueError, match="may differ only in"):
             mt.fit_mps_batch([(Xtr, ytr)] * 2,
                              opts_list=[opts, opts.replace(d=5)])
+
+    def test_complex_encoding_batch(self, ecg200):
+        Xtr, ytr, *_ = ecg200
+        X, y = Xtr[:60], ytr[:60]
+        opts = mt.MPSOptions(nsweeps=3, chi_max=12, d=4, verbosity=-1,
+                             log_level=-1, encoding="Fourier",
+                             dtype="complex64")
+        ms = mt.fit_mps_batch([(X[:50], y[:50]), (X[10:], y[10:])],
+                              opts=opts)
+        for m in ms:
+            assert np.asarray(m.mps.center).dtype == np.complex64
+            acc = np.mean(mt.classify(m, X) == y)
+            # fourier at d=4/chi=12/3 sweeps is a weak learner (cf. the
+            # complex-kernel e2e floors); the floor catches route breakage
+            assert acc > 0.6, acc
