@@ -44,6 +44,7 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
              n_workers: int = 0,
              devices=None,
              padded_trials: bool = True,
+             fold_batch: bool = False,
              write: bool = False,
              writedir: str = "evals",
              simname: Optional[str] = None,
@@ -59,7 +60,11 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
     outer folds, the device list is partitioned between the folds (the
     ``divide_procs`` analog, hyperopt_utils.jl:49-60) and each fold's inner
     ``tune`` farms its CV folds over its sublist; otherwise inner tunes run
-    sequentially within each fold's device."""
+    sequentially within each fold's device.
+
+    ``fold_batch``: passed through to the inner ``tune`` — each trial's CV
+    folds train as one vmapped device call (see tune's docstring for the
+    trajectory caveat)."""
     if ys is None:
         ys = np.zeros(Xs.shape[0], dtype=np.int64)
     Xs = np.asarray(Xs, dtype=np.float64)
@@ -153,7 +158,7 @@ def evaluate(Xs: np.ndarray, ys: Optional[np.ndarray] = None,
             maxiters=tuning_maxiters, verbosity=verbosity, rng=g_inner,
             foldmethod=tuning_foldmethod, impute_method=impute_method,
             n_workers=n_workers, devices=inner_devices,
-            padded_trials=padded_trials,
+            padded_trials=padded_trials, fold_batch=fold_batch,
             pre_string=f"Fold {fold}: ")
 
         opts = opts0.replace(**best_params)
