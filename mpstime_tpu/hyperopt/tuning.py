@@ -202,8 +202,8 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
     initial spectra (reassociation epsilon — the sharded-vs-single
     class), so the per-fold losses are not bit-reproducible against the
     sequential route; the per-fold svd retry degrades to a whole-trial
-    sequential retry.  Ignored on fold-farming device pools (they own
-    the fold axis).
+    sequential retry.  Ignored where something else owns the fold axis:
+    fold-farming device pools and ``n_workers`` thread pools.
 
     Returns (best_params dict, cache dict mapping hyperparameter tuples to
     mean CV loss)."""
@@ -323,10 +323,21 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
             losses = [float(np.mean(eval_loss(objective, m, Xs[val], ys[val],
                                               windows, method=impute_method)))
                       for m, (_, val) in zip(models, folds)]
-        except (FloatingPointError, np.linalg.LinAlgError):
+        except (FloatingPointError, np.linalg.LinAlgError, ValueError):
+            # ValueError: a fold's training split can miss a rare class
+            # (fit_mps_batch requires a shared label set); the sequential
+            # route trains that fold on its own labels and continues.
             if verbosity >= 1:
                 print(f"{pre_string}iter {state['iters']}: batched folds "
-                      "diverged, retrying sequentially")
+                      "unavailable/diverged, retrying sequentially")
+            return sequential_folds_loss(hparams, opts)
+        if not np.all(np.isfinite(losses)):
+            # in-device divergence raises nothing — a NaN trial loss would
+            # poison the search; route through the sequential path, which
+            # carries the reference's per-fold svd retry (tuning.jl:73-84)
+            if verbosity >= 1:
+                print(f"{pre_string}iter {state['iters']}: batched folds "
+                      "produced non-finite losses, retrying sequentially")
             return sequential_folds_loss(hparams, opts)
         if verbosity >= 1:
             print(f"{pre_string}iter {state['iters']}: {len(folds)} folds "

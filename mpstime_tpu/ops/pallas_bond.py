@@ -101,6 +101,19 @@ def kernel_footprint(C: int, chi: int, d: int, N: int) -> int:
     return bt + subspace + batch
 
 
+def k12_footprint(C: int, chi: int, d: int, N: int) -> int:
+    """Estimated VMEM residents of the SINGLE-kernel bond step (K12): the
+    two-kernel working set plus K2's additions that now share the kernel —
+    the projected split blocks + masked center emission (~2x bt/d), the new
+    core, and the env outputs.  Gating K12 on this (not kernel_footprint)
+    keeps the fused-everything kernel out of the ~18 MB band where the
+    in-kernel power tail is known to crash the Mosaic compiler; shapes past
+    it fall back to the proven two-kernel / split-tail routes."""
+    f = 4
+    k2_extra = (2 * C * chi * d * chi + chi * d * chi + 2 * N * chi) * f
+    return kernel_footprint(C, chi, d, N) + k2_extra
+
+
 def set_interpret(flag: bool) -> None:
     """Run the kernels in interpreter mode (CPU testing)."""
     global _INTERPRET
@@ -858,14 +871,14 @@ def _k12_call(scal, left, right, le, re, phil, phir, y1h, w, V0, env_ls, *,
 # --------------------------------------------------------------------------
 
 def block_footprint(C: int, chi: int, d: int, N: int, Bb: int) -> int:
-    """Estimated VMEM residents of the Bb-bond block kernel: the
-    single-bond working set, the center scratch carry, and the Bb-blocked
-    operand/output refs."""
+    """Estimated VMEM residents of the Bb-bond block kernel: the merged
+    single-bond working set (k12_footprint), the center scratch carry, and
+    the Bb-blocked operand/output refs."""
     f = 4
     per_bond = (3 * chi * d * chi       # lhs + new core + subspace cache
                 + 2 * N * chi           # env operand + env output
                 + 2 * N * d + N) * f    # phis + log-scales
-    return (kernel_footprint(C, chi, d, N)
+    return (k12_footprint(C, chi, d, N)
             + C * chi * d * chi * f     # center scratch
             + Bb * per_bond)
 
@@ -1060,9 +1073,11 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
 
     # Single-kernel route: when nothing has to run OUTSIDE the kernel
     # between K1 and K2 (orth="ns" refresh bonds; frozen bonds under any
-    # orth) and the footprint fits the monolith range, the whole bond
-    # step is ONE pallas_call and the bond tensor never touches HBM.
-    if (axis_name is None and est <= SPLIT_TAIL_FOOTPRINT
+    # orth) and the WHOLE merged working set (k12_footprint — K1 + tail +
+    # K2) fits the monolith range, the bond step is ONE pallas_call and
+    # the bond tensor never touches HBM.
+    if (axis_name is None
+            and k12_footprint(C, chi, d, le.shape[0]) <= SPLIT_TAIL_FOOTPRINT
             and (not refresh or orth == "ns")):
         scal = jnp.stack([eta.astype(jnp.float32),
                           cutoff.astype(jnp.float32), mr])[None, :]

@@ -949,8 +949,11 @@ def bond_step_c(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
     else:
         left, right = A_or_B, center_c
 
-    # Single-kernel route (pair twin of pallas_bond's K12 path)
-    if (axis_name is None and est <= pb.SPLIT_TAIL_FOOTPRINT
+    # Single-kernel route (pair twin of pallas_bond's K12 path; the gate
+    # uses the merged K1+K2 working set, doubled for the pair layout)
+    if (axis_name is None
+            and 2 * pb.k12_footprint(C, chi, d, le[0].shape[0])
+            <= pb.SPLIT_TAIL_FOOTPRINT
             and (not refresh or orth == "ns")):
         scal = jnp.stack([eta.astype(jnp.float32),
                           cutoff.astype(jnp.float32), mr])[None, :]

@@ -44,6 +44,21 @@ class TrainedMPS:
         return get_encoding(self.opts.encoding, project=self.opts.projected_basis)
 
 
+def _pad_sample_axis(phis_c, y_onehot, class_weight, npad, real_dt):
+    """Pad the sample axis with ``npad`` zero-weight copies of the first
+    sample: every contraction stays finite while the copies contribute
+    exactly nothing to the loss/gradient (w = 0)."""
+    if not npad:
+        return phis_c, y_onehot, class_weight
+    phis_c = jnp.concatenate(
+        [phis_c, jnp.repeat(phis_c[:, :1], npad, axis=1)], axis=1)
+    y_onehot = jnp.concatenate(
+        [y_onehot, jnp.repeat(y_onehot[:1], npad, axis=0)], axis=0)
+    class_weight = jnp.concatenate(
+        [class_weight, jnp.zeros((npad,), real_dt)], axis=0)
+    return phis_c, y_onehot, class_weight
+
+
 def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
             X_test: Optional[np.ndarray] = None,
             y_test: Optional[np.ndarray] = None,
@@ -160,28 +175,14 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
         # guarantees sharing; the multiple-of-8 fallback only helps when
         # the sizes don't straddle a bucket boundary.
         target = max(N, pad_samples_to) if pad_samples_to else N + (-N) % 8
-        npad = target - N
-        if npad:
-            phis_c = jnp.concatenate(
-                [phis_c, jnp.repeat(phis_c[:, :1], npad, axis=1)], axis=1)
-            y_onehot = jnp.concatenate(
-                [y_onehot, jnp.repeat(y_onehot[:1], npad, axis=0)], axis=0)
-            class_weight = jnp.concatenate(
-                [class_weight, jnp.zeros((npad,), real_dt)], axis=0)
+        phis_c, y_onehot, class_weight = _pad_sample_axis(
+            phis_c, y_onehot, class_weight, target - N, real_dt)
 
     if mesh is not None:
         from ..parallel import replicate, shard_train_arrays
         n_dev = int(np.prod(list(mesh.shape.values())))
-        mesh_pad = (-N) % n_dev
-        if mesh_pad:
-            # zero-weight copies of the first sample keep every shard's
-            # contractions finite while contributing nothing to loss/grad
-            phis_c = jnp.concatenate(
-                [phis_c, jnp.repeat(phis_c[:, :1], mesh_pad, axis=1)], axis=1)
-            y_onehot = jnp.concatenate(
-                [y_onehot, jnp.repeat(y_onehot[:1], mesh_pad, axis=0)], axis=0)
-            class_weight = jnp.concatenate(
-                [class_weight, jnp.zeros((mesh_pad,), real_dt)], axis=0)
+        phis_c, y_onehot, class_weight = _pad_sample_axis(
+            phis_c, y_onehot, class_weight, (-N) % n_dev, real_dt)
         phis_c, y_onehot, class_weight = shard_train_arrays(
             mesh, phis_c, y_onehot, class_weight)
 
@@ -443,13 +444,7 @@ def fit_mps_batch(jobs, opts: MPSOptions = None, opts_list=None
         else:
             w = np.full(N, 1.0 / N)
         w = jnp.asarray(w, real_dt)
-        npad = N_max - N
-        if npad:
-            phis_c = jnp.concatenate(
-                [phis_c, jnp.repeat(phis_c[:, :1], npad, axis=1)], axis=1)
-            y1h = jnp.concatenate(
-                [y1h, jnp.repeat(y1h[:1], npad, axis=0)], axis=0)
-            w = jnp.concatenate([w, jnp.zeros((npad,), real_dt)], axis=0)
+        phis_c, y1h, w = _pad_sample_axis(phis_c, y1h, w, N_max - N, real_dt)
         mps = random_mps(o.init_rng, T, o0.d, C, o.chi_init, chi_pad,
                          dtype=dtype, pad_d=None if pad is None else d_pad)
         phis_l.append(phis_c)

@@ -61,10 +61,17 @@ def main():
         return
     for enc, chi, src in CONFIGS:
         for block in ("auto", "1"):
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child",
-                 enc, str(chi), src, block],
-                capture_output=True, text=True, timeout=3600)
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--child",
+                     enc, str(chi), src, block],
+                    capture_output=True, text=True, timeout=3600)
+            except subprocess.TimeoutExpired:
+                # one hung child (remote-compile stall) costs one datapoint,
+                # not the sweep
+                print(json.dumps({"enc": enc, "chi": chi, "block": block,
+                                  "error": "timeout 3600s"}), flush=True)
+                continue
             line = [ln for ln in r.stdout.splitlines()
                     if ln.startswith("{")]
             if line:
