@@ -56,7 +56,10 @@ BOND_BLOCK = None
 """Override for the multi-bond block size (K12m): None = auto (largest of
 8/6/4/3/2 whose block footprint fits pallas_bond.BLOCK_MAX_FOOTPRINT),
 1 = disable blocking (probe/debug knob — read at trace time, so changing
-it requires a retrace)."""
+it requires a retrace).  The MPSTIME_TPU_BOND_BLOCK env var is an
+equivalent per-process override (module state wins if both are set) —
+the subprocess-friendly hatch for disabling the block route on a
+platform where it misbehaves without demoting to XLA entirely."""
 
 
 def _auto_block(C: int, chi: int, d: int, N: int, T: int,
@@ -66,8 +69,13 @@ def _auto_block(C: int, chi: int, d: int, N: int, T: int,
     operands), whose cap is also lower — the pair NS unroll is ~4x the
     instructions per power step and q defaults to 3, so the compile-size
     budget spends faster."""
-    if BOND_BLOCK is not None:
-        return max(1, min(int(BOND_BLOCK), T - 1))
+    block = BOND_BLOCK
+    if block is None:
+        env = os.environ.get("MPSTIME_TPU_BOND_BLOCK")
+        if env:
+            block = int(env)
+    if block is not None:
+        return max(1, min(int(block), T - 1))
     for Bb in (8, 6, 4, 3, 2):
         if (Bb <= min(cap, T - 1)
                 and factor * pallas_bond.block_footprint(C, chi, d, N, Bb)
