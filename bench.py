@@ -32,6 +32,19 @@ import time
 import numpy as np
 
 
+def synth_two_sine(rng, n_a, n_b, T, t_max=2 * np.pi):
+    """Two-class synthetic workload (sin(t+phase) vs sin(3t+phase) + noise)
+    — the IPD-shaped / long-T benchmark generator, shared by every datapoint
+    that uses it (and by scripts/block_tpu_probe.py) so the shapes cannot
+    silently diverge."""
+    t_ax = np.linspace(0, t_max, T)
+    X = np.concatenate([
+        np.sin(t_ax[None] + rng.uniform(0, 6, (n_a, 1))),
+        np.sin(3 * t_ax[None] + rng.uniform(0, 6, (n_b, 1)))])
+    X += 0.1 * rng.standard_normal(X.shape)
+    return X, np.repeat([0, 1], [n_a, n_b])
+
+
 def _sync(x):
     """block_until_ready is a no-op on some remote platforms; transfer a
     scalar as a reliable barrier."""
@@ -200,14 +213,7 @@ def _tune_fold_train_time(reps=3):
     preprocessing + encoding, fused-sweep path."""
     import mpstime_tpu as mt
 
-    rng = np.random.default_rng(1)
-    T = 24
-    t_ax = np.linspace(0, 2 * np.pi, T)
-    X = np.concatenate([
-        np.sin(t_ax[None] + rng.uniform(0, 6, (27, 1))),
-        np.sin(3 * t_ax[None] + rng.uniform(0, 6, (27, 1)))])
-    X += 0.1 * rng.standard_normal(X.shape)
-    y = np.repeat([0, 1], 27)
+    X, y = synth_two_sine(np.random.default_rng(1), 27, 27, T=24)
     opts = mt.MPSOptions(nsweeps=10, chi_max=37, d=8, verbosity=-1,
                          log_level=-1, dtype="float32")
     mt.fit_mps(X, y, opts=opts)                                  # warm
@@ -228,15 +234,7 @@ def _batched_fit_time(reps=3, F=8):
     import mpstime_tpu as mt
 
     rng = np.random.default_rng(2)
-    T = 24
-    t_ax = np.linspace(0, 2 * np.pi, T)
-    jobs = []
-    for _ in range(F):
-        Xf = np.concatenate([
-            np.sin(t_ax[None] + rng.uniform(0, 6, (27, 1))),
-            np.sin(3 * t_ax[None] + rng.uniform(0, 6, (27, 1)))])
-        Xf += 0.1 * rng.standard_normal(Xf.shape)
-        jobs.append((Xf, np.repeat([0, 1], 27)))
+    jobs = [synth_two_sine(rng, 27, 27, T=24) for _ in range(F)]
     opts = mt.MPSOptions(nsweeps=5, chi_max=20, d=4, verbosity=-1,
                          log_level=-1, dtype="float32")
     mt.fit_mps_batch(jobs, opts=opts)                            # warm
@@ -417,25 +415,13 @@ def main():
 
     # long-sequence scaling: T=512 synthetic, ECG-like sample count
     rng = np.random.default_rng(0)
-    T_long = 512
-    t_ax = np.linspace(0, 8 * np.pi, T_long)
-    Xl = np.concatenate([
-        np.sin(t_ax[None] + rng.uniform(0, 6, (50, 1))),
-        np.sin(3 * t_ax[None] + rng.uniform(0, 6, (50, 1)))])
-    Xl += 0.1 * rng.standard_normal(Xl.shape)
-    yl = np.repeat([0, 1], 50)
+    Xl, yl = synth_two_sine(rng, 50, 50, T=512, t_max=8 * np.pi)
     step(lambda: _steady_sweep_time(Xl, yl, chi=64, d=5, nsweeps_block=4,
                                     measure_percall=False)[0],
          "longT512_sweep_time_chi64")
 
     # IPD-shaped synthetic anchor workload (T=24, N=67, 2 classes)
-    T_ipd = 24
-    t_ax = np.linspace(0, 2 * np.pi, T_ipd)
-    Xi = np.concatenate([
-        np.sin(t_ax[None] + rng.uniform(0, 6, (34, 1))),
-        np.sin(3 * t_ax[None] + rng.uniform(0, 6, (33, 1)))])
-    Xi += 0.1 * rng.standard_normal(Xi.shape)
-    yi = np.repeat([0, 1], [34, 33])
+    Xi, yi = synth_two_sine(rng, 34, 33, T=24)
     # tiny workload -> most sensitive to remote-service jitter; use more
     # reps (measured swings up to 8x with 3 reps)
     step(lambda: _steady_sweep_time(Xi, yi, chi=25, d=5, reps=9,

@@ -203,7 +203,10 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
     class), so the per-fold losses are not bit-reproducible against the
     sequential route; the per-fold svd retry degrades to a whole-trial
     sequential retry.  Ignored where something else owns the fold axis:
-    fold-farming device pools and ``n_workers`` thread pools.
+    fold-farming device pools and ``n_workers`` thread pools.  It DOES
+    compose with trial farming (``devices="processes:N"`` with more
+    workers than folds): each farmed trial then runs its folds as one
+    vmapped call inside its worker.
 
     Returns (best_params dict, cache dict mapping hyperparameter tuples to
     mean CV loss)."""
@@ -446,8 +449,10 @@ def tune(Xs: np.ndarray, ys: Optional[np.ndarray] = None, nfolds: int = 5,
     def trial_mean_loss(optslist) -> float:
         """One whole trial as a self-contained job (ships to a ProcessFarm
         worker via cloudpickle): round the raw point, train the CV folds
-        sequentially, return the mean loss.  No shared state — the cache /
-        stop bookkeeping happens in farmed_trials_map on the parent."""
+        via folds_loss (sequential, or one vmapped fit_mps_batch call per
+        trial when ``fold_batch`` — the knob composes with trial farming),
+        return the mean loss.  No shared state — the cache / stop
+        bookkeeping happens in farmed_trials_map on the parent."""
         hparams = _safe_paramlist(optslist, fields, types, value_map,
                                   logspace_eta)
         opts = opts0.replace(**hparams)

@@ -1076,15 +1076,20 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
     # orth) and the WHOLE merged working set (k12_footprint — K1 + tail +
     # K2) fits the monolith range, the bond step is ONE pallas_call and
     # the bond tensor never touches HBM.
+    est_k12 = k12_footprint(C, chi, d, le.shape[0])
     if (axis_name is None
-            and k12_footprint(C, chi, d, le.shape[0]) <= SPLIT_TAIL_FOOTPRINT
+            and est_k12 <= SPLIT_TAIL_FOOTPRINT
             and (not refresh or orth == "ns")):
         scal = jnp.stack([eta.astype(jnp.float32),
                           cutoff.astype(jnp.float32), mr])[None, :]
+        # budget escalation keyed on the MERGED working set (the gate's
+        # measure), not the two-kernel estimate — else shapes whose K1
+        # footprint sits under the default budget but whose K12 set
+        # exceeds it get no raised vmem_limit_bytes and Mosaic rejects
         center2, core, env2, env_ls2, Q = _k12_call(
             scal, left, right, le, re, phil, phir, y1h, w2, V0,
             env_ls[:, None], C=C, chi=chi, d=d, forward=forward,
-            emit_y=refresh, q=power_iters, orth=orth, est=est)
+            emit_y=refresh, q=power_iters, orth=orth, est=est_k12)
         return center2, core, env2, env_ls2[:, 0], Q
 
     # Past SPLIT_TAIL_FOOTPRINT the in-kernel power tail crashes the Mosaic

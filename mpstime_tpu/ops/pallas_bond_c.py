@@ -951,16 +951,18 @@ def bond_step_c(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
 
     # Single-kernel route (pair twin of pallas_bond's K12 path; the gate
     # uses the merged K1+K2 working set, doubled for the pair layout)
+    est_k12 = 2 * pb.k12_footprint(C, chi, d, le[0].shape[0])
     if (axis_name is None
-            and 2 * pb.k12_footprint(C, chi, d, le[0].shape[0])
-            <= pb.SPLIT_TAIL_FOOTPRINT
+            and est_k12 <= pb.SPLIT_TAIL_FOOTPRINT
             and (not refresh or orth == "ns")):
         scal = jnp.stack([eta.astype(jnp.float32),
                           cutoff.astype(jnp.float32), mr])[None, :]
+        # budget escalation keyed on the merged pair working set (the
+        # gate's own measure), not the two-kernel estimate
         (c_r, c_i, k_r, k_i, e_r, e_i, ls2, q_r, q_i) = _k12c_call(
             scal, y1h, w2, left, right, le, re, phil, phir, V0,
             env_ls[:, None], C=C, chi=chi, d=d, forward=forward,
-            emit_y=refresh, q=power_iters, orth=orth, est=est)
+            emit_y=refresh, q=power_iters, orth=orth, est=est_k12)
         return ((c_r, c_i), (k_r, k_i), (e_r, e_i), ls2[:, 0], (q_r, q_i))
 
     # Large-chi route (mirrors pallas_bond.bond_step): past

@@ -181,8 +181,11 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
     if mesh is not None:
         from ..parallel import replicate, shard_train_arrays
         n_dev = int(np.prod(list(mesh.shape.values())))
+        # pad from the CURRENT sample-axis length (pad_samples_to may have
+        # grown it past N) so the shard axis is always divisible by n_dev
+        n_cur = phis_c.shape[1]
         phis_c, y_onehot, class_weight = _pad_sample_axis(
-            phis_c, y_onehot, class_weight, (-N) % n_dev, real_dt)
+            phis_c, y_onehot, class_weight, (-n_cur) % n_dev, real_dt)
         phis_c, y_onehot, class_weight = shard_train_arrays(
             mesh, phis_c, y_onehot, class_weight)
 

@@ -39,14 +39,9 @@ def child(enc: str, chi: int, src: str, block: str):
     if src == "ecg":
         d_npz = np.load(os.path.join(_REPO, "tests/data/ecg200.npz"))
         X, y = d_npz["X_train"], d_npz["y_train"]
-    else:  # IPD-shaped synthetic (T=24, N=54)
-        rng = np.random.default_rng(1)
-        t_ax = np.linspace(0, 2 * np.pi, 24)
-        X = np.concatenate([
-            np.sin(t_ax[None] + rng.uniform(0, 6, (27, 1))),
-            np.sin(3 * t_ax[None] + rng.uniform(0, 6, (27, 1)))])
-        X += 0.1 * rng.standard_normal(X.shape)
-        y = np.repeat([0, 1], 27)
+    else:  # IPD-shaped synthetic (T=24, N=54) — bench.py's shared generator
+        from bench import synth_two_sine
+        X, y = synth_two_sine(np.random.default_rng(1), 27, 27, T=24)
 
     from scripts.ns_orth_tpu_probe import steady
     t, acc = steady(X, y, chi, 5, "ns", encoding=enc)

@@ -369,6 +369,23 @@ def test_fit_mps_mesh_production_config(ecg200):
     assert acc >= 0.9
 
 
+def test_fit_mps_mesh_with_pad_samples_to(ecg200):
+    """mesh + pad_samples_to compose: the mesh shard pad must be computed
+    from the ALREADY-padded sample-axis length, not the raw N (regression:
+    N=50 padded to 54 then +(-50)%8=6 gave 60 — not divisible by 8)."""
+    import mpstime_tpu as mt
+
+    Xtr, ytr, *_ = ecg200
+    Xtr, ytr = Xtr[:50], ytr[:50]
+    opts = mt.MPSOptions(nsweeps=2, chi_max=10, d=3, verbosity=-1,
+                         log_level=-1, dtype="float32", svd_alg="gram_eigh")
+    mesh = make_mesh(8)
+    trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts, mesh=mesh,
+                               pad_samples_to=54)
+    acc = np.mean(mt.classify(trained, Xtr) == ytr)
+    assert acc >= 0.8
+
+
 def test_sharded_sweep_collective_count(tiny_problem):
     """The DP contract: exactly ONE all-reduce (of the [chi,d,d,chi,C] bond
     gradient) per bond update.  Each half-sweep compiles to one scan whose
