@@ -362,9 +362,49 @@ def _chi320_datapoint():
                 "ecg200_sweep_time_chi320_error": str(e)[:160]}
 
 
+_CANARY_CHILD = r"""
+import numpy as np
+import bench
+d = np.load("tests/data/ecg200.npz")
+t, _, acc = bench._steady_sweep_time(d["X_train"][:40], d["y_train"][:40],
+                                     chi=64, d=5, nsweeps_block=2, reps=1,
+                                     measure_percall=False)
+assert np.isfinite(t) and acc > 0.0
+print("CANARY_OK")
+"""
+
+
+def _pick_route():
+    """Probe the fused bond route in a subprocess before committing the
+    main process to it: the K12/K12m single-kernel and block kernels are
+    the newest Mosaic surface, and a compile rejection there should cost a
+    route demotion (block off, then Pallas off), not the whole bench.  The
+    canary also pre-warms the persistent compile cache for the real runs.
+    Returns the env overrides to apply + a label for the output record."""
+    candidates = [
+        ({}, "fused+block"),
+        ({"MPSTIME_TPU_BOND_BLOCK": "1"}, "fused (block disabled)"),
+        ({"MPSTIME_TPU_NO_PALLAS": "1"}, "xla (pallas disabled)"),
+    ]
+    here = os.path.dirname(os.path.abspath(__file__))
+    for env_add, label in candidates:
+        env = dict(os.environ, **env_add)
+        try:
+            r = subprocess.run([sys.executable, "-c", _CANARY_CHILD],
+                               capture_output=True, text=True, timeout=1800,
+                               cwd=here, env=env)
+        except subprocess.TimeoutExpired:
+            continue
+        if "CANARY_OK" in r.stdout:
+            os.environ.update(env_add)
+            return label
+    return "canary failed on every route (running with defaults)"
+
+
 def main():
     import jax
 
+    route = _pick_route()
     d_npz = np.load("tests/data/ecg200.npz")
     X, y = d_npz["X_train"], d_npz["y_train"]
     Xte, yte = d_npz["X_test"], d_npz["y_test"]
@@ -463,6 +503,7 @@ def main():
     if t_fold_train:
         out["tune_fold_train_vs_ref_128s"] = round(128.0 / t_fold_train, 0)
     out["device"] = str(jax.devices()[0])
+    out["bond_route"] = route
     out["shapes"] = {"T": 96, "N": 100, "chi": 64, "d": 5}
     out.update(mesh)
     print(json.dumps(out))
