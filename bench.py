@@ -411,18 +411,23 @@ def main():
 
     record = {}
 
-    def step(fn, *keys):
+    def step(fn, *keys, pick=None):
         """Run one workload; on failure record <firstkey>_error and None
         values so a single cold-compile casualty (e.g. the axon service
         restarting mid-round and SIGKILLing a big recompile) degrades to a
-        missing datapoint instead of killing the whole bench."""
+        missing datapoint instead of killing the whole bench.  ``pick``
+        selects which slots of fn's result tuple map to ``keys``."""
         try:
             vals = fn()
         except Exception as e:                           # noqa: BLE001
             record.update({k: None for k in keys})
             record[keys[0] + "_error"] = str(e)[:160]
             return
-        for k, v in zip(keys, vals if isinstance(vals, tuple) else (vals,)):
+        if not isinstance(vals, tuple):
+            vals = (vals,)
+        if pick is not None:
+            vals = tuple(vals[i] for i in pick)
+        for k, v in zip(keys, vals):
             record[k] = round(v, 5) if isinstance(v, float) else v
 
     step(lambda: _steady_sweep_time(X, y, chi=64, d=5),
@@ -431,9 +436,10 @@ def main():
     step(lambda: _steady_sweep_time(X, y, chi=32, d=5,
                                     measure_percall=False)[0],
          "ecg200_sweep_time_chi32")
-    step(lambda: (lambda r: (r[0], r[2]))(_steady_sweep_time(
-        X, y, chi=128, d=5, measure_percall=False)),
-        "ecg200_sweep_time_chi128", "train_acc_after_8_sweeps_chi128")
+    step(lambda: _steady_sweep_time(X, y, chi=128, d=5,
+                                    measure_percall=False),
+         "ecg200_sweep_time_chi128", "train_acc_after_8_sweeps_chi128",
+         pick=(0, 2))
     # big-chi fused path (raised Mosaic VMEM budget; was the XLA fallback
     # at 0.095 / 0.158 in r2)
     step(lambda: _steady_sweep_time(X, y, chi=192, d=5, nsweeps_block=4,
@@ -446,9 +452,10 @@ def main():
     # ops/pallas_bond_c.py, q=3 power steps per refresh = the shipped
     # complex default; the K2 datapoint is a perf-knob reference only —
     # under q=3 it costs accuracy, docs/complex_split_oracle.md section 6)
-    step(lambda: (lambda r: (r[0], r[2]))(_steady_sweep_time(
-        X, y, chi=64, d=5, measure_percall=False, encoding="fourier")),
-        "fourier_c64_sweep_time_chi64", "fourier_train_acc_after_8_sweeps")
+    step(lambda: _steady_sweep_time(X, y, chi=64, d=5, measure_percall=False,
+                                    encoding="fourier"),
+         "fourier_c64_sweep_time_chi64", "fourier_train_acc_after_8_sweeps",
+         pick=(0, 2))
     step(lambda: _steady_sweep_time(X, y, chi=64, d=5, measure_percall=False,
                                     encoding="fourier", refresh_every=2)[0],
          "fourier_c64_sweep_time_chi64_refresh2")

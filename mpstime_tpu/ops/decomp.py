@@ -190,6 +190,39 @@ def _orth(Y: jnp.ndarray, orth: str) -> jnp.ndarray:
     return _qr_orth(Y)
 
 
+def _power_orth(mm, Y0: jnp.ndarray, q: int, orth: str) -> jnp.ndarray:
+    """Orthonormal basis of the q-step power iterate of Y0 under ``mm``
+    (one application of M^H M or M M^H).
+
+    orth="qr": the plain chain — q applications, one end normalization,
+    one QR — exactly the historical cold-split arithmetic.
+
+    orth="ns": SUBSPACE ITERATION — per-step normalization + eps*Y revival
+    + NS polar after every step, the same form the warm splits use.  An
+    end-of-loop NS on the chained iterate is NOT an option: after q steps
+    the iterate's condition number is the (2q+1)-th power of the bond
+    spectrum's, far beyond NS's ~1e4 convergence reach, so mid-band
+    directions would leave non-orthonormal (neither unit nor zero) and the
+    split would stop being an isometry (see the _NS_REVIVE comment)."""
+    if orth == "ns":
+        Y = Y0 / jnp.maximum(jnp.linalg.norm(Y0, axis=0, keepdims=True),
+                             jnp.finfo(Y0.real.dtype).tiny)
+        eps = Y.real.dtype.type(_NS_REVIVE)
+        for _ in range(q):
+            Z = mm(Y)
+            Z = Z / jnp.maximum(jnp.linalg.norm(Z, axis=0, keepdims=True),
+                                jnp.finfo(Z.real.dtype).tiny)
+            Y = ns_orth(Z + eps * Y)
+        return Y
+    for _ in range(q):
+        Y0 = mm(Y0)
+    # per-column normalization keeps the QR input away from f32
+    # under/overflow (power iteration raises the dynamic range to ~2q+1)
+    Y0 = Y0 / jnp.maximum(jnp.linalg.norm(Y0, axis=0, keepdims=True),
+                          jnp.finfo(Y0.real.dtype).tiny)
+    return _orth(Y0, orth)
+
+
 def _sketch_k(keep: int, other: int) -> int:
     """Sketch width: keep + max(keep/8, 8) oversampling, capped by the small
     dimension.  With q=2 power iterations this small oversampling already
@@ -216,14 +249,8 @@ def randomized_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
     if k >= C:
         return split_bond_left(M, keep, cutoff, "gram_eigh", max_rank=max_rank)
     Psi = _fixed_sketch((R, k), M.dtype)
-    Y = M.conj().T @ (M @ (M.conj().T @ Psi))     # (M^H M)^1 M^H Psi
-    for _ in range(q - 1):
-        Y = M.conj().T @ (M @ Y)
-    # per-column normalization keeps the QR input away from f32
-    # under/overflow (power iteration raises the dynamic range to ~2q+1)
-    Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
-                        jnp.finfo(Y.real.dtype).tiny)
-    Q = _orth(Y, orth)                   # [C, k]
+    Q = _power_orth(lambda Yp: M.conj().T @ (M @ Yp),
+                    M.conj().T @ Psi, q, orth)    # [C, k]
     B = M @ Q                                     # [R, k]
     S = B.conj().T @ B                            # [k, k] ritz Gram
     w, W = jnp.linalg.eigh(S)
@@ -249,12 +276,8 @@ def randomized_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
     if k >= R:
         return split_bond_right(M, keep, cutoff, "gram_eigh", max_rank=max_rank)
     Psi = _fixed_sketch((C, k), M.dtype)
-    Y = M @ (M.conj().T @ (M @ Psi))
-    for _ in range(q - 1):
-        Y = M @ (M.conj().T @ Y)
-    Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
-                        jnp.finfo(Y.real.dtype).tiny)
-    Q = _orth(Y, orth)                   # [R, k]
+    Q = _power_orth(lambda Yp: M @ (M.conj().T @ Yp),
+                    M @ Psi, q, orth)             # [R, k]
     B = Q.conj().T @ M                            # [k, C]
     S = B @ B.conj().T                            # [k, k]
     w, W = jnp.linalg.eigh(S)
@@ -296,14 +319,8 @@ def lean_split_left(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
     R, C = M.shape
     k = min(keep, C)
     Psi = _fixed_sketch((R, k), M.dtype)
-    Y = M.conj().T @ Psi
-    for _ in range(q):
-        Y = M.conj().T @ (M @ Y)
-    # per-column normalization keeps the QR input away from f32 under/overflow
-    # (power iteration raises the dynamic range to the 2q+1 power)
-    Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
-                        jnp.finfo(Y.real.dtype).tiny)
-    Q = _orth(Y, orth)                   # [C, k]
+    Q = _power_orth(lambda Yp: M.conj().T @ (M @ Yp),
+                    M.conj().T @ Psi, q, orth)    # [C, k]
     B = M @ Q                                     # [R, k] = U S (mixed)
     w = jnp.sum(jnp.abs(B) ** 2, axis=0)          # column energies
     order = jnp.argsort(-w)
@@ -325,12 +342,8 @@ def lean_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
     R, C = M.shape
     k = min(keep, R)
     Psi = _fixed_sketch((C, k), M.dtype)
-    Y = M @ Psi
-    for _ in range(q):
-        Y = M @ (M.conj().T @ Y)
-    Y = Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True),
-                        jnp.finfo(Y.real.dtype).tiny)
-    Q = _orth(Y, orth)                   # [R, k]
+    Q = _power_orth(lambda Yp: M @ (M.conj().T @ Yp),
+                    M @ Psi, q, orth)             # [R, k]
     B = Q.conj().T @ M                            # [k, C] = S Vh (mixed)
     w = jnp.sum(jnp.abs(B) ** 2, axis=1)
     order = jnp.argsort(-w)

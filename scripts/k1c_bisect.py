@@ -68,12 +68,14 @@ def main():
     fwd = True
     run("k1_emit0", lambda: pbc._k1c_call(
         eta2, y1h, w, (left[0], left[1]), right, le, re, phil, phir, V0,
-        C=C, chi=chi, d=d, forward=fwd, emit_y=False, q=3, est=est)[2:])
+        C=C, chi=chi, d=d, forward=fwd, emit_y=False, q=3, orth="qr",
+        est=est)[2:])
     run("k1_tail", lambda: pbc._k1c_tail_call(
         BTp, V0, C=C, chi=chi, d=d, forward=fwd, q=3, est=est))
     run("k1_full", lambda: pbc._k1c_call(
         eta2, y1h, w, (left[0], left[1]), right, le, re, phil, phir, V0,
-        C=C, chi=chi, d=d, forward=fwd, emit_y=True, q=3, est=est)[2:])
+        C=C, chi=chi, d=d, forward=fwd, emit_y=True, q=3, orth="qr",
+        est=est)[2:])
     cut2 = jnp.stack([jnp.float32(1e-10), jnp.float32(chi)])[None, :]
     run("k2", lambda: pbc._k2c_call(
         cut2, BTp, V0, le, jnp.zeros((N, 1), f32), phil,

@@ -21,7 +21,6 @@ JSON line per cell.
 Usage: nohup python scripts/warm_variant_probe.py > /tmp/warm_var.log 2>&1 &
 """
 
-import functools
 import json
 import os
 import sys
@@ -38,7 +37,8 @@ def make_ritz_splits():
     from mpstime_tpu.ops.decomp import _qr_orth, _trunc_mask
 
     def warm_split_left_ritz(M, V0, keep, cutoff, q=1, refresh=True,
-                             max_rank=None):
+                             max_rank=None, orth="qr"):
+        del orth  # the ritz variant is QR-based by construction
         C = M.shape[1]
         k = min(keep, C)
         if refresh:
@@ -67,7 +67,8 @@ def make_ritz_splits():
         return US, Vh, Vnext
 
     def warm_split_right_ritz(M, U0, keep, cutoff, q=1, refresh=True,
-                              max_rank=None):
+                              max_rank=None, orth="qr"):
+        del orth
         R = M.shape[0]
         k = min(keep, R)
         if refresh:
@@ -114,38 +115,49 @@ def main():
 
     ritz_l, ritz_r = make_ritz_splits()
     base_l, base_r = decomp.warm_split_left, decomp.warm_split_right
+
+    def pin(fn, q):
+        # the sweep now passes q=resolved_power_iters (3 on fourier) and
+        # orth=resolved_orth_alg as CALL-SITE kwargs, which would silently
+        # override a functools.partial default — force the variant's q and
+        # the probe's historical qr route instead
+        def wrapped(*a, q_caller=None, orth=None, **kw):
+            kw.pop("q", None)
+            return fn(*a, q=q, orth="qr", **kw)
+        return wrapped
+
     variants = {
-        "warm_q2": (functools.partial(base_l, q=2),
-                    functools.partial(base_r, q=2)),
-        "warm_q3": (functools.partial(base_l, q=3),
-                    functools.partial(base_r, q=3)),
+        "warm_q2": (pin(base_l, 2), pin(base_r, 2)),
+        "warm_q3": (pin(base_l, 3), pin(base_r, 3)),
         "warm_ritz": (ritz_l, ritz_r),
-        "warm_ritz_q2": (functools.partial(ritz_l, q=2),
-                         functools.partial(ritz_r, q=2)),
+        "warm_ritz_q2": (pin(ritz_l, 2), pin(ritz_r, 2)),
     }
 
     orig = (sweep_mod.warm_split_left, sweep_mod.warm_split_right)
-    for name, (fl, fr) in variants.items():
-        sweep_mod.warm_split_left = fl
-        sweep_mod.warm_split_right = fr
-        jax.clear_caches()            # re-trace with the patched split
-        for chi in [15, 25, 40, 64]:
-            opts = mt.MPSOptions(encoding="fourier", chi_max=chi, d=5,
-                                 nsweeps=10, svd_alg="randomized_warm",
-                                 verbosity=-1)
-            t0 = time.perf_counter()
-            trained, info, test_ds = mt.fit_mps(X, y, Xte, yte, opts=opts)
-            dt = time.perf_counter() - t0
-            _, _, tr_acc, _ = loss_acc_conf(trained.mps,
-                                            trained.train_data.X_enc,
-                                            trained.train_data.y_idx)
-            _, _, te_acc, _ = loss_acc_conf(trained.mps, test_ds.X_enc,
-                                            test_ds.y_idx)
-            print(json.dumps({"variant": name, "chi": chi,
-                              "train_acc": round(float(tr_acc), 4),
-                              "test_acc": round(float(te_acc), 4),
-                              "seconds": round(dt, 1)}), flush=True)
-    sweep_mod.warm_split_left, sweep_mod.warm_split_right = orig
+    try:
+        for name, (fl, fr) in variants.items():
+            sweep_mod.warm_split_left = fl
+            sweep_mod.warm_split_right = fr
+            jax.clear_caches()            # re-trace with the patched split
+            for chi in [15, 25, 40, 64]:
+                opts = mt.MPSOptions(encoding="fourier", chi_max=chi, d=5,
+                                     nsweeps=10, svd_alg="randomized_warm",
+                                     verbosity=-1)
+                t0 = time.perf_counter()
+                trained, info, test_ds = mt.fit_mps(X, y, Xte, yte,
+                                                    opts=opts)
+                dt = time.perf_counter() - t0
+                _, _, tr_acc, _ = loss_acc_conf(trained.mps,
+                                                trained.train_data.X_enc,
+                                                trained.train_data.y_idx)
+                _, _, te_acc, _ = loss_acc_conf(trained.mps, test_ds.X_enc,
+                                                test_ds.y_idx)
+                print(json.dumps({"variant": name, "chi": chi,
+                                  "train_acc": round(float(tr_acc), 4),
+                                  "test_acc": round(float(te_acc), 4),
+                                  "seconds": round(dt, 1)}), flush=True)
+    finally:
+        sweep_mod.warm_split_left, sweep_mod.warm_split_right = orig
 
 
 if __name__ == "__main__":

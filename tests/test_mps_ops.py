@@ -250,6 +250,39 @@ class TestDecomp:
         span = np.linalg.norm(Q @ (Q.conj().T @ Y) - Y) / np.linalg.norm(Y)
         assert span < (1e-11 if Q.real.dtype == np.float64 else 1e-4)
 
+    @pytest.mark.parametrize("fn_name,side", [
+        ("randomized_split_left", "l"), ("randomized_split_right", "r"),
+        ("lean_split_left", "l"), ("lean_split_right", "r")])
+    def test_cold_split_ns_isometry(self, fn_name, side):
+        # regression: the cold randomized/lean splits under orth="ns" must
+        # run subspace iteration (per-step NS + revival), not a single
+        # end-of-loop NS on the q-step chained iterate — on a fast-decaying
+        # spectrum the chain's conditioning is the (2q+1)-th power of the
+        # bond spectrum's and end-NS leaves Q badly non-orthonormal
+        # (measured 0.89 max|Q^H Q - I| at kappa=1e4), silently breaking
+        # the split's isometry contract
+        from mpstime_tpu.ops import decomp
+        fn = getattr(decomp, fn_name)
+        rng = np.random.default_rng(0)
+        m, n, keep = 120, 80, 24
+        U = np.linalg.qr(rng.standard_normal((m, n)))[0]
+        V = np.linalg.qr(rng.standard_normal((n, n)))[0]
+        M = jnp.asarray((U * np.logspace(0, -4, n)) @ V.T, jnp.float32)
+        if side == "r":
+            M = M.T
+        A, B = fn(M, keep, 1e-12, orth="ns")[:2]
+        iso = np.asarray(B @ B.conj().T if side == "l"
+                         else A.conj().T @ A)
+        live = np.abs(np.diag(iso)) > 0.5
+        dev = np.abs(iso[np.ix_(live, live)]
+                     - np.eye(int(live.sum()))).max()
+        assert dev < 5e-3, dev
+        # and the ns route reconstructs as well as the qr route
+        Aq, Bq = fn(M, keep, 1e-12, orth="qr")[:2]
+        err_ns = float(jnp.linalg.norm(A @ B - M))
+        err_qr = float(jnp.linalg.norm(Aq @ Bq - M))
+        assert err_ns < 1.2 * err_qr + 1e-6
+
     def test_warm_split_ns_subspace_iteration(self):
         # orth="ns" runs revival + per-step polar (subspace iteration):
         # kept directions stay orthonormal, the split converges to
