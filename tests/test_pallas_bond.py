@@ -286,6 +286,23 @@ class TestPallasBondParity:
         np.testing.assert_array_equal(np.asarray(blocked.mps.cores),
                                       np.asarray(single.mps.cores))
 
+    def test_bond_block_env_override(self, monkeypatch):
+        # MPSTIME_TPU_BOND_BLOCK is the subprocess-friendly hatch for the
+        # block route: it overrides auto sizing, and module state wins
+        # over it when both are set
+        from mpstime_tpu.training import sweep
+
+        shape = dict(C=2, chi=64, d=5, N=100, T=96)
+        monkeypatch.setattr(sweep, "BOND_BLOCK", None)
+        auto = sweep._auto_block(*shape.values())
+        assert auto > 1
+        monkeypatch.setenv("MPSTIME_TPU_BOND_BLOCK", "1")
+        assert sweep._auto_block(*shape.values()) == 1
+        monkeypatch.setenv("MPSTIME_TPU_BOND_BLOCK", "3")
+        assert sweep._auto_block(*shape.values()) == 3
+        monkeypatch.setattr(sweep, "BOND_BLOCK", 2)
+        assert sweep._auto_block(*shape.values()) == 2
+
     def test_blocked_sweep_launch_structure(self, interpret):
         # Structural contract of the block route: each half-sweep compiles
         # to a block scan whose body is ONE pallas_call covering Bb bonds,
