@@ -254,6 +254,37 @@ def _batched_fit_time(reps=3, F=8):
     return t_batch, t_seq, round(t_seq / max(t_batch, 1e-9), 2), acc
 
 
+# Prepended to every bench child process: honor the CPU-fallback decision.
+# JAX_PLATFORMS=cpu as an env var does NOT override the axon site plugin
+# (it registers itself at interpreter startup via PYTHONPATH); only
+# jax.config.update after import does.
+_FORCE_CPU_PRELUDE = r"""
+import os as _os
+if _os.environ.get("MPSTIME_TPU_FORCE_CPU"):
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+"""
+
+
+_LIVENESS_CHILD = r"""
+import jax
+print("PLATFORM_OK", jax.devices()[0].platform)
+"""
+
+
+def _platform_alive(timeout=300):
+    """The axon TPU tunnel can go down in a way where jax.devices() BLOCKS
+    forever (observed r4: socket-level hang, not an error).  Probe device
+    discovery in a subprocess with a deadline so the bench degrades to a
+    labeled CPU run instead of hanging the driver."""
+    try:
+        r = subprocess.run([sys.executable, "-c", _LIVENESS_CHILD],
+                           capture_output=True, text=True, timeout=timeout)
+        return r.returncode == 0 and "PLATFORM_OK" in r.stdout
+    except Exception:                                    # noqa: BLE001
+        return False
+
+
 _MESH_CHILD = r"""
 import json, os, time
 flags = os.environ.get("XLA_FLAGS", "")
@@ -351,9 +382,10 @@ def _chi320_datapoint():
     in an isolated subprocess so a compile failure costs this one datapoint
     rather than the whole bench."""
     try:
-        out = subprocess.run([sys.executable, "-c", _CHI320_CHILD],
-                             capture_output=True, text=True, timeout=2400,
-                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [sys.executable, "-c", _FORCE_CPU_PRELUDE + _CHI320_CHILD],
+            capture_output=True, text=True, timeout=2400,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
         line = out.stdout.strip().splitlines()[-1]
         return {"ecg200_sweep_time_chi320":
                 round(json.loads(line)["t"], 5)}
@@ -390,9 +422,10 @@ def _pick_route():
     for env_add, label in candidates:
         env = dict(os.environ, **env_add)
         try:
-            r = subprocess.run([sys.executable, "-c", _CANARY_CHILD],
-                               capture_output=True, text=True, timeout=1800,
-                               cwd=here, env=env)
+            r = subprocess.run(
+                [sys.executable, "-c", _FORCE_CPU_PRELUDE + _CANARY_CHILD],
+                capture_output=True, text=True, timeout=1800,
+                cwd=here, env=env)
         except subprocess.TimeoutExpired:
             continue
         if "CANARY_OK" in r.stdout:
@@ -403,6 +436,17 @@ def _pick_route():
 
 def main():
     import jax
+
+    platform_fallback = None
+    if not _platform_alive():
+        # Device discovery hangs/fails: run the whole bench on CPU so the
+        # driver still gets a JSON line.  Label it loudly — CPU numbers are
+        # NOT comparable to the TPU datapoints in BENCH_r*.json history.
+        os.environ["MPSTIME_TPU_FORCE_CPU"] = "1"
+        jax.config.update("jax_platforms", "cpu")
+        platform_fallback = ("primary platform unreachable (device "
+                             "discovery hung) — CPU fallback; numbers NOT "
+                             "comparable to TPU rounds")
 
     route = _pick_route()
     d_npz = np.load("tests/data/ecg200.npz")
@@ -511,6 +555,8 @@ def main():
         out["tune_fold_train_vs_ref_128s"] = round(128.0 / t_fold_train, 0)
     out["device"] = str(jax.devices()[0])
     out["bond_route"] = route
+    if platform_fallback:
+        out["platform_fallback"] = platform_fallback
     out["shapes"] = {"T": 96, "N": 100, "chi": 64, "d": 5}
     out.update(mesh)
     print(json.dumps(out))
