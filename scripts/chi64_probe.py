@@ -56,12 +56,19 @@ def main():
     ritz_l, ritz_r = make_ritz_splits()
     base_l, base_r = decomp.warm_split_left, decomp.warm_split_right
 
-    def pin(fn, q):
-        # force the variant's q + the probe's historical qr orth against the
-        # call-site kwargs the sweep now passes
+    def pin(fn, q, orth="qr"):
+        # force the variant's q + orth against the call-site kwargs the
+        # sweep now passes.  orth="qr" = the oracle's historical CPU route
+        # (per-step column normalization, ONE end QR); orth="ns" = the
+        # shipped TPU route (true subspace iteration: NS polar after EVERY
+        # power step — converges to an ordered eigenbasis, which the qr
+        # chain does not; the chi=64 section-5 caveat numbers were all
+        # measured on the qr chain).
+        forced = orth
+
         def wrapped(*a, q_caller=None, orth=None, **kw):
             kw.pop("q", None)
-            return fn(*a, q=q, orth="qr", **kw)
+            return fn(*a, q=q, orth=forced, **kw)
         return wrapped
 
     def pin_rnd(fn, q):
@@ -81,6 +88,10 @@ def main():
                          None),
         "warm_q5": ("randomized_warm", (pin(base_l, 5), pin(base_r, 5)),
                     None),
+        "warm_q3_ns": ("randomized_warm",
+                       (pin(base_l, 3, "ns"), pin(base_r, 3, "ns")), None),
+        "warm_q5_ns": ("randomized_warm",
+                       (pin(base_l, 5, "ns"), pin(base_r, 5, "ns")), None),
     }
 
     phase2 = len(sys.argv) > 1 and sys.argv[1] == "phase2"
@@ -91,9 +102,14 @@ def main():
                  for v in (sys.argv[2:] or ["warm_ritz"])
                  for s in SEEDS]
     else:
-        cells = [("fourier", "exact_svd", s) for s in SEEDS[1:]]
-        cells += [("fourier", v, s) for v in list(variants)[1:]
-                  for s in SEEDS]
+        # priority order: the shipped-TPU-route hypothesis first (if
+        # warm_q3_ns is in-band, the section-5 caveat is a qr-chain
+        # artifact and no new code is needed), then the Ritz candidates,
+        # then band/controls
+        prio = ["warm_q3_ns", "randomized", "warm_ritz", "warm_q5_ns",
+                "warm_ritz_q3", "randomized_q3", "warm_q5"]
+        cells = [("fourier", v, s) for v in prio for s in SEEDS]
+        cells[3:3] = [("fourier", "exact_svd", s) for s in SEEDS[1:]]
 
     chi, nsweeps = 64, 10
     if os.environ.get("MPSTIME_PROBE_SMOKE"):
