@@ -358,6 +358,23 @@ def lean_split_right(M: jnp.ndarray, keep: int, cutoff, q: int = 2,
     return U, SVh
 
 
+def _warm_power(mm, Y: jnp.ndarray, q: int, orth: str) -> jnp.ndarray:
+    """The warm splits' subspace refresh: q power steps of ``mm`` (one
+    application of M^H M or M M^H) from the cached basis Y, with per-STEP
+    column normalization (q > 1 raises the dynamic range to the (2q)-th
+    power otherwise, overflowing f32 mid-iteration).  orth="ns" instead
+    runs SUBSPACE ITERATION — eps*Y revival + NS polar after every step
+    (see the _NS_REVIVE comment for why); other orths orthogonalize once
+    at the end."""
+    eps = Y.real.dtype.type(_NS_REVIVE)
+    for _ in range(q):
+        Z = mm(Y)
+        Z = Z / jnp.maximum(jnp.linalg.norm(Z, axis=0, keepdims=True),
+                            jnp.finfo(Z.real.dtype).tiny)
+        Y = ns_orth(Z + eps * Y) if orth == "ns" else Z
+    return Y if orth == "ns" else _orth(Y, orth)
+
+
 def warm_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
                     q: int = 1, refresh: bool = True, max_rank=None,
                     orth: str = "qr"
@@ -378,18 +395,8 @@ def warm_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
     C = M.shape[1]
     k = min(keep, C)
     if refresh:
-        Y = V0[:, :k]
-        # per-STEP column normalization: q > 1 raises the dynamic range to
-        # the (2q)-th power otherwise, overflowing f32 mid-iteration.
-        # orth="ns" instead runs SUBSPACE ITERATION: revival + NS polar
-        # after every step (see the _NS_REVIVE comment for why).
-        eps = Y.real.dtype.type(_NS_REVIVE)
-        for _ in range(q):
-            Z = M.conj().T @ (M @ Y)
-            Z = Z / jnp.maximum(jnp.linalg.norm(Z, axis=0, keepdims=True),
-                                jnp.finfo(Z.real.dtype).tiny)
-            Y = ns_orth(Z + eps * Y) if orth == "ns" else Z
-        Q = Y if orth == "ns" else _orth(Y, orth)      # [C, k]
+        Q = _warm_power(lambda Yp: M.conj().T @ (M @ Yp),
+                        V0[:, :k], q, orth)            # [C, k]
     else:
         # frozen sweep: split directly against the cached orthonormal basis
         # (no power step, no QR); the cadence is set by the caller
@@ -416,15 +423,8 @@ def warm_split_right(M: jnp.ndarray, U0: jnp.ndarray, keep: int, cutoff,
     R = M.shape[0]
     k = min(keep, R)
     if refresh:
-        Y = U0[:, :k]
-        # per-step normalization / NS subspace iteration: warm_split_left
-        eps = Y.real.dtype.type(_NS_REVIVE)
-        for _ in range(q):
-            Z = M @ (M.conj().T @ Y)
-            Z = Z / jnp.maximum(jnp.linalg.norm(Z, axis=0, keepdims=True),
-                                jnp.finfo(Z.real.dtype).tiny)
-            Y = ns_orth(Z + eps * Y) if orth == "ns" else Z
-        Q = Y if orth == "ns" else _orth(Y, orth)      # [R, k]
+        Q = _warm_power(lambda Yp: M @ (M.conj().T @ Yp),
+                        U0[:, :k], q, orth)            # [R, k]
     else:
         Q = U0[:, :k]
     B = Q.conj().T @ M
@@ -439,6 +439,77 @@ def warm_split_right(M: jnp.ndarray, U0: jnp.ndarray, keep: int, cutoff,
         SVh = jnp.pad(SVh, ((0, keep - k), (0, 0)))
         Q = jnp.pad(Q, ((0, 0), (0, keep - k)))
     return U, SVh, Q
+
+
+def warm_ritz_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
+                         q: int = 1, refresh: bool = True, max_rank=None,
+                         orth: str = "qr"
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """:func:`warm_split_left` plus a per-bond Rayleigh-Ritz rotation
+    (svd_alg="randomized_warm_ritz").
+
+    The eigh-free warm split orders directions by column energy within
+    whatever basis the power refresh produced; on spectra with degenerate
+    clusters (fourier's +-frequency pairs) at large chi that in-basis
+    ordering wastes kept rank on mixtures.  Here the kept subspace is
+    additionally rotated to the Ritz eigenbasis of the [k, k] projected
+    Gram S = (M Q)^H (M Q) before the cutoff mask — the Ritz values
+    approximate the squared singular values, so truncation recovers
+    ITensor's exact-SVD ordering semantics at the cost of one small eigh
+    per bond (the reason this is not the accelerator default: the eigh
+    forces the XLA bond path, ~an order of magnitude off the fused
+    kernels' sweep time — use it for final large-chi complex fits).
+    The cached V_next is the FULL rotated basis, so the next sweep's
+    refresh starts from Ritz-ordered directions.
+
+    Reference match: decomposeBT's exact truncated SVD ordering
+    (/root/reference/src/Training/RealRealHighDimension.jl:166-187) on the
+    warm sketched subspace.  Returns (US, Vh, V_next) like warm_split_left.
+    """
+    C = M.shape[1]
+    k = min(keep, C)
+    Q = (_warm_power(lambda Yp: M.conj().T @ (M @ Yp), V0[:, :k], q, orth)
+         if refresh else V0[:, :k])                    # [C, k]
+    B = M @ Q                                          # [R, k]
+    S = B.conj().T @ B                                 # [k, k] Ritz Gram
+    w, W = jnp.linalg.eigh(S)
+    w, W = w[::-1], W[:, ::-1]
+    mask = _trunc_mask(w, keep, cutoff, max_rank)
+    Wm = W * mask
+    US = B @ Wm                                        # [R, k]
+    Qt = Q @ Wm                                        # [C, k] masked basis
+    Vh = Qt.conj().T
+    Vnext = Q @ W                                      # rotated, unmasked
+    if keep > k:
+        US = jnp.pad(US, ((0, 0), (0, keep - k)))
+        Vh = jnp.pad(Vh, ((0, keep - k), (0, 0)))
+        Vnext = jnp.pad(Vnext, ((0, 0), (0, keep - k)))
+    return US, Vh, Vnext
+
+
+def warm_ritz_split_right(M: jnp.ndarray, U0: jnp.ndarray, keep: int, cutoff,
+                          q: int = 1, refresh: bool = True, max_rank=None,
+                          orth: str = "qr"
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Mirror of :func:`warm_ritz_split_left` on the row side; U0 [R, keep]."""
+    R = M.shape[0]
+    k = min(keep, R)
+    Q = (_warm_power(lambda Yp: M @ (M.conj().T @ Yp), U0[:, :k], q, orth)
+         if refresh else U0[:, :k])                    # [R, k]
+    B = Q.conj().T @ M                                 # [k, C]
+    S = B @ B.conj().T                                 # [k, k]
+    w, W = jnp.linalg.eigh(S)
+    w, W = w[::-1], W[:, ::-1]
+    mask = _trunc_mask(w, keep, cutoff, max_rank)
+    Wm = W * mask
+    U = Q @ Wm
+    SVh = Wm.conj().T @ B
+    Unext = Q @ W
+    if keep > k:
+        U = jnp.pad(U, ((0, 0), (0, keep - k)))
+        SVh = jnp.pad(SVh, ((0, keep - k), (0, 0)))
+        Unext = jnp.pad(Unext, ((0, 0), (0, keep - k)))
+    return U, SVh, Unext
 
 
 def warm_sketch_init(n: int, keep: int, dtype) -> jnp.ndarray:

@@ -127,6 +127,12 @@ class MPSOptions:
     #                        small chi; see ops/decomp.py)
     #   "gram_eigh"       -> exact eigendecomposition of the small-side Gram
     #   "svd"             -> jnp.linalg.svd (reference-precision fallback)
+    #   "randomized_warm_ritz" -> the warm split plus a per-bond [k, k]
+    #                        Rayleigh-Ritz rotation: exact-SVD truncation
+    #                        ordering on the warm subspace (the large-chi
+    #                        complex quality route; the eigh keeps it off
+    #                        the fused Pallas kernels, so it is slower —
+    #                        ops/decomp.warm_ritz_split_*)
     svd_alg: str = "auto"
     # randomized_warm only: refresh the per-bond subspaces (power step + QR)
     # every K-th sweep, splitting against the frozen cached bases in between.

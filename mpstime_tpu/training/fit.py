@@ -21,7 +21,8 @@ from ..models.mps import MPS, random_mps
 from ..options import MPSOptions
 from ..utils.preprocessing import TransformNorms, transform_data
 from .stats import loss_acc_conf
-from .sweep import full_sweep, full_sweep_warm, full_sweeps, init_subspaces
+from .sweep import (WARM_ALGS, full_sweep, full_sweep_warm, full_sweeps,
+                    init_subspaces)
 
 
 @dataclass
@@ -261,7 +262,7 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
         jax.block_until_ready(center)
         mps = MPS(cores, center, T - 1)
     else:
-        warm = sweep_kw["svd_alg"] == "randomized_warm"
+        warm = sweep_kw["svd_alg"] in WARM_ALGS
         subspaces = (init_subspaces(T, chi_pad, d_pad, dtype)
                      if warm else None)
         if mesh is not None:

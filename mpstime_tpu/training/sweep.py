@@ -46,11 +46,20 @@ import numpy as np
 
 from ..ops import pallas_bond, pallas_bond_c
 from ..ops.bond_update import apply_update
-from ..ops.decomp import (split_bond_left, split_bond_right, warm_sketch_init,
-                          warm_split_left, warm_split_right)
+from ..ops.decomp import (split_bond_left, split_bond_right,
+                          warm_ritz_split_left, warm_ritz_split_right,
+                          warm_sketch_init, warm_split_left,
+                          warm_split_right)
 from ..ops.env import (boundary_env, build_left_envs, env_step_left_scaled,
                        env_step_right_scaled)
 
+
+WARM_ALGS = ("randomized_warm", "randomized_warm_ritz")
+"""svd_algs that thread per-bond subspace caches through the sweep.
+"randomized_warm_ritz" adds a per-bond [k, k] Rayleigh-Ritz eigh
+(exact-SVD truncation ordering on the warm subspace — the large-chi
+complex quality route, ops/decomp.warm_ritz_split_*); the eigh keeps it
+off the fused Pallas kernels, so it always takes the XLA bond path."""
 
 BOND_BLOCK = None
 """Override for the multi-bond block size (K12m): None = auto (largest of
@@ -207,7 +216,11 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     N = phis_c.shape[1]
     dtype = cores.dtype
     rdtype = phis_c.real.dtype
-    warm = svd_alg == "randomized_warm"
+    warm = svd_alg in WARM_ALGS
+    # module-global lookups so tests/probes can monkeypatch the split fns
+    ritz = svd_alg == "randomized_warm_ritz"
+    wsl = warm_ritz_split_left if ritz else warm_split_left
+    wsr = warm_ritz_split_right if ritz else warm_split_right
     cplx = np.dtype(dtype).kind == "c"
     pallas = (not track_cost) \
         and _pallas_vmem_ok(C, chi, d, N, factor=2 if cplx else 1) \
@@ -295,9 +308,9 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
             # split: rows (a,i,c) keep the label on the sweep side (:166-169)
             M = BT.transpose(0, 1, 4, 2, 3).reshape(chi * d * C, d * chi)
             if warm:
-                US, Vh, Qv = warm_split_left(M, x["vb"], chi, cutoff,
-                                             q=power_iters, refresh=refresh,
-                                             max_rank=max_rank, orth=orth)
+                US, Vh, Qv = wsl(M, x["vb"], chi, cutoff,
+                                 q=power_iters, refresh=refresh,
+                                 max_rank=max_rank, orth=orth)
             else:
                 US, Vh = split_bond_left(M, chi, cutoff, svd_alg,
                                          max_rank=max_rank, orth=orth)
@@ -413,9 +426,9 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                            le_ls + x["re_ls"])
             M = BT.reshape(chi * d, d * chi * C)
             if warm:
-                U, SVh, Qu = warm_split_right(M, x["uf"], chi, cutoff,
-                                              q=power_iters, refresh=refresh,
-                                              max_rank=max_rank, orth=orth)
+                U, SVh, Qu = wsr(M, x["uf"], chi, cutoff,
+                                 q=power_iters, refresh=refresh,
+                                 max_rank=max_rank, orth=orth)
             else:
                 U, SVh = split_bond_right(M, chi, cutoff, svd_alg,
                                           max_rank=max_rank, orth=orth)
@@ -484,7 +497,7 @@ def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
     ``svd_alg="randomized_warm"``, plus the per-bond cost trace [2(T-1)]
     when ``track_cost``."""
     T, chi, d, _ = cores.shape
-    warm = svd_alg == "randomized_warm"
+    warm = svd_alg in WARM_ALGS
     if warm and subspaces is None:
         subspaces = init_subspaces(T, chi, d, cores.dtype)
     VB, UF = subspaces if warm else (None, None)
@@ -584,7 +597,7 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
     frozen cached bases — the QR, the dominant per-bond cost once
     everything else is fused, drops out of (K-1)/K of the sweeps."""
     T, chi, d, _ = cores.shape
-    warm = svd_alg == "randomized_warm"
+    warm = svd_alg in WARM_ALGS
     kw = dict(loss=loss, bbopt=bbopt, update_iters=update_iters,
               rescale=rescale, svd_alg=svd_alg, power_iters=power_iters,
               orth=orth, axis_name=axis_name,

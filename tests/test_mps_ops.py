@@ -313,6 +313,74 @@ class TestDecomp:
         np.testing.assert_allclose(np.asarray(V0.conj().T @ V0),
                                    np.eye(64), atol=1e-8)
 
+    @pytest.mark.parametrize("dtype", [np.float64, np.complex128])
+    def test_warm_ritz_split_contract(self, dtype):
+        # warm split + Rayleigh-Ritz rotation (svd_alg="randomized_warm_ritz"):
+        # isometry, near-optimal reconstruction after warm iterations, and —
+        # the point of the rotation — kept directions ordered/truncated by
+        # Ritz values that match the exact squared singular values on a
+        # converged subspace
+        from mpstime_tpu.ops.decomp import (warm_ritz_split_left,
+                                            warm_ritz_split_right,
+                                            warm_sketch_init)
+        rng = np.random.default_rng(12)
+        cplx = np.dtype(dtype).kind == "c"
+        A = rng.standard_normal((640, 30)) @ rng.standard_normal((30, 320)) \
+            + 1e-3 * rng.standard_normal((640, 320))
+        if cplx:
+            A = A + 1j * (rng.standard_normal((640, 30))
+                          @ rng.standard_normal((30, 320))
+                          + 1e-3 * rng.standard_normal((640, 320)))
+        A = jnp.asarray(A.astype(dtype))
+        S = np.linalg.svd(np.asarray(A), compute_uv=False)
+        opt = np.linalg.norm(S[64:]) / np.linalg.norm(S)
+        V0 = warm_sketch_init(320, 64, dtype)
+        for _ in range(4):
+            US, Vh, V0 = warm_ritz_split_left(A, V0, 64, 1e-12)
+        err = np.linalg.norm(np.asarray(US @ Vh) - np.asarray(A)) \
+            / np.linalg.norm(np.asarray(A))
+        assert err <= 1.5 * opt + 1e-8
+        # isometry of the kept rows
+        kept = np.abs(np.asarray(Vh)).sum(1) > 1e-9
+        G = np.asarray(Vh @ Vh.conj().T)
+        np.testing.assert_allclose(G[np.ix_(kept, kept)],
+                                   np.eye(kept.sum()), atol=1e-8)
+        # Ritz ordering: column energies of US descending, and the top ones
+        # (well inside the rank-30 dominant block) matching the exact
+        # squared singular values on the converged subspace — the ordering
+        # the eigh-free warm split does NOT guarantee
+        e = np.sum(np.abs(np.asarray(US)) ** 2, axis=0)
+        assert np.all(np.diff(e) <= 1e-6 * e[0])
+        np.testing.assert_allclose(e[:16], (S[:16] ** 2), rtol=1e-3)
+        # cached basis orthonormal (feeds frozen sweeps / next refresh)
+        np.testing.assert_allclose(np.asarray(V0.conj().T @ V0),
+                                   np.eye(64), atol=1e-8)
+
+        U0 = warm_sketch_init(640, 64, dtype)
+        for _ in range(4):
+            Ut, SVh, U0 = warm_ritz_split_right(A, U0, 64, 1e-12)
+        err_r = np.linalg.norm(np.asarray(Ut @ SVh) - np.asarray(A)) \
+            / np.linalg.norm(np.asarray(A))
+        assert err_r <= 1.5 * opt + 1e-8
+        kept_r = np.abs(np.asarray(Ut)).sum(0) > 1e-9
+        np.testing.assert_allclose(np.asarray(Ut.conj().T @ Ut)[
+            np.ix_(kept_r, kept_r)], np.eye(kept_r.sum()), atol=1e-8)
+
+    def test_warm_ritz_split_rank_deficient_masks_zeros(self):
+        # dead directions must come out exactly zero (padding invariant),
+        # same contract as the eigh-free warm split
+        from mpstime_tpu.ops.decomp import (warm_ritz_split_left,
+                                            warm_sketch_init)
+        rng = np.random.default_rng(13)
+        A = jnp.asarray(rng.standard_normal((120, 8)) @
+                        rng.standard_normal((8, 60)))
+        V0 = warm_sketch_init(60, 20, np.float64)
+        US, Vh, V0 = warm_ritz_split_left(A, V0, 20, 1e-12)
+        live = np.abs(np.asarray(Vh)).sum(1) > 1e-9
+        assert live.sum() == 8
+        np.testing.assert_array_equal(np.asarray(US)[:, ~live[:20]] * 0,
+                                      np.asarray(US)[:, ~live[:20]])
+
     def test_lean_split_matches_span_quality(self):
         # cold eigh-free split: valid isometry + reconstruction within a
         # modest factor of optimal on a fast-decaying spectrum
