@@ -86,6 +86,8 @@ def main():
                       None),
         "warm_ritz_q3": ("randomized_warm", (pin(ritz_l, 3), pin(ritz_r, 3)),
                          None),
+        "warm_q3": ("randomized_warm", (pin(base_l, 3), pin(base_r, 3)),
+                    None),
         "warm_q5": ("randomized_warm", (pin(base_l, 5), pin(base_r, 5)),
                     None),
         "warm_q3_ns": ("randomized_warm",
@@ -94,12 +96,19 @@ def main():
                        (pin(base_l, 5, "ns"), pin(base_r, 5, "ns")), None),
     }
 
-    phase2 = len(sys.argv) > 1 and sys.argv[1] == "phase2"
-    if phase2:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "phase1"
+    chi_override = None
+    if mode == "phase2":
         # winner confirmation on the other two complex encodings
         cells = [(enc, v, s)
                  for enc in ["sahand", "stoudenmire"]
                  for v in (sys.argv[2:] or ["warm_ritz"])
+                 for s in SEEDS]
+    elif mode == "phase3":
+        # gate-threshold boundary: shipped warm q3 vs the ritz winner at
+        # chi=48 (q3 beats exact at chi<=40, degrades at 64 — where between?)
+        chi_override = 48
+        cells = [("fourier", v, s) for v in ["warm_q3", "warm_ritz"]
                  for s in SEEDS]
     else:
         # priority order: the shipped-TPU-route hypothesis first (if
@@ -111,7 +120,7 @@ def main():
         cells = [("fourier", v, s) for v in prio for s in SEEDS]
         cells[3:3] = [("fourier", "exact_svd", s) for s in SEEDS[1:]]
 
-    chi, nsweeps = 64, 10
+    chi, nsweeps = chi_override or 64, 10
     if os.environ.get("MPSTIME_PROBE_SMOKE"):
         chi, nsweeps = 8, 2
         cells = [("fourier", v, SEEDS[0]) for v in variants]
