@@ -108,7 +108,8 @@ def main():
         # gate-threshold boundary: shipped warm q3 vs the ritz winner at
         # chi=48 (q3 beats exact at chi<=40, degrades at 64 — where between?)
         chi_override = 48
-        cells = [("fourier", v, s) for v in ["warm_q3", "warm_ritz"]
+        cells = [("fourier", v, s)
+                 for v in (sys.argv[2:] or ["warm_q3_ns", "warm_ritz"])
                  for s in SEEDS]
     else:
         # priority order: the shipped-TPU-route hypothesis first (if
