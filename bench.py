@@ -54,7 +54,7 @@ def _sync(x):
 
 def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
                        measure_percall=True, encoding="legendre",
-                       refresh_every=1):
+                       refresh_every=1, svd_alg=None):
     """Median s/sweep of the production training path: all sweeps fused into
     one compiled device call (training/sweep.py full_sweeps — what fit_mps
     uses whenever per-sweep host logging is off, e.g. all of hyperopt).
@@ -71,7 +71,8 @@ def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
     from mpstime_tpu.utils.preprocessing import transform_data
 
     opts = mt.MPSOptions(chi_max=chi, d=d, verbosity=-1, encoding=encoding,
-                         dtype="float32" if encoding == "legendre" else None)
+                         dtype="float32" if encoding == "legendre" else None,
+                         svd_alg=svd_alg or "auto")
     dt = opts.resolved_dtype()
     rdt = np.zeros(0, dt).real.dtype
     Xs, _, _, _ = transform_data(X, np.zeros((0, X.shape[1])), opts)
@@ -492,16 +493,26 @@ def main():
     step(lambda: _steady_sweep_time(X, y, chi=256, d=5, nsweeps_block=4,
                                     measure_percall=False)[0],
          "ecg200_sweep_time_chi256")
-    # complex-encoding path (fourier c64 — fused real-imag pair kernels,
-    # ops/pallas_bond_c.py, q=3 power steps per refresh = the shipped
-    # complex default; the K2 datapoint is a perf-knob reference only —
-    # under q=3 it costs accuracy, docs/complex_split_oracle.md section 6)
+    # complex-encoding path (fourier c64).  chi=64 sits above
+    # COMPLEX_RITZ_CHI_GATE, so the shipped auto default here is the
+    # Ritz-rotated warm split on the XLA bond path (exact-band accuracy,
+    # docs/complex_split_oracle.md section 5) — the headline datapoint
+    # measures that default.  The _fused datapoint pins the eigh-free pair
+    # kernels (ops/pallas_bond_c.py, warm q=3 — the auto route at/below the
+    # gate, a perf knob above it); the K2 datapoint is a perf-knob
+    # reference only — under q=3 it costs accuracy (section 6).
     step(lambda: _steady_sweep_time(X, y, chi=64, d=5, measure_percall=False,
                                     encoding="fourier"),
          "fourier_c64_sweep_time_chi64", "fourier_train_acc_after_8_sweeps",
          pick=(0, 2))
     step(lambda: _steady_sweep_time(X, y, chi=64, d=5, measure_percall=False,
-                                    encoding="fourier", refresh_every=2)[0],
+                                    encoding="fourier",
+                                    svd_alg="randomized_warm"),
+         "fourier_c64_sweep_time_chi64_fused",
+         "fourier_fused_train_acc_after_8_sweeps", pick=(0, 2))
+    step(lambda: _steady_sweep_time(X, y, chi=64, d=5, measure_percall=False,
+                                    encoding="fourier", refresh_every=2,
+                                    svd_alg="randomized_warm")[0],
          "fourier_c64_sweep_time_chi64_refresh2")
 
     # long-sequence scaling: T=512 synthetic, ECG-like sample count

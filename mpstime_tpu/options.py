@@ -75,6 +75,16 @@ def encoding_is_complex(name: str) -> bool:
     return s in _COMPLEX_ENCODINGS
 
 
+# Largest chi_max at which the fused warm q=3 split still tracks the complex
+# encodings' +-paired degenerate bond spectra.  The r4 chi=64 probe
+# (scripts/chi64_probe.py, docs/complex_split_oracle.md section 5) measured
+# the fused route out of the exact-SVD band above it (fourier chi=64:
+# 0.61-0.69 test acc vs exact 0.76-0.82 over 3 seeds) while the Ritz-rotated
+# warm split stays in/above band (0.78-0.85) — so svd_alg="auto" resolves to
+# "randomized_warm_ritz" for complex encodings above this gate.
+COMPLEX_RITZ_CHI_GATE = 40
+
+
 @dataclass(frozen=True)
 class MPSOptions:
     """Hyperparameters and options for :func:`fit_mps`.
@@ -118,7 +128,10 @@ class MPSOptions:
     train_classes_separately: bool = False
 
     # SVD / truncated-split algorithm:
-    #   "auto"            -> accelerators: "randomized_warm"; CPU: "gram_eigh"
+    #   "auto"            -> CPU: "gram_eigh"; accelerators: "randomized_warm",
+    #                        except complex encodings above
+    #                        COMPLEX_RITZ_CHI_GATE which resolve to
+    #                        "randomized_warm_ritz" (see resolved_svd_alg)
     #   "randomized_warm" -> eigh-free split warm-started from the previous
     #                        sweep's per-bond subspace (fastest TPU path;
     #                        ops/decomp.py warm_split_*)
@@ -130,8 +143,11 @@ class MPSOptions:
     #   "randomized_warm_ritz" -> the warm split plus a per-bond [k, k]
     #                        Rayleigh-Ritz rotation: exact-SVD truncation
     #                        ordering on the warm subspace (the large-chi
-    #                        complex quality route; the eigh keeps it off
-    #                        the fused Pallas kernels, so it is slower —
+    #                        complex quality route — in/above the exact band
+    #                        at fourier chi=64 where every eigh-free fast
+    #                        split is below it, docs/complex_split_oracle.md
+    #                        section 5; the eigh keeps it off the fused
+    #                        Pallas kernels, so it is slower —
     #                        ops/decomp.warm_ritz_split_*)
     svd_alg: str = "auto"
     # randomized_warm only: refresh the per-bond subspaces (power step + QR)
@@ -145,19 +161,22 @@ class MPSOptions:
     # subspace costs up to 28 test-acc points (docs/complex_split_oracle.md
     # section 6).
     subspace_refresh_every: int = 1
-    # randomized_warm only: power-iteration steps per subspace refresh
+    # warm splits only: power-iteration steps per subspace refresh
     # (per-column normalization between steps).  0 = auto: 1 for real
-    # encodings, 3 for complex ones — the r4 exact-split oracle
-    # (docs/complex_split_oracle.md) showed one warm power step losing
-    # ~9 test-acc points vs the exact band on fourier's +-paired degenerate
-    # bond spectra, while q=3 beats exact SVD at chi<=40 on both probed
-    # seeds (0.74-0.86 vs 0.68-0.76).  chi=64 fourier stays noisy/below
-    # exact (0.64-0.69 vs 0.76-0.82) for every fast alg — for final
-    # large-chi complex fits prefer svd_alg="svd" on CPU f64.  Real
+    # encodings and the ritz route, 3 for complex randomized_warm — the r4
+    # exact-split oracle (docs/complex_split_oracle.md) showed one warm
+    # power step losing ~9 test-acc points vs the exact band on fourier's
+    # +-paired degenerate bond spectra, while q=3 beats exact SVD at
+    # chi<=40 on both probed seeds (0.74-0.86 vs 0.68-0.76).  Above
+    # COMPLEX_RITZ_CHI_GATE the q=3 subspace stops tracking the spectrum
+    # (fourier chi=64: 0.61-0.69 vs exact 0.76-0.82) and auto switches to
+    # the Ritz-rotated split, where q=1 already sits in band (0.78-0.85,
+    # 3 seeds) and extra powers buy nothing (q=3: 0.77-0.82).  Real
     # encodings measure accuracy-saturated at q=1.
     subspace_power_iters: int = 0
     # Orthogonalization inside the randomized/lean/warm splits:
-    #   "auto" -> accelerators: "ns"; CPU: "qr"
+    #   "auto" -> accelerators: "ns" (the ritz route: "qr" — it never
+    #             fuses, and its oracle band was measured on QR); CPU: "qr"
     #   "qr"   -> thin Householder QR (complex via the realified embedding,
     #             ops/decomp._qr_orth)
     #   "ns"   -> matmul-only Newton-Schulz polar iteration
@@ -249,17 +268,22 @@ class MPSOptions:
         import jax
         if jax.default_backend() == "cpu":
             return "gram_eigh"
-        # Warm-started eigh-free splits are the accelerator default for
-        # every encoding, complex included: complex QR routes through the
-        # fast real Householder embedding (ops/decomp._qr_orth), putting a
-        # fourier c64 sweep at 0.043 s fused vs 0.68 s for the Ritz route
-        # (whose complex [k,k] eigh lowers to a slow TPU kernel).  Complex
-        # encodings run 3 warm power steps per refresh instead of 1
-        # (resolved_power_iters): the r4 exact-split oracle
-        # (docs/complex_split_oracle.md) showed one step losing ~9 fourier
-        # test-acc points vs exact SVD on +-paired degenerate bond spectra,
-        # while q=3 beats exact at chi<=40 on both probed seeds (chi=64
-        # remains noisy for every fast alg — see the oracle doc).
+        # Warm-started eigh-free splits are the accelerator default: at a
+        # fourier c64 chi=64 sweep the fused kernels run ~0.03 s vs ~0.68 s
+        # for a per-bond-eigh route (the complex [k,k] eigh lowers to a
+        # slow TPU kernel).  Complex encodings run 3 warm power steps per
+        # refresh (resolved_power_iters, docs/complex_split_oracle.md) —
+        # but above COMPLEX_RITZ_CHI_GATE the q=3 subspace stops tracking
+        # the +-paired degenerate spectra (fourier chi=64: 0.61-0.69 test
+        # acc vs exact 0.76-0.82) and quality takes priority: auto switches
+        # to the Ritz-rotated warm split, which recovers exact-SVD
+        # truncation ordering and sits in/above the exact band (0.78-0.85
+        # over 3 seeds).  Hyperopt note: a search whose chi grid straddles
+        # the gate compiles two trial programs (one per resolved alg) —
+        # pin svd_alg explicitly to keep a single compile class.
+        if (encoding_is_complex(self.encoding)
+                and self.chi_max > COMPLEX_RITZ_CHI_GATE):
+            return "randomized_warm_ritz"
         return "randomized_warm"
 
     def resolved_orth_alg(self) -> str:
@@ -267,19 +291,29 @@ class MPSOptions:
         resolves to the matmul-only Newton-Schulz polar route on
         accelerators (it fuses into the Pallas bond kernels — see the field
         comment) and thin QR on CPU (LAPACK QR is cheap there and NS's
-        fixed iteration count buys nothing)."""
+        fixed iteration count buys nothing).  The ritz route resolves to QR
+        on every backend: it always takes the XLA bond path (NS's in-kernel
+        advantage is moot) and the chi=64 oracle band was measured on the
+        QR chain (docs/complex_split_oracle.md section 5)."""
         if self.orth_alg != "auto":
             return self.orth_alg
+        if self.resolved_svd_alg() == "randomized_warm_ritz":
+            return "qr"
         import jax
         return "qr" if jax.default_backend() == "cpu" else "ns"
 
     def resolved_power_iters(self) -> int:
         """Warm-split power steps per refresh: explicit value wins; auto (0)
-        resolves to 3 for complex encodings (see the field comment and
-        docs/complex_split_oracle.md) and 1 for real ones."""
+        resolves to 3 for complex encodings on the plain warm split, and 1
+        for real encodings and the ritz route (the Ritz rotation supersedes
+        the +--pair disambiguation the extra powers bought: q=1 measures in
+        band at fourier chi=64, q=3 the same but slower — see the field
+        comment and docs/complex_split_oracle.md)."""
         if self.subspace_power_iters > 0:
             return int(self.subspace_power_iters)
-        return 3 if encoding_is_complex(self.encoding) else 1
+        if not encoding_is_complex(self.encoding):
+            return 1
+        return 1 if self.resolved_svd_alg() == "randomized_warm_ritz" else 3
 
     # ---- convenience ------------------------------------------------------
     def replace(self, **kwargs) -> "MPSOptions":

@@ -397,6 +397,22 @@ def fit_mps_batch(jobs, opts: MPSOptions = None, opts_list=None
                 f"{_BATCH_VARIABLE_FIELDS}; other options shape the "
                 "compiled program and must be shared")
 
+    # svd_alg="auto" resolves per-job through the complex chi gate
+    # (options.COMPLEX_RITZ_CHI_GATE), so a complex trial population whose
+    # chi_max straddles it mixes resolved algorithms: partition into one
+    # vmapped program per alg (order-preserving) rather than silently
+    # routing every job through the first job's resolution.
+    algs = [o.resolved_svd_alg() for o in opts_list]
+    if len(set(algs)) > 1:
+        results: list = [None] * F
+        for alg in sorted(set(algs)):
+            idx = [i for i, a in enumerate(algs) if a == alg]
+            sub = fit_mps_batch([jobs[i] for i in idx],
+                                opts_list=[opts_list[i] for i in idx])
+            for i, r in zip(idx, sub):
+                results[i] = r
+        return results
+
     o0 = opts_list[0]
     spec = get_encoding(o0.encoding, project=o0.projected_basis)
     dtype = o0.resolved_dtype()

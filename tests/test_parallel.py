@@ -97,6 +97,49 @@ def test_sharded_sweeps_complex_matches_single_device(tiny_problem):
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-8)
 
 
+def test_sharded_sweeps_complex_ritz_loss_band(tiny_problem):
+    """The Ritz route (the auto default above options.COMPLEX_RITZ_CHI_GATE)
+    under the dp mesh.  Bitwise sharded-vs-single parity is impossible by
+    construction here: the per-bond [k, k] eigh amplifies the psum's
+    reduction-order epsilon into O(1) basis rotations inside (near-)
+    degenerate Ritz clusters, after which the two trajectories diverge
+    benignly (measured max|diff| ~1.9 on this problem — the same class as
+    the blocked complex kernels, see test_training's K12mc notes).  Assert
+    trajectory-independent health instead: finite outputs, dtype, and the
+    final training loss inside a tight band of the single-device run."""
+    import jax.numpy as jnp
+    from mpstime_tpu.models.mps import MPS
+    from mpstime_tpu.parallel import sharded_full_sweeps
+    from mpstime_tpu.training.stats import loss_acc_conf
+    from mpstime_tpu.training.sweep import full_sweeps
+
+    mps, phis_c, y_onehot, w = tiny_problem
+    c128 = np.complex128
+    cores = mps.cores.astype(c128)
+    center = mps.center.astype(c128)
+    rng = np.random.default_rng(3)
+    phis_cx = phis_c.astype(c128) * jnp.exp(
+        1j * jnp.asarray(rng.uniform(-1, 1, phis_c.shape)))
+    kw = dict(nsweeps=2, loss="KLD", bbopt="TSGO", update_iters=1,
+              rescale=(False, True), svd_alg="randomized_warm_ritz")
+    c1, ce1 = full_sweeps(cores, center, phis_cx, y_onehot, w, 0.05, 1e-10,
+                          **kw)
+    mesh = make_mesh(8)
+    sp, sy, sw = shard_train_arrays(mesh, phis_cx, y_onehot, w)
+    rc, rce = replicate(mesh, cores, center)
+    c2, ce2 = sharded_full_sweeps(mesh, rc, rce, sp, sy, sw, 0.05, 1e-10,
+                                  **kw)
+    assert np.asarray(ce2).dtype == c128
+    assert np.all(np.isfinite(np.asarray(c2).view(np.float64)))
+    X_enc = jnp.conj(phis_cx).swapaxes(0, 1)
+    y_idx = jnp.argmax(y_onehot, axis=1)
+    T = cores.shape[0]
+    l1, *_ = loss_acc_conf(MPS(c1, ce1, T - 1), X_enc, y_idx)
+    l2, *_ = loss_acc_conf(MPS(c2, ce2, T - 1), X_enc, y_idx)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    assert abs(float(l1) - float(l2)) <= 0.05 * abs(float(l1)), (l1, l2)
+
+
 def test_sharded_sweeps_production_config_pallas(tiny_problem):
     """The PRODUCTION accelerator config (svd_alg='randomized_warm' + the
     fused Pallas bond kernels, interpreter mode on CPU) under the dp mesh:

@@ -155,6 +155,30 @@ def test_fourier_c64_parity_and_roundtrip(ecg, tmp_path):
     assert mae < 0.8, mae
 
 
+def test_fourier_c64_ritz_route_on_chip(ecg):
+    """The gated large-chi complex default on real hardware: above
+    options.COMPLEX_RITZ_CHI_GATE the auto default is randomized_warm_ritz
+    (XLA bond path with a per-bond complex [k, k] eigh inside the sweep
+    scan) — this is the one shipped route the fused-kernel lane tests
+    never touch, and on-device complex eigh is axon's least-exercised op.
+    Short smoke: finite, healthy floor (c64 precision band, cf. the
+    chi=25 test's measured 0.61-0.67)."""
+    import mpstime_tpu as mt
+
+    from mpstime_tpu.options import COMPLEX_RITZ_CHI_GATE
+
+    Xtr, ytr, Xte, yte = ecg
+    opts = mt.MPSOptions(nsweeps=5, chi_max=COMPLEX_RITZ_CHI_GATE + 8,
+                         d=5, encoding="fourier", verbosity=-1,
+                         log_level=-1)
+    assert opts.resolved_svd_alg() == "randomized_warm_ritz"
+    assert opts.resolved_power_iters() == 1
+    assert opts.resolved_orth_alg() == "qr"
+    trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+    acc = float(np.mean(mt.classify(trained, Xte) == yte))
+    assert 0.55 <= acc <= 0.95, acc
+
+
 def test_complex_xfer_shim_roundtrip(tpu_check):
     import jax.numpy as jnp
     from mpstime_tpu.utils.xfer import to_device, to_host

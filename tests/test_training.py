@@ -342,6 +342,38 @@ class TestWarmSplitTraining:
                              subspace_power_iters=1).resolved_power_iters() \
             == 1
 
+    def test_auto_alg_complex_ritz_gate(self, monkeypatch):
+        # Above COMPLEX_RITZ_CHI_GATE the accelerator auto default for
+        # complex encodings switches to the Ritz-rotated warm split (the
+        # chi=64 probe measured the fused q=3 route out of the exact band
+        # there — docs/complex_split_oracle.md section 5), with QR orth and
+        # q=1 (the probe's measured-in-band config).
+        import jax
+        from mpstime_tpu.options import COMPLEX_RITZ_CHI_GATE
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        o = mt.MPSOptions(encoding="fourier", chi_max=64)
+        assert o.resolved_svd_alg() == "randomized_warm_ritz"
+        assert o.resolved_power_iters() == 1
+        assert o.resolved_orth_alg() == "qr"
+        # at/below the gate: the fused warm q=3 route (beats exact there)
+        o2 = mt.MPSOptions(encoding="fourier", chi_max=COMPLEX_RITZ_CHI_GATE)
+        assert o2.resolved_svd_alg() == "randomized_warm"
+        assert o2.resolved_power_iters() == 3
+        assert o2.resolved_orth_alg() == "ns"
+        # real encodings never gate
+        assert mt.MPSOptions(chi_max=256).resolved_svd_alg() == \
+            "randomized_warm"
+        # explicit ritz anywhere resolves the auto knobs to qr + q=1
+        o4 = mt.MPSOptions(encoding="sahand", chi_max=25,
+                           svd_alg="randomized_warm_ritz")
+        assert o4.resolved_orth_alg() == "qr"
+        assert o4.resolved_power_iters() == 1
+        # explicit knob values always win
+        o5 = mt.MPSOptions(encoding="fourier", chi_max=64, orth_alg="ns",
+                           subspace_power_iters=3)
+        assert o5.resolved_orth_alg() == "ns"
+        assert o5.resolved_power_iters() == 3
+
     @pytest.mark.slow
     def test_complex_split_oracle_band(self, ecg200):
         # The r4 exact-split oracle (docs/complex_split_oracle.md) pins
@@ -357,6 +389,23 @@ class TestWarmSplitTraining:
                              nsweeps=10, svd_alg="randomized_warm",
                              verbosity=-1, dtype="complex128")
         assert opts.resolved_power_iters() == 3
+        trained, info, ts = mt.fit_mps(Xtr, ytr, Xte, yte, opts)
+        assert info["test_acc"][-1] >= 0.74
+
+    @pytest.mark.slow
+    def test_complex_ritz_chi64_band(self, ecg200):
+        # The large-chi complex cell the gate exists for: fourier chi=64,
+        # where the r4 chi=64 probe (docs/complex_split_oracle.md section 5)
+        # measured exact SVD at 0.76-0.82 test acc, the fused warm q=3
+        # route OUT of band at 0.61-0.69, and the ritz route (this config:
+        # q=1, QR orth) in/above band at 0.78-0.85 over 3 seeds (0.80 at
+        # this init_rng).  A regression in the Ritz rotation fails loudly.
+        Xtr, ytr, Xte, yte = ecg200
+        opts = mt.MPSOptions(encoding="fourier", chi_max=64, d=5,
+                             nsweeps=10, svd_alg="randomized_warm_ritz",
+                             verbosity=-1, dtype="complex128")
+        assert opts.resolved_power_iters() == 1
+        assert opts.resolved_orth_alg() == "qr"
         trained, info, ts = mt.fit_mps(Xtr, ytr, Xte, yte, opts)
         assert info["test_acc"][-1] >= 0.74
 
@@ -433,6 +482,47 @@ class TestBatchedFit:
         with pytest.raises(ValueError, match="may differ only in"):
             mt.fit_mps_batch([(Xtr, ytr)] * 2,
                              opts_list=[opts, opts.replace(d=5)])
+
+    def test_batch_partitions_mixed_resolved_algs(self, ecg200,
+                                                  monkeypatch):
+        # svd_alg="auto" resolves per-job through the complex chi gate
+        # (options.COMPLEX_RITZ_CHI_GATE on accelerators), so a trial
+        # population straddling it mixes resolved algs — fit_mps_batch must
+        # partition into one vmapped program per alg, preserving job order,
+        # instead of routing every job through job 0's resolution.  The
+        # CPU auto path never gates, so stub a chi-keyed resolver.
+        from mpstime_tpu.options import MPSOptions
+        orig = MPSOptions.resolved_svd_alg
+        calls = []
+
+        def fake(self):
+            alg = ("randomized_warm" if self.chi_max <= 10
+                   else "randomized_warm_ritz") if self.svd_alg == "auto" \
+                else orig(self)
+            calls.append(alg)
+            return alg
+        monkeypatch.setattr(MPSOptions, "resolved_svd_alg", fake)
+        Xtr, ytr, *_ = ecg200
+        X, y = Xtr[:60], ytr[:60]
+        opts = mt.MPSOptions(nsweeps=3, chi_max=10, d=4, verbosity=-1,
+                             log_level=-1, encoding="fourier",
+                             dtype="complex64", svd_alg="auto",
+                             pad_to=(14, 4))
+        ol = [opts, opts.replace(chi_max=14), opts]
+        ms = mt.fit_mps_batch([(X, y)] * 3, opts_list=ol)
+        assert len(ms) == 3
+        assert "randomized_warm" in calls and \
+            "randomized_warm_ritz" in calls
+        for m, o in zip(ms, ol):
+            # order preserved: each result honors its own job's chi cap
+            assert int(np.max(m.mps.bond_dims())) <= o.chi_max
+            assert m.opts is o
+            # smoke floor only (the warm q=3 c64 3-sweep cell is a weak
+            # learner at this tiny config: 0.48 batch == single; the ritz
+            # jobs measure 0.75-0.82) — route correctness is pinned by the
+            # calls/bond-cap/opts-identity asserts above
+            acc = np.mean(mt.classify(m, X) == y)
+            assert acc > 0.4, acc
 
     def test_complex_encoding_batch(self, ecg200):
         Xtr, ytr, *_ = ecg200
