@@ -94,11 +94,23 @@ def main():
                        (pin(base_l, 3, "ns"), pin(base_r, 3, "ns")), None),
         "warm_q5_ns": ("randomized_warm",
                        (pin(base_l, 5, "ns"), pin(base_r, 5, "ns")), None),
+        # the SHIPPED ritz route via its public knobs (no patching), and an
+        # NS-orth twin: if quality holds, the per-bond [2 chi d, 2 chi]
+        # realified QR in the ritz refresh can be swapped for matmul-only
+        # Newton-Schulz on TPU (the [k, k] eigh stays — the Ritz values are
+        # basis-independent given an orthonormal span, so NS's ~1e-6
+        # non-orthonormality perturbs them only at that order)
+        "ritz": ("randomized_warm_ritz", None, None),
+        "ritz_ns": ("randomized_warm_ritz", None, None),
     }
+    variant_orth = {"ritz_ns": "ns"}
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "phase1"
     chi_override = None
-    if mode == "phase2":
+    if mode == "custom":
+        # fourier chi=64 cells for the variants named on argv
+        cells = [("fourier", v, s) for v in sys.argv[2:] for s in SEEDS]
+    elif mode == "phase2":
         # winner confirmation on the other two complex encodings
         cells = [(enc, v, s)
                  for enc in ["sahand", "stoudenmire"]
@@ -143,6 +155,7 @@ def main():
             jax.clear_caches()
             opts = mt.MPSOptions(encoding=enc, chi_max=chi, d=enc_d[enc],
                                  nsweeps=nsweeps, svd_alg=alg, init_rng=seed,
+                                 orth_alg=variant_orth.get(name, "auto"),
                                  verbosity=-1)
             t0 = time.perf_counter()
             trained, info, test_ds = mt.fit_mps(X, y, Xte, yte, opts=opts)

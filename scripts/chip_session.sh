@@ -12,6 +12,10 @@ echo "--- stage 2: block probe ---" | tee -a /tmp/chip_session.log
 timeout 14400 python scripts/block_tpu_probe.py > /tmp/chip_block.log 2>&1
 echo "block probe exit $?" | tee -a /tmp/chip_session.log
 
+echo "--- stage 2b: ritz route probe ---" | tee -a /tmp/chip_session.log
+timeout 14400 python scripts/ritz_tpu_probe.py > /tmp/chip_ritz.log 2>&1
+echo "ritz probe exit $?" | tee -a /tmp/chip_session.log
+
 echo "--- stage 3: tpu pytest lane ---" | tee -a /tmp/chip_session.log
 timeout 7200 python -m pytest tests/ -m tpu -q > /tmp/chip_lane.log 2>&1
 echo "lane exit $?" | tee -a /tmp/chip_session.log
