@@ -175,8 +175,11 @@ class MPSOptions:
     # encodings measure accuracy-saturated at q=1.
     subspace_power_iters: int = 0
     # Orthogonalization inside the randomized/lean/warm splits:
-    #   "auto" -> accelerators: "ns" (the ritz route: "qr" — it never
-    #             fuses, and its oracle band was measured on QR); CPU: "qr"
+    #   "auto" -> accelerators: "ns" (including the ritz route — the chi=64
+    #             probe measured ritz+NS at 0.82-0.88 test acc over 3 seeds,
+    #             at or above both ritz+QR 0.78-0.85 and exact SVD
+    #             0.76-0.82, and NS swaps the route's per-bond realified
+    #             [2 chi d, 2 chi] Householder QR for matmuls); CPU: "qr"
     #   "qr"   -> thin Householder QR (complex via the realified embedding,
     #             ops/decomp._qr_orth)
     #   "ns"   -> matmul-only Newton-Schulz polar iteration
@@ -289,16 +292,16 @@ class MPSOptions:
     def resolved_orth_alg(self) -> str:
         """Split-orthogonalization algorithm: explicit value wins; auto
         resolves to the matmul-only Newton-Schulz polar route on
-        accelerators (it fuses into the Pallas bond kernels — see the field
-        comment) and thin QR on CPU (LAPACK QR is cheap there and NS's
-        fixed iteration count buys nothing).  The ritz route resolves to QR
-        on every backend: it always takes the XLA bond path (NS's in-kernel
-        advantage is moot) and the chi=64 oracle band was measured on the
-        QR chain (docs/complex_split_oracle.md section 5)."""
+        accelerators (it fuses into the Pallas bond kernels, and on the
+        XLA-path ritz route it replaces the per-bond realified
+        [2 chi d, 2 chi] Householder QR — slow on TPU — with matmuls; the
+        chi=64 probe measured ritz+NS in/above the exact band at 0.82-0.88
+        over 3 seeds, docs/complex_split_oracle.md section 5) and thin QR
+        on CPU (LAPACK QR is cheap there and NS's fixed iteration count
+        buys nothing — ritz+NS measured ~2.7x slower than ritz+QR on
+        CPU)."""
         if self.orth_alg != "auto":
             return self.orth_alg
-        if self.resolved_svd_alg() == "randomized_warm_ritz":
-            return "qr"
         import jax
         return "qr" if jax.default_backend() == "cpu" else "ns"
 

@@ -173,7 +173,7 @@ def test_fourier_c64_ritz_route_on_chip(ecg):
                          log_level=-1)
     assert opts.resolved_svd_alg() == "randomized_warm_ritz"
     assert opts.resolved_power_iters() == 1
-    assert opts.resolved_orth_alg() == "qr"
+    assert opts.resolved_orth_alg() == "ns"
     trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
     acc = float(np.mean(mt.classify(trained, Xte) == yte))
     assert 0.55 <= acc <= 0.95, acc
