@@ -150,11 +150,14 @@ class MPSOptions:
     #                        Pallas kernels, so it is slower —
     #                        ops/decomp.warm_ritz_split_*)
     svd_alg: str = "auto"
-    # randomized_warm only: refresh the per-bond subspaces (power step + QR)
-    # every K-th sweep, splitting against the frozen cached bases in between.
-    # K=1 (default) refreshes every sweep; K=2 cuts the per-bond QR — the
-    # dominant TPU cost once the bond step is fused — out of half the
-    # sweeps.  Measured ECG200 chi=64 v5e: real f32 ~0.014 -> 0.0104
+    # warm routes (randomized_warm / randomized_warm_ritz): refresh the
+    # per-bond subspaces (power step + orth) every K-th sweep, splitting
+    # against the frozen cached bases in between.  K=1 (default) refreshes
+    # every sweep; K=2 cuts the per-bond orthogonalization — the dominant
+    # TPU cost once the bond step is fused — out of half the sweeps.  On
+    # the RITZ route K>1 skips only the power step: the per-bond [k, k]
+    # eigh (that route's dominant cost) still runs every sweep, so K>1
+    # saves near-nothing there.  Measured ECG200 chi=64 v5e: real f32 ~0.014 -> 0.0104
     # s/sweep at K=2 (test acc 0.91 -> 0.89).  For COMPLEX encodings K=2
     # is NOT recommended: the r3 "accuracy-neutral" reading was a q=1
     # artifact — under the shipped q=3 default, freezing the now-accurate

@@ -401,7 +401,11 @@ def fit_mps_batch(jobs, opts: MPSOptions = None, opts_list=None
     # (options.COMPLEX_RITZ_CHI_GATE), so a complex trial population whose
     # chi_max straddles it mixes resolved algorithms: partition into one
     # vmapped program per alg (order-preserving) rather than silently
-    # routing every job through the first job's resolution.
+    # routing every job through the first job's resolution.  NOTE: jobs
+    # resolving to "randomized_warm_ritz" batch correctly but gain less —
+    # vmapped eigh lowers to a per-model loop, so the route's dominant
+    # per-bond [k, k] eigh does not amortize across the model axis (the
+    # surrounding matmuls and the op-issue skeleton still do).
     algs = [o.resolved_svd_alg() for o in opts_list]
     if len(set(algs)) > 1:
         results: list = [None] * F

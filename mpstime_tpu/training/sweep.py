@@ -668,6 +668,10 @@ def _batched_full_sweeps_impl(cores, center, phis_c, y_onehot, class_weight,
     populations).  With orth="ns" the whole batched sweep is matmuls:
     the r3 "vmap fold-batching" dead end was the batched QR/eigh
     serializing per element, and the NS route retired the QR itself.
+    Exception: svd_alg="randomized_warm_ritz" keeps a per-bond [k, k]
+    eigh, which vmap lowers to a per-model loop — ritz jobs batch
+    correctly (fit_mps_batch partitions them into their own program)
+    but that eigh does not amortize across models.
     Reference posture: one sequential fit per (trial, fold),
     tuning.jl:158-176."""
     F = cores.shape[0]
