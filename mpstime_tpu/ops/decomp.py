@@ -441,9 +441,105 @@ def warm_split_right(M: jnp.ndarray, U0: jnp.ndarray, keep: int, cutoff,
     return U, SVh, Q
 
 
+#: Jacobi-tracking iterations per bond for the ritz ``rot="track"`` route
+#: (two first-order corrections reduce the off-diagonal quadratically on the
+#: non-degenerate part; degenerate clusters need no resolution for ordering).
+_RITZ_TRACK_ITERS = 2
+
+
+def _polar_unitary(Y: jnp.ndarray, n_cubic: int = 3) -> jnp.ndarray:
+    """Cubic Newton-Schulz polar polish for a NEAR-UNITARY square Y.
+
+    Used on the Jacobi-tracking rotation ``I + X`` (X antihermitian), whose
+    singular values are exactly ``sqrt(1 + s_i(X)^2) >= 1`` — so after the
+    RMS-column prescale every singular value sits in ~[0.8, 1] and the
+    quadratically-convergent cubic iteration reaches roundoff orthogonality
+    in 3 steps; no quintic warmup needed (contrast :func:`ns_orth`, which
+    must revive arbitrarily small directions)."""
+    hi = jax.lax.Precision.HIGHEST
+    dot = partial(jnp.dot, precision=hi)
+    k = Y.shape[0]
+    rdt = Y.real.dtype
+    nf = jnp.sqrt(jnp.sum(jnp.abs(Y) ** 2) / k) * rdt.type(1.0 + 1e-3)
+    X = Y / jnp.maximum(nf, jnp.finfo(rdt).tiny)
+    for _ in range(n_cubic):
+        G = dot(X.conj().T, X)
+        X = 1.5 * X - 0.5 * dot(X, G)
+    return X
+
+
+def _ritz_rot_track(S: jnp.ndarray,
+                    iters: int = _RITZ_TRACK_ITERS
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Matmul-only approximate eigendecomposition of a NEARLY-DIAGONAL
+    hermitian S [k, k] -> (w descending, W unitary), tracking the
+    eigenbasis across DMRG sweeps instead of recomputing it.
+
+    The ritz route caches the ROTATED basis (warm_ritz_split_* returns
+    ``Vnext = Q @ W``), so the next sweep's projected Gram at the same bond
+    is the previous eigenbasis perturbed by one optimizer step + one warm
+    power step — nearly diagonal.  First-order perturbation theory gives the
+    diagonalizing rotation ``W = I + X`` with ``X_ij = E_ij / (d_j - d_i)``
+    (E = off-diagonal of S); we use the exact-2x2-Jacobi-bounded form
+
+        X_ij = E_ij * (d_j - d_i) / ((d_j - d_i)^2 + 4 |E_ij|^2)
+
+    which equals the perturbative limit for small couplings, is capped at
+    |X_ij| <= 1/4 (AM-GM), and smoothly switches OFF the rotation for
+    degenerate pairs (d_i = d_j) — where no rotation is needed: truncation
+    ordering inside a degenerate cluster is arbitrary (the MPS gauge
+    freedom absorbs intra-cluster mixing; docs/complex_split_oracle.md
+    section 5's diagnosis is that ordering matters ACROSS the cutoff
+    boundary, not within clusters).  X is exactly antihermitian, so
+    ``I + X`` has singular values >= 1 and :func:`_polar_unitary`
+    re-unitarizes it in 3 cubic NS steps.  Two tracked iterations reduce
+    the non-degenerate off-diagonal quadratically.
+
+    Everything is a [k, k] matmul / elementwise op + one argsort — no eigh,
+    so on TPU the per-bond cost is ~20 MXU matmuls instead of the complex
+    QDWH eigh that dominated the ritz route's sweep time.  Cold-start
+    (far-from-diagonal S) is NOT this function's job: the sweep engine runs
+    exact eigh sweeps first (``ritz_exact_sweeps``), after which tracking
+    maintains the band — validated against the exact-split oracle in
+    tests/test_training.py::test_complex_ritz_track_band."""
+    hi = jax.lax.Precision.HIGHEST
+    dot = partial(jnp.dot, precision=hi)
+    k = S.shape[0]
+    rdt = S.real.dtype
+    cplx = jnp.iscomplexobj(S)
+    eyer = jnp.eye(k, dtype=rdt)
+    # axon cannot materialize complex CONSTANTS: build the complex eye from
+    # real parts (utils/xfer rules; CLAUDE.md)
+    eye = jax.lax.complex(eyer, jnp.zeros((k, k), rdt)).astype(S.dtype) \
+        if cplx else eyer
+    W = eye
+    tiny = jnp.finfo(rdt).tiny
+    for _ in range(iters):
+        dvec = jnp.real(jnp.diagonal(S))
+        E = S - eye * dvec                      # off-diagonal part
+        den = dvec[None, :] - dvec[:, None]     # d_j - d_i
+        damp = den / (den * den + 4.0 * jnp.abs(E) ** 2 + tiny)
+        X = E * damp.astype(S.dtype)
+        W1 = _polar_unitary(eye + X)
+        S = dot(W1.conj().T, dot(S, W1))
+        W = dot(W, W1)
+    w = jnp.real(jnp.diagonal(S))
+    order = jnp.argsort(-w)
+    return w[order], W[:, order]
+
+
+def _ritz_rot(S: jnp.ndarray, rot: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Eigen-rotation dispatcher for the ritz splits: exact eigh (descending)
+    or the matmul-only Jacobi tracker (``rot="track"``)."""
+    if rot == "track":
+        return _ritz_rot_track(S)
+    w, W = jnp.linalg.eigh(S)
+    return w[::-1], W[:, ::-1]
+
+
 def warm_ritz_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
                          q: int = 1, refresh: bool = True, max_rank=None,
-                         orth: str = "qr"
+                         orth: str = "qr", rot: str = "eigh"
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """:func:`warm_split_left` plus a per-bond Rayleigh-Ritz rotation
     (svd_alg="randomized_warm_ritz").
@@ -465,6 +561,11 @@ def warm_ritz_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
     Reference match: decomposeBT's exact truncated SVD ordering
     (/root/reference/src/Training/RealRealHighDimension.jl:166-187) on the
     warm sketched subspace.  Returns (US, Vh, V_next) like warm_split_left.
+
+    ``rot="track"`` replaces the per-bond eigh with the matmul-only Jacobi
+    tracker (:func:`_ritz_rot_track`) — valid once the cached basis is
+    eigen-ordered, i.e. after at least one exact-eigh sweep; the sweep
+    engine handles the exact->track schedule (``ritz_exact_sweeps``).
     """
     C = M.shape[1]
     k = min(keep, C)
@@ -472,8 +573,7 @@ def warm_ritz_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
          if refresh else V0[:, :k])                    # [C, k]
     B = M @ Q                                          # [R, k]
     S = B.conj().T @ B                                 # [k, k] Ritz Gram
-    w, W = jnp.linalg.eigh(S)
-    w, W = w[::-1], W[:, ::-1]
+    w, W = _ritz_rot(S, rot)
     mask = _trunc_mask(w, keep, cutoff, max_rank)
     Wm = W * mask
     US = B @ Wm                                        # [R, k]
@@ -489,7 +589,7 @@ def warm_ritz_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
 
 def warm_ritz_split_right(M: jnp.ndarray, U0: jnp.ndarray, keep: int, cutoff,
                           q: int = 1, refresh: bool = True, max_rank=None,
-                          orth: str = "qr"
+                          orth: str = "qr", rot: str = "eigh"
                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Mirror of :func:`warm_ritz_split_left` on the row side; U0 [R, keep]."""
     R = M.shape[0]
@@ -498,8 +598,7 @@ def warm_ritz_split_right(M: jnp.ndarray, U0: jnp.ndarray, keep: int, cutoff,
          if refresh else U0[:, :k])                    # [R, k]
     B = Q.conj().T @ M                                 # [k, C]
     S = B @ B.conj().T                                 # [k, k]
-    w, W = jnp.linalg.eigh(S)
-    w, W = w[::-1], W[:, ::-1]
+    w, W = _ritz_rot(S, rot)
     mask = _trunc_mask(w, keep, cutoff, max_rank)
     Wm = W * mask
     U = Q @ Wm

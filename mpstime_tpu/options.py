@@ -177,6 +177,17 @@ class MPSOptions:
     # 3 seeds) and extra powers buy nothing (q=3: 0.77-0.82).  Real
     # encodings measure accuracy-saturated at q=1.
     subspace_power_iters: int = 0
+    # Ritz route only (svd_alg="randomized_warm_ritz", incl. the complex
+    # auto gate): number of leading sweeps whose per-bond eigen-rotation is
+    # an EXACT eigh; later sweeps switch to the matmul-only Jacobi tracker
+    # (ops/decomp._ritz_rot_track) — the cached bases are eigen-ordered by
+    # then, so first-order tracking maintains exact-SVD truncation ordering
+    # while the eigh (the route's dominant per-bond TPU cost: 0.47 of the
+    # 0.047 XLA sweep floor at fourier chi=64 on v5e) leaves the
+    # steady-state critical path.  -1 (default) = exact eigh on every
+    # sweep; the tracker is a perf knob pending the exact-split-oracle
+    # quality pin (docs/complex_split_oracle.md).
+    ritz_exact_sweeps: int = -1
     # Orthogonalization inside the randomized/lean/warm splits:
     #   "auto" -> accelerators: "ns" (including the ritz route — the chi=64
     #             probe measured ritz+NS at 0.82-0.88 test acc over 3 seeds,
@@ -302,9 +313,22 @@ class MPSOptions:
         over 3 seeds, docs/complex_split_oracle.md section 5) and thin QR
         on CPU (LAPACK QR is cheap there and NS's fixed iteration count
         buys nothing — ritz+NS measured ~2.7x slower than ritz+QR on
-        CPU)."""
+        CPU).
+
+        EXCEPTION: shape-polymorphic padded runs (``pad_to`` set) resolve
+        to "qr" on every backend.  A padded trial's runtime chi cap leaves
+        most of the static-``keep``-wide warm subspace structurally dead,
+        and the NS subspace iteration contaminates the kept basis there:
+        per-column normalization + the eps revival re-inflate dead
+        directions into junk that the polar step (which mixes columns,
+        unlike QR's nested fill-in) folds into the live ones.  Measured
+        (ECG200 f32 warm, pad_to=(40, 8), chi cap 17, 4 sweeps): train acc
+        ns 0.69 vs qr 0.98 on CPU, ns 0.73 on-chip vs the 0.85 lane floor.
+        Explicit orth_alg="ns" is still honored for experiments."""
         if self.orth_alg != "auto":
             return self.orth_alg
+        if self.pad_to is not None:
+            return "qr"
         import jax
         return "qr" if jax.default_backend() == "cpu" else "ns"
 

@@ -252,12 +252,14 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
             cores, center = sharded_full_sweeps(
                 mesh, cores, center, phis_c, y_onehot, class_weight,
                 eta_a, cutoff_a, nsweeps=opts.nsweeps,
-                refresh_every=opts.subspace_refresh_every, **sweep_kw)
+                refresh_every=opts.subspace_refresh_every,
+                ritz_exact_sweeps=opts.ritz_exact_sweeps, **sweep_kw)
         else:
             cores, center = full_sweeps(
                 cores, center, phis_c, y_onehot, class_weight, eta_a,
                 cutoff_a, nsweeps=opts.nsweeps, platform=platform,
                 refresh_every=opts.subspace_refresh_every,
+                ritz_exact_sweeps=opts.ritz_exact_sweeps,
                 max_rank=max_rank, **sweep_kw)
         jax.block_until_ready(center)
         mps = MPS(cores, center, T - 1)
@@ -275,10 +277,17 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
             t0 = time.perf_counter()
             costs = None
             refresh = sweep % opts.subspace_refresh_every == 0
+            # exact->track schedule for the ritz route (same host-side rule
+            # as full_sweeps' traced cond; ritz_rot is a no-op off it)
+            rrot = ("track"
+                    if (sweep_kw["svd_alg"] == "randomized_warm_ritz"
+                        and 0 <= opts.ritz_exact_sweeps <= sweep)
+                    else "eigh")
             if warm and mesh is not None:
                 out = sharded_full_sweep_warm(
                     mesh, cores, center, subspaces, phis_c, y_onehot,
                     class_weight, eta_a, cutoff_a, refresh=refresh,
+                    ritz_rot=rrot,
                     track_cost=opts.track_cost, **sweep_kw)
                 cores, center, subspaces = out[0], out[1], out[2]
                 if opts.track_cost:
@@ -286,7 +295,8 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
             elif warm:
                 out = full_sweep_warm(
                     cores, center, subspaces, phis_c, y_onehot, class_weight,
-                    eta_a, cutoff_a, refresh=refresh, platform=platform,
+                    eta_a, cutoff_a, refresh=refresh, ritz_rot=rrot,
+                    platform=platform,
                     track_cost=opts.track_cost, max_rank=max_rank,
                     **sweep_kw)
                 cores, center, subspaces = out[0], out[1], out[2]
@@ -486,7 +496,8 @@ def fit_mps_batch(jobs, opts: MPSOptions = None, opts_list=None
         svd_alg=o0.resolved_svd_alg(),
         power_iters=o0.resolved_power_iters(),
         orth=o0.resolved_orth_alg(),
-        refresh_every=o0.subspace_refresh_every, max_rank=max_rank)
+        refresh_every=o0.subspace_refresh_every,
+        ritz_exact_sweeps=o0.ritz_exact_sweeps, max_rank=max_rank)
     float(jnp.linalg.norm(center_b))     # reliable device barrier (axon)
 
     out = []

@@ -191,7 +191,8 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 class_weight, eta, cutoff, *, loss: str, bbopt: str,
                 update_iters: int, rescale: Tuple[bool, bool], svd_alg: str,
                 power_iters: int = 1, orth: str = "qr",
-                refresh: bool = True, track_cost: bool = False,
+                refresh: bool = True, ritz_rot: str = "eigh",
+                track_cost: bool = False,
                 axis_name: Optional[str] = None,
                 platform: Optional[str] = None,
                 max_rank=None):
@@ -210,6 +211,11 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     data-parallel mesh — batch tensors (phis_c/y_onehot/class_weight and the
     environment state) are per-shard blocks and each bond update psums the
     local gradient over this axis (one collective per bond).
+
+    ``ritz_rot``: eigen-rotation mode for svd_alg="randomized_warm_ritz" —
+    "eigh" (exact, per-bond eigh) or "track" (matmul-only Jacobi tracking
+    of the cached eigenbasis, ops/decomp._ritz_rot_track; only valid after
+    at least one exact sweep has ordered the caches).
     """
     T, chi, d, _ = cores.shape
     C = center.shape[3]
@@ -219,8 +225,10 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     warm = svd_alg in WARM_ALGS
     # module-global lookups so tests/probes can monkeypatch the split fns
     ritz = svd_alg == "randomized_warm_ritz"
-    wsl = warm_ritz_split_left if ritz else warm_split_left
-    wsr = warm_ritz_split_right if ritz else warm_split_right
+    wsl = (partial(warm_ritz_split_left, rot=ritz_rot) if ritz
+           else warm_split_left)
+    wsr = (partial(warm_ritz_split_right, rot=ritz_rot) if ritz
+           else warm_split_right)
     cplx = np.dtype(dtype).kind == "c"
     pallas = (not track_cost) \
         and _pallas_vmem_ok(C, chi, d, N, factor=2 if cplx else 1) \
@@ -328,10 +336,18 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     # Multi-bond block route (K12m / K12mc): one kernel per Bb consecutive
     # bonds — same eligibility as the single-kernel K12 (ns refresh /
     # frozen, no dp), remainder bonds through the single-bond body.
+    # COMPLEX refresh blocks only at q<=1: the pair NS-subspace unroll is
+    # the compile-size driver (~4x instructions per power step), and at the
+    # complex default q=3 a Bb=4 block kernel exhausts Mosaic's kernel VMEM
+    # stack (measured ECG200 fourier chi=64, v5e: q=1 blocks run at 0.0114
+    # s/sweep, q=3 blocks fail scoped-vmem compile; the single-kernel K12
+    # route is the proven q=3 path at 0.0239).  Frozen sweeps carry no
+    # in-kernel power steps, so they block at any q.
     BB = (_auto_block(C, chi, d, N, T, factor=2 if cplx else 1,
                       cap=4 if cplx else 8)
           if (pallas and axis_name is None
-              and (orth == "ns" or not refresh)) else 1)
+              and (orth == "ns" or not refresh)
+              and not (cplx and refresh and power_iters > 1)) else 1)
     block_steps = (pallas_bond_c.bond_block_steps_c if cplx
                    else pallas_bond.bond_block_steps)
 
@@ -488,7 +504,8 @@ def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
                 eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
                 rescale: Tuple[bool, bool], svd_alg: str, subspaces=None,
                 power_iters: int = 1, orth: str = "qr",
-                refresh: bool = True, track_cost: bool = False,
+                refresh: bool = True, ritz_rot: str = "eigh",
+                track_cost: bool = False,
                 axis_name: Optional[str] = None,
                 platform: Optional[str] = None, max_rank=None):
     """Single self-contained sweep (builds the left environments itself).
@@ -506,7 +523,7 @@ def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
         cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot, class_weight,
         eta, cutoff, loss=loss, bbopt=bbopt, update_iters=update_iters,
         rescale=rescale, svd_alg=svd_alg, power_iters=power_iters,
-        orth=orth, refresh=refresh,
+        orth=orth, refresh=refresh, ritz_rot=ritz_rot,
         track_cost=track_cost, axis_name=axis_name, platform=platform,
         max_rank=max_rank)
     if warm:
@@ -549,13 +566,14 @@ def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("loss", "bbopt", "update_iters", "rescale",
                                    "svd_alg", "power_iters", "orth",
-                                   "refresh",
+                                   "refresh", "ritz_rot",
                                    "track_cost", "axis_name", "platform"))
 def full_sweep_warm(cores, center, subspaces, phis_c, y_onehot, class_weight,
                     eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
                     rescale: Tuple[bool, bool], svd_alg: str,
                     power_iters: int = 1, orth: str = "qr",
-                    refresh: bool = True, track_cost: bool = False,
+                    refresh: bool = True, ritz_rot: str = "eigh",
+                    track_cost: bool = False,
                     axis_name: Optional[str] = None,
                     platform: Optional[str] = None, max_rank=None):
     """One sweep with explicit warm-subspace state: pass the ``subspaces``
@@ -569,6 +587,7 @@ def full_sweep_warm(cores, center, subspaces, phis_c, y_onehot, class_weight,
                        bbopt=bbopt, update_iters=update_iters,
                        rescale=rescale, svd_alg=svd_alg,
                        power_iters=power_iters, orth=orth, refresh=refresh,
+                       ritz_rot=ritz_rot,
                        track_cost=track_cost, axis_name=axis_name,
                        platform=platform, max_rank=max_rank)
 
@@ -579,7 +598,7 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
                       eta, cutoff, *, nsweeps: int, loss: str, bbopt: str,
                       update_iters: int, rescale: Tuple[bool, bool],
                       svd_alg: str, power_iters: int = 1, orth: str = "qr",
-                      refresh_every: int = 1,
+                      refresh_every: int = 1, ritz_exact_sweeps: int = -1,
                       axis_name: Optional[str] = None,
                       platform: Optional[str] = None, max_rank=None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -595,7 +614,15 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
     ``refresh_every=K`` (warm only): refresh the per-bond subspaces (power
     step + QR) on sweeps 0, K, 2K, ...; in between, split against the
     frozen cached bases — the QR, the dominant per-bond cost once
-    everything else is fused, drops out of (K-1)/K of the sweeps."""
+    everything else is fused, drops out of (K-1)/K of the sweeps.
+
+    ``ritz_exact_sweeps=n`` (ritz route only; static): run the per-bond
+    eigen-rotation EXACTLY (eigh) for the first n sweeps, then switch to
+    the matmul-only Jacobi tracker (ops/decomp._ritz_rot_track) — the
+    exact sweeps eigen-order the per-bond caches, after which first-order
+    tracking maintains the ordering and the eigh (the route's dominant
+    TPU cost) leaves the steady-state critical path.  -1 = exact on every
+    sweep (legacy behaviour)."""
     T, chi, d, _ = cores.shape
     warm = svd_alg in WARM_ALGS
     kw = dict(loss=loss, bbopt=bbopt, update_iters=update_iters,
@@ -619,19 +646,33 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
             return cores, center, LE, LE_ls, VB, UF
         return cores, center, LE, LE_ls
 
+    ritz_track = (svd_alg == "randomized_warm_ritz"
+                  and ritz_exact_sweeps >= 0)
+
     def body(i, state):
         cores, center, LE, LE_ls, VB, UF = unpack(state)
+        args = (cores, center, LE, LE_ls, VB, UF)
+
+        def run(refresh, rot):
+            return lambda a: _sweep_core(*a, phis_c, y_onehot, class_weight,
+                                         eta, cutoff, refresh=refresh,
+                                         ritz_rot=rot, **kw)[:6]
+
+        def with_rot(refresh):
+            if not ritz_track:
+                return run(refresh, "eigh")
+            return lambda a: jax.lax.cond(i < ritz_exact_sweeps,
+                                          run(refresh, "eigh"),
+                                          run(refresh, "track"), a)
+
         if warm and refresh_every > 1:
-            out = jax.lax.cond(
-                i % refresh_every == 0,
-                lambda a: _sweep_core(*a, phis_c, y_onehot, class_weight,
-                                      eta, cutoff, refresh=True, **kw)[:6],
-                lambda a: _sweep_core(*a, phis_c, y_onehot, class_weight,
-                                      eta, cutoff, refresh=False, **kw)[:6],
-                (cores, center, LE, LE_ls, VB, UF))
+            out = jax.lax.cond(i % refresh_every == 0,
+                               with_rot(True), with_rot(False), args)
+        elif ritz_track:
+            out = with_rot(True)(args)
         else:
-            out = _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c,
-                              y_onehot, class_weight, eta, cutoff, **kw)[:6]
+            out = _sweep_core(*args, phis_c, y_onehot, class_weight,
+                              eta, cutoff, **kw)[:6]
         return pack(*out)
 
     state0 = pack(cores, center, LE, LE_ls, VB, UF)
@@ -643,7 +684,8 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
 # differ only in sweep count share one compiled program
 full_sweeps = partial(jax.jit, static_argnames=(
     "loss", "bbopt", "update_iters", "rescale", "svd_alg", "power_iters",
-    "orth", "refresh_every", "axis_name", "platform"))(_full_sweeps_impl)
+    "orth", "refresh_every", "ritz_exact_sweeps", "axis_name",
+    "platform"))(_full_sweeps_impl)
 
 
 def _batched_full_sweeps_impl(cores, center, phis_c, y_onehot, class_weight,
@@ -651,7 +693,8 @@ def _batched_full_sweeps_impl(cores, center, phis_c, y_onehot, class_weight,
                               bbopt: str, update_iters: int,
                               rescale: Tuple[bool, bool], svd_alg: str,
                               power_iters: int = 1, orth: str = "qr",
-                              refresh_every: int = 1, max_rank=None
+                              refresh_every: int = 1,
+                              ritz_exact_sweeps: int = -1, max_rank=None
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Train F independent MPS models in ONE vmapped program.
 
@@ -668,10 +711,12 @@ def _batched_full_sweeps_impl(cores, center, phis_c, y_onehot, class_weight,
     populations).  With orth="ns" the whole batched sweep is matmuls:
     the r3 "vmap fold-batching" dead end was the batched QR/eigh
     serializing per element, and the NS route retired the QR itself.
-    Exception: svd_alg="randomized_warm_ritz" keeps a per-bond [k, k]
-    eigh, which vmap lowers to a per-model loop — ritz jobs batch
-    correctly (fit_mps_batch partitions them into their own program)
-    but that eigh does not amortize across models.
+    Exception: svd_alg="randomized_warm_ritz" with ritz_exact_sweeps=-1
+    keeps a per-bond [k, k] eigh, which vmap lowers to a per-model loop —
+    ritz jobs batch correctly (fit_mps_batch partitions them into their
+    own program) but that eigh does not amortize across models.  With the
+    default exact->track schedule only the first ritz_exact_sweeps sweeps
+    pay it; the tracked sweeps are matmul-only and batch fully.
     Reference posture: one sequential fit per (trial, fold),
     tuning.jl:158-176."""
     F = cores.shape[0]
@@ -680,7 +725,9 @@ def _batched_full_sweeps_impl(cores, center, phis_c, y_onehot, class_weight,
     kw = dict(nsweeps=nsweeps, loss=loss, bbopt=bbopt,
               update_iters=update_iters, rescale=rescale, svd_alg=svd_alg,
               power_iters=power_iters, orth=orth,
-              refresh_every=refresh_every, axis_name=None, platform="xla")
+              refresh_every=refresh_every,
+              ritz_exact_sweeps=ritz_exact_sweeps,
+              axis_name=None, platform="xla")
 
     if max_rank is None:
         def one(co, ce, ph, y1, w, et, cu):
@@ -700,4 +747,5 @@ def _batched_full_sweeps_impl(cores, center, phis_c, y_onehot, class_weight,
 
 batched_full_sweeps = partial(jax.jit, static_argnames=(
     "loss", "bbopt", "update_iters", "rescale", "svd_alg", "power_iters",
-    "orth", "refresh_every"))(_batched_full_sweeps_impl)
+    "orth", "refresh_every",
+    "ritz_exact_sweeps"))(_batched_full_sweeps_impl)

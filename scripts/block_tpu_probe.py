@@ -20,16 +20,20 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 CONFIGS = [
-    # (encoding, chi, T-source)
-    ("legendre", 32, "ecg"),
-    ("legendre", 64, "ecg"),
-    ("legendre", 128, "ecg"),
-    ("fourier", 64, "ecg"),
-    ("legendre", 25, "ipd"),
+    # (encoding, chi, T-source, power_iters: 0 = resolved default)
+    ("legendre", 32, "ecg", 0),
+    ("legendre", 64, "ecg", 0),
+    ("legendre", 128, "ecg", 0),
+    # fourier q=3 = the shipped fused perf knob (block-ineligible by the
+    # complex-q gate, so auto == single K12); q=1 = the largest complex
+    # block config that compiles (K12mc Bb=4)
+    ("fourier", 64, "ecg", 0),
+    ("fourier", 64, "ecg", 1),
+    ("legendre", 25, "ipd", 0),
 ]
 
 
-def child(enc: str, chi: int, src: str, block: str):
+def child(enc: str, chi: int, src: str, block: str, q: int):
     import numpy as np
 
     from mpstime_tpu.training import sweep
@@ -44,22 +48,23 @@ def child(enc: str, chi: int, src: str, block: str):
         X, y = synth_two_sine(np.random.default_rng(1), 27, 27, T=24)
 
     from scripts.ns_orth_tpu_probe import steady
-    t, acc = steady(X, y, chi, 5, "ns", encoding=enc)
+    t, acc = steady(X, y, chi, 5, "ns", encoding=enc, q=q)
     print(json.dumps({"enc": enc, "chi": chi, "src": src, "block": block,
-                      "s_per_sweep": round(t, 5),
+                      "q": q, "s_per_sweep": round(t, 5),
                       "train_acc": round(acc, 4)}), flush=True)
 
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        child(sys.argv[2], int(sys.argv[3]), sys.argv[4], sys.argv[5])
+        child(sys.argv[2], int(sys.argv[3]), sys.argv[4], sys.argv[5],
+              int(sys.argv[6]))
         return
-    for enc, chi, src in CONFIGS:
+    for enc, chi, src, q in CONFIGS:
         for block in ("auto", "1"):
             try:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--child",
-                     enc, str(chi), src, block],
+                     enc, str(chi), src, block, str(q)],
                     capture_output=True, text=True, timeout=3600)
             except subprocess.TimeoutExpired:
                 # one hung child (remote-compile stall) costs one datapoint,

@@ -102,8 +102,20 @@ def main():
         # non-orthonormality perturbs them only at that order)
         "ritz": ("randomized_warm_ritz", None, None),
         "ritz_ns": ("randomized_warm_ritz", None, None),
+        # exact->track schedule (late r4): eigh sweeps 0-1 then the
+        # matmul-only Jacobi tracker (ops/decomp._ritz_rot_track) — the
+        # shipped accelerator config above the chi gate; _qr twin isolates
+        # the orth choice; _ss = tracking from sweep 0 (no exact warmup,
+        # robustness bound)
+        "ritz_track": ("randomized_warm_ritz", None, None),
+        "ritz_track_qr": ("randomized_warm_ritz", None, None),
+        "ritz_track_ss": ("randomized_warm_ritz", None, None),
     }
-    variant_orth = {"ritz_ns": "ns"}
+    variant_orth = {"ritz_ns": "ns", "ritz_track": "ns",
+                    "ritz_track_ss": "ns", "ritz_track_qr": "qr"}
+    # ritz_exact_sweeps per variant; plain "ritz"/"ritz_ns" stay pinned to
+    # the all-exact legacy route (-1) they were measured on
+    variant_res = {"ritz_track": 2, "ritz_track_qr": 2, "ritz_track_ss": 0}
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "phase1"
     chi_override = None
@@ -156,6 +168,7 @@ def main():
             opts = mt.MPSOptions(encoding=enc, chi_max=chi, d=enc_d[enc],
                                  nsweeps=nsweeps, svd_alg=alg, init_rng=seed,
                                  orth_alg=variant_orth.get(name, "auto"),
+                                 ritz_exact_sweeps=variant_res.get(name, -1),
                                  verbosity=-1)
             t0 = time.perf_counter()
             trained, info, test_ds = mt.fit_mps(X, y, Xte, yte, opts=opts)

@@ -2,6 +2,7 @@
 # Sequential chip-validation session (run on a QUIET machine — no pytest).
 # Stages log to /tmp/chip_*.log; a stage failure does not stop the next.
 cd /root/repo
+export PYTHONPATH="/root/repo:${PYTHONPATH}"   # repo import + keep the axon plugin path
 echo "=== chip session start $(date) ===" | tee /tmp/chip_session.log
 
 echo "--- stage 1: smoke ---" | tee -a /tmp/chip_session.log

@@ -22,7 +22,8 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-def steady(X, y, chi, d, orth, encoding="legendre", nsweeps_block=8, reps=5):
+def steady(X, y, chi, d, orth, encoding="legendre", nsweeps_block=8, reps=5,
+           q=None):
     import jax.numpy as jnp
 
     import mpstime_tpu as mt
@@ -32,9 +33,15 @@ def steady(X, y, chi, d, orth, encoding="legendre", nsweeps_block=8, reps=5):
     from mpstime_tpu.training.sweep import full_sweeps
     from mpstime_tpu.utils.preprocessing import transform_data
 
+    # svd_alg pinned: this probe measures the fused randomized_warm route,
+    # and with "auto" the complex chi>gate cells would resolve power_iters
+    # against the RITZ route (q=1) — a config mismatch that silently timed
+    # the wrong program (caught late r4: the fourier chi=64 block cell ran
+    # q=1 where the shipped fused knob is q=3).
     opts = mt.MPSOptions(chi_max=chi, d=d, verbosity=-1, encoding=encoding,
                          dtype="float32" if encoding == "legendre" else None,
-                         orth_alg=orth)
+                         orth_alg=orth, svd_alg="randomized_warm",
+                         subspace_power_iters=0 if q is None else q)
     dt = opts.resolved_dtype()
     rdt = np.zeros(0, dt).real.dtype
     Xs, _, _, _ = transform_data(X, np.zeros((0, X.shape[1])), opts)

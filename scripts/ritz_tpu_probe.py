@@ -34,14 +34,20 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-# name -> (chi, svd_alg, orth, q, no_pallas)
+# name -> (chi, svd_alg, orth, q, no_pallas, ritz_exact_sweeps)
+# res=-1: eigh every sweep (the pre-track route); res=2: the shipped
+# exact->track schedule (2 eigh sweeps then the matmul-only Jacobi
+# tracker); res=0: pure tracking (steady-state bound — all 8 timed
+# sweeps tracked).
 CELLS = {
-    "ritz_qr": (64, "randomized_warm_ritz", "qr", 0, False),
-    "ritz_ns": (64, "randomized_warm_ritz", "ns", 0, False),
-    "warm_q1_qr_xla": (64, "randomized_warm", "qr", 1, True),
-    "warm_q1_ns_xla": (64, "randomized_warm", "ns", 1, True),
-    "warm_q3_fused": (64, "randomized_warm", "auto", 0, False),
-    "ritz_qr@48": (48, "randomized_warm_ritz", "qr", 0, False),
+    "ritz_qr": (64, "randomized_warm_ritz", "qr", 0, False, -1),
+    "ritz_ns": (64, "randomized_warm_ritz", "ns", 0, False, -1),
+    "warm_q1_qr_xla": (64, "randomized_warm", "qr", 1, True, -1),
+    "warm_q1_ns_xla": (64, "randomized_warm", "ns", 1, True, -1),
+    "warm_q3_fused": (64, "randomized_warm", "auto", 0, False, -1),
+    "ritz_qr@48": (48, "randomized_warm_ritz", "qr", 0, False, -1),
+    "ritz_track": (64, "randomized_warm_ritz", "ns", 0, False, 2),
+    "ritz_track_ss": (64, "randomized_warm_ritz", "ns", 0, False, 0),
 }
 
 
@@ -58,7 +64,7 @@ def child(name: str):
     from mpstime_tpu.training.sweep import full_sweeps
     from mpstime_tpu.utils.preprocessing import transform_data
 
-    chi, alg, orth, q, _ = CELLS[name]
+    chi, alg, orth, q, _, res = CELLS[name]
     smoke = bool(os.environ.get("MPSTIME_PROBE_SMOKE"))
     if smoke:
         chi = 12
@@ -80,7 +86,7 @@ def child(name: str):
     kw = dict(loss="KLD", bbopt="TSGO", update_iters=1,
               rescale=(False, True), svd_alg=opts.resolved_svd_alg(),
               power_iters=opts.resolved_power_iters(),
-              orth=opts.resolved_orth_alg())
+              orth=opts.resolved_orth_alg(), ritz_exact_sweeps=res)
     eta = jnp.asarray(opts.eta, rdt)
     cutoff = jnp.asarray(opts.cutoff, rdt)
     nb, reps = (2, 1) if smoke else (8, 5)
@@ -98,7 +104,7 @@ def child(name: str):
                                  ds.y_idx)
     print(json.dumps({"cell": name, "chi": chi,
                       "alg": kw["svd_alg"], "orth": kw["orth"],
-                      "q": kw["power_iters"],
+                      "q": kw["power_iters"], "res": res,
                       "no_pallas": bool(os.environ.get(
                           "MPSTIME_TPU_NO_PALLAS")),
                       "s_per_sweep": round(float(np.median(times)) / nb, 5),

@@ -73,3 +73,17 @@ def test_invalid_options():
         MPSOptions(loss_grad="huber")
     with pytest.raises(ValueError):
         MPSOptions(bbopt="adam")
+
+
+def test_padded_runs_resolve_orth_to_qr():
+    # pad_to forces the QR orth chain on every backend: the NS subspace
+    # iteration contaminates a structurally rank-deficient warm basis
+    # (runtime chi cap << static keep) — measured train-acc collapse
+    # 0.98 -> 0.69 on padded ECG200 trials (options.resolved_orth_alg
+    # docstring; the r4 TPU-lane padded-trial failure).
+    assert MPSOptions(pad_to=(40, 8)).resolved_orth_alg() == "qr"
+    # explicit setting still wins
+    assert MPSOptions(pad_to=(40, 8),
+                      orth_alg="ns").resolved_orth_alg() == "ns"
+    # unpadded auto keeps the backend rule (CPU test env -> qr)
+    assert MPSOptions().resolved_orth_alg() in ("qr", "ns")

@@ -415,6 +415,48 @@ class TestWarmSplitTraining:
         trained, info, ts = mt.fit_mps(Xtr, ytr, Xte, yte, opts)
         assert info["test_acc"][-1] >= floor
 
+    def test_ritz_exact_to_track_schedule(self, ecg200):
+        # ritz_exact_sweeps plumbing: n >= nsweeps takes the cond-wrapped
+        # eigh branch on every sweep and must be BIT-identical to the
+        # legacy -1 (no cond) route; a tracked run (exact sweeps 0-1 then
+        # the matmul-only Jacobi tracker, ops/decomp._ritz_rot_track)
+        # trains to a sane model.  Quality parity of the tracker at the
+        # gated chi=64 cell is the oracle probe's job
+        # (scripts/chi64_probe.py ritz_track cells).
+        Xtr, ytr, _, _ = ecg200
+        Xtr, ytr = Xtr[:60], ytr[:60]
+        base = dict(encoding="fourier", chi_max=16, d=3, nsweeps=4,
+                    svd_alg="randomized_warm_ritz", verbosity=-1,
+                    dtype="complex128")
+        legacy, _, _ = mt.fit_mps(
+            Xtr, ytr, opts=mt.MPSOptions(ritz_exact_sweeps=-1, **base))
+        allex, _, _ = mt.fit_mps(
+            Xtr, ytr, opts=mt.MPSOptions(ritz_exact_sweeps=99, **base))
+        assert jnp.array_equal(legacy.mps.center, allex.mps.center)
+        tracked, _, _ = mt.fit_mps(
+            Xtr, ytr, opts=mt.MPSOptions(ritz_exact_sweeps=2, **base))
+        acc = float(np.mean(mt.classify(tracked, Xtr) == ytr))
+        assert np.isfinite(np.asarray(tracked.mps.center.real)).all()
+        assert acc >= 0.6, acc
+
+    def test_padded_warm_trial_quality(self, ecg200):
+        # The accelerator production config for a padded hyperopt trial
+        # (svd_alg="randomized_warm", runtime chi cap through pad_to) must
+        # train well on the auto-resolved orth chain.  Regression for the
+        # r4 TPU-lane failure: auto used to resolve padded runs to NS,
+        # whose subspace iteration re-inflates the cap's structurally dead
+        # directions into basis junk (train acc 0.69 vs 0.98 on qr; see
+        # options.resolved_orth_alg).
+        Xtr, ytr, _, _ = ecg200
+        opts = mt.MPSOptions(nsweeps=4, chi_max=17, d=5, verbosity=-1,
+                             log_level=-1, dtype="float32", pad_to=(40, 8),
+                             svd_alg="randomized_warm")
+        assert opts.resolved_orth_alg() == "qr"
+        trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        assert int(np.max(trained.mps.bond_dims())) <= 17
+        acc = float(np.mean(mt.classify(trained, Xtr) == ytr))
+        assert acc >= 0.9, acc
+
 
 class TestBatchedFit:
     """fit_mps_batch: F independent models as one vmapped program
