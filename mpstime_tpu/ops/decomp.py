@@ -441,96 +441,69 @@ def warm_split_right(M: jnp.ndarray, U0: jnp.ndarray, keep: int, cutoff,
     return U, SVh, Q
 
 
-#: Jacobi-tracking iterations per bond for the ritz ``rot="track"`` route
-#: (two first-order corrections reduce the off-diagonal quadratically on the
-#: non-degenerate part; degenerate clusters need no resolution for ordering).
+#: Orthogonal-iteration steps per bond for the ritz ``rot="track"`` route.
+#: Two steps square the per-sweep convergence ratio; the cached basis
+#: carries the accumulated rotation across sweeps, so the effective
+#: iteration count grows with the sweep number while eigenvalue clusters
+#: (where convergence is slow) are exactly the gauge-free directions that
+#: need no resolution.
 _RITZ_TRACK_ITERS = 2
-
-
-def _polar_unitary(Y: jnp.ndarray, n_cubic: int = 3) -> jnp.ndarray:
-    """Cubic Newton-Schulz polar polish for a NEAR-UNITARY square Y.
-
-    Used on the Jacobi-tracking rotation ``I + X`` (X antihermitian), whose
-    singular values are exactly ``sqrt(1 + s_i(X)^2) >= 1`` — so after the
-    RMS-column prescale every singular value sits in ~[0.8, 1] and the
-    quadratically-convergent cubic iteration reaches roundoff orthogonality
-    in 3 steps; no quintic warmup needed (contrast :func:`ns_orth`, which
-    must revive arbitrarily small directions)."""
-    hi = jax.lax.Precision.HIGHEST
-    dot = partial(jnp.dot, precision=hi)
-    k = Y.shape[0]
-    rdt = Y.real.dtype
-    nf = jnp.sqrt(jnp.sum(jnp.abs(Y) ** 2) / k) * rdt.type(1.0 + 1e-3)
-    X = Y / jnp.maximum(nf, jnp.finfo(rdt).tiny)
-    for _ in range(n_cubic):
-        G = dot(X.conj().T, X)
-        X = 1.5 * X - 0.5 * dot(X, G)
-    return X
 
 
 def _ritz_rot_track(S: jnp.ndarray,
                     iters: int = _RITZ_TRACK_ITERS
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Matmul-only approximate eigendecomposition of a NEARLY-DIAGONAL
-    hermitian S [k, k] -> (w descending, W unitary), tracking the
-    eigenbasis across DMRG sweeps instead of recomputing it.
+    """Eigh-free approximate eigendecomposition of a hermitian PSD
+    S [k, k] -> (w descending, W unitary) by ORTHOGONAL (simultaneous)
+    ITERATION, tracking the eigenbasis across DMRG sweeps instead of
+    recomputing it.
 
     The ritz route caches the ROTATED basis (warm_ritz_split_* returns
-    ``Vnext = Q @ W``), so the next sweep's projected Gram at the same bond
-    is the previous eigenbasis perturbed by one optimizer step + one warm
-    power step — nearly diagonal.  First-order perturbation theory gives the
-    diagonalizing rotation ``W = I + X`` with ``X_ij = E_ij / (d_j - d_i)``
-    (E = off-diagonal of S); we use the exact-2x2-Jacobi-bounded form
+    ``Vnext = Q @ W``), so the next sweep's projected Gram at the same
+    bond is the previous eigenbasis perturbed by one optimizer step + one
+    warm power step — nearly diagonal with a descending-ish diagonal.
+    From that start, QR-based simultaneous iteration
 
-        X_ij = E_ij * (d_j - d_i) / ((d_j - d_i)^2 + 4 |E_ij|^2)
+        W <- qr(S @ W).Q        (W0 = qr(S).Q)
 
-    which equals the perturbative limit for small couplings, is capped at
-    |X_ij| <= 1/4 (AM-GM), and smoothly switches OFF the rotation for
-    degenerate pairs (d_i = d_j) — where no rotation is needed: truncation
-    ordering inside a degenerate cluster is arbitrary (the MPS gauge
-    freedom absorbs intra-cluster mixing; docs/complex_split_oracle.md
-    section 5's diagnosis is that ordering matters ACROSS the cutoff
-    boundary, not within clusters).  X is exactly antihermitian, so
-    ``I + X`` has singular values >= 1 and :func:`_polar_unitary`
-    re-unitarizes it in 3 cubic NS steps.  Two tracked iterations reduce
-    the non-degenerate off-diagonal quadratically.
+    polishes the full basis toward the eigenbasis: the QR's NESTED column
+    spans give the classic subspace convergence (column j converges at the
+    eigenvalue-ratio rate of its gap), it is globally convergent — unlike
+    a first-order Jacobi correction, which was measured to stall in a bad
+    basis after the exact->track handoff (fourier chi=64 f64 seed 777:
+    train acc 0.31) — and within degenerate clusters, where convergence is
+    slow, ANY orthonormal cluster basis is valid for truncation (the MPS
+    gauge freedom absorbs intra-cluster mixing).  The returned values are
+    the Rayleigh quotients diag(W^H S W), argsorted descending — the sort
+    repairs any residual misordering before the cutoff mask.
 
-    Everything is a [k, k] matmul / elementwise op + one argsort — no eigh,
-    so on TPU the per-bond cost is ~20 MXU matmuls instead of the complex
-    QDWH eigh that dominated the ritz route's sweep time.  Cold-start
-    (far-from-diagonal S) is NOT this function's job: the sweep engine runs
-    exact eigh sweeps first (``ritz_exact_sweeps``), after which tracking
-    maintains the band — validated against the exact-split oracle in
-    tests/test_training.py::test_complex_ritz_track_band."""
+    Cost: ``iters`` [k, k] matmuls + realified-Householder QRs
+    (:func:`_qr_orth`) + one argsort per bond — no eigh, so on TPU the
+    ritz route's per-bond complex QDWH eigh (measured ~90% of its 0.47-
+    0.56 s/sweep at fourier chi=64 on v5e) leaves the steady-state
+    critical path.  Cold-start ordering quality is the sweep engine's
+    job: it runs exact eigh sweeps first (``ritz_exact_sweeps``), after
+    which tracking maintains the band."""
     hi = jax.lax.Precision.HIGHEST
     dot = partial(jnp.dot, precision=hi)
-    k = S.shape[0]
+    # normalize the iterate scale (eigenvalues enter the QR at first
+    # power only, so overflow needs ~1e38 energies; this guards f32
+    # underflow of cutoff-level directions instead)
     rdt = S.real.dtype
-    cplx = jnp.iscomplexobj(S)
-    eyer = jnp.eye(k, dtype=rdt)
-    # axon cannot materialize complex CONSTANTS: build the complex eye from
-    # real parts (utils/xfer rules; CLAUDE.md)
-    eye = jax.lax.complex(eyer, jnp.zeros((k, k), rdt)).astype(S.dtype) \
-        if cplx else eyer
-    W = eye
-    tiny = jnp.finfo(rdt).tiny
-    for _ in range(iters):
-        dvec = jnp.real(jnp.diagonal(S))
-        E = S - eye * dvec                      # off-diagonal part
-        den = dvec[None, :] - dvec[:, None]     # d_j - d_i
-        damp = den / (den * den + 4.0 * jnp.abs(E) ** 2 + tiny)
-        X = E * damp.astype(S.dtype)
-        W1 = _polar_unitary(eye + X)
-        S = dot(W1.conj().T, dot(S, W1))
-        W = dot(W, W1)
-    w = jnp.real(jnp.diagonal(S))
+    nf = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(S)).real),
+                     jnp.finfo(rdt).tiny)
+    Sn = S / nf
+    W = _qr_orth(Sn)
+    for _ in range(iters - 1):
+        W = _qr_orth(dot(Sn, W))
+    w = jnp.real(jnp.diagonal(dot(W.conj().T, dot(S, W))))
     order = jnp.argsort(-w)
     return w[order], W[:, order]
 
 
 def _ritz_rot(S: jnp.ndarray, rot: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Eigen-rotation dispatcher for the ritz splits: exact eigh (descending)
-    or the matmul-only Jacobi tracker (``rot="track"``)."""
+    or the eigh-free orthogonal-iteration tracker (``rot="track"``)."""
     if rot == "track":
         return _ritz_rot_track(S)
     w, W = jnp.linalg.eigh(S)
@@ -562,7 +535,7 @@ def warm_ritz_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
     (/root/reference/src/Training/RealRealHighDimension.jl:166-187) on the
     warm sketched subspace.  Returns (US, Vh, V_next) like warm_split_left.
 
-    ``rot="track"`` replaces the per-bond eigh with the matmul-only Jacobi
+    ``rot="track"`` replaces the per-bond eigh with the eigh-free orthogonal-iteration
     tracker (:func:`_ritz_rot_track`) — valid once the cached basis is
     eigen-ordered, i.e. after at least one exact-eigh sweep; the sweep
     engine handles the exact->track schedule (``ritz_exact_sweeps``).

@@ -179,15 +179,16 @@ class MPSOptions:
     subspace_power_iters: int = 0
     # Ritz route only (svd_alg="randomized_warm_ritz", incl. the complex
     # auto gate): number of leading sweeps whose per-bond eigen-rotation is
-    # an EXACT eigh; later sweeps switch to the matmul-only Jacobi tracker
-    # (ops/decomp._ritz_rot_track) — the cached bases are eigen-ordered by
-    # then, so first-order tracking maintains exact-SVD truncation ordering
-    # while the eigh (the route's dominant per-bond TPU cost: 0.47 of the
-    # 0.047 XLA sweep floor at fourier chi=64 on v5e) leaves the
-    # steady-state critical path.  -1 (default) = exact eigh on every
-    # sweep; the tracker is a perf knob pending the exact-split-oracle
-    # quality pin (docs/complex_split_oracle.md).
-    ritz_exact_sweeps: int = -1
+    # an EXACT eigh; later sweeps switch to the eigh-free
+    # orthogonal-iteration tracker (ops/decomp._ritz_rot_track), taking
+    # the eigh (the route's dominant per-bond TPU cost: 0.42-0.53 of the
+    # 0.47-0.56 s/sweep at fourier chi=64 on v5e) off the steady-state
+    # critical path.  Default 2: the exact-split oracle measured the
+    # tracked schedule IN the exact band (fourier chi=64 f64, 3 seeds:
+    # test acc 0.79-0.85 vs exact svd 0.76-0.82; even pure tracking from
+    # sweep 0 holds 0.80-0.83 — docs/complex_split_oracle.md section 7).
+    # -1 = exact eigh on every sweep (the legacy/bit-parity route).
+    ritz_exact_sweeps: int = 2
     # Orthogonalization inside the randomized/lean/warm splits:
     #   "auto" -> accelerators: "ns" (including the ritz route — the chi=64
     #             probe measured ritz+NS at 0.82-0.88 test acc over 3 seeds,

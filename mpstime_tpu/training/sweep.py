@@ -213,7 +213,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     local gradient over this axis (one collective per bond).
 
     ``ritz_rot``: eigen-rotation mode for svd_alg="randomized_warm_ritz" —
-    "eigh" (exact, per-bond eigh) or "track" (matmul-only Jacobi tracking
+    "eigh" (exact, per-bond eigh) or "track" (eigh-free orthogonal-iteration tracking
     of the cached eigenbasis, ops/decomp._ritz_rot_track; only valid after
     at least one exact sweep has ordered the caches).
     """
@@ -618,7 +618,7 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
 
     ``ritz_exact_sweeps=n`` (ritz route only; static): run the per-bond
     eigen-rotation EXACTLY (eigh) for the first n sweeps, then switch to
-    the matmul-only Jacobi tracker (ops/decomp._ritz_rot_track) — the
+    the eigh-free orthogonal-iteration tracker (ops/decomp._ritz_rot_track) — the
     exact sweeps eigen-order the per-bond caches, after which first-order
     tracking maintains the ordering and the eigh (the route's dominant
     TPU cost) leaves the steady-state critical path.  -1 = exact on every

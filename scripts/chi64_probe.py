@@ -103,7 +103,7 @@ def main():
         "ritz": ("randomized_warm_ritz", None, None),
         "ritz_ns": ("randomized_warm_ritz", None, None),
         # exact->track schedule (late r4): eigh sweeps 0-1 then the
-        # matmul-only Jacobi tracker (ops/decomp._ritz_rot_track) — the
+        # eigh-free orthogonal-iteration tracker (ops/decomp._ritz_rot_track) — the
         # shipped accelerator config above the chi gate; _qr twin isolates
         # the orth choice; _ss = tracking from sweep 0 (no exact warmup,
         # robustness bound)

@@ -36,7 +36,7 @@ if _REPO not in sys.path:
 
 # name -> (chi, svd_alg, orth, q, no_pallas, ritz_exact_sweeps)
 # res=-1: eigh every sweep (the pre-track route); res=2: the shipped
-# exact->track schedule (2 eigh sweeps then the matmul-only Jacobi
+# exact->track schedule (2 eigh sweeps then the eigh-free orthogonal-iteration
 # tracker); res=0: pure tracking (steady-state bound — all 8 timed
 # sweeps tracked).
 CELLS = {

@@ -404,9 +404,12 @@ class TestWarmSplitTraining:
         # where the r4 chi=64 probe (docs/complex_split_oracle.md section 5)
         # measured exact SVD at 0.76-0.82 test acc, the fused warm q=3
         # route OUT of band at 0.61-0.69, and the ritz route in/above band
-        # on both orth chains (qr 0.78-0.85, ns 0.82-0.88 over 3 seeds) —
-        # ns is what accelerators resolve to, qr is the CPU chain.  A
-        # regression in the Ritz rotation fails loudly.
+        # on both orth chains (all-eigh: qr 0.78-0.85, ns 0.82-0.88 over
+        # 3 seeds) — ns is what accelerators resolve to, qr is the CPU
+        # chain.  Runs at the SHIPPED tracked default (ritz_exact_sweeps=2,
+        # orthogonal-iteration tracker after 2 exact sweeps — oracle band
+        # 0.79-0.85 ns, section 7), so a regression in the Ritz rotation
+        # OR the tracker fails loudly.
         Xtr, ytr, Xte, yte = ecg200
         opts = mt.MPSOptions(encoding="fourier", chi_max=64, d=5,
                              nsweeps=10, svd_alg="randomized_warm_ritz",
@@ -419,10 +422,11 @@ class TestWarmSplitTraining:
         # ritz_exact_sweeps plumbing: n >= nsweeps takes the cond-wrapped
         # eigh branch on every sweep and must be BIT-identical to the
         # legacy -1 (no cond) route; a tracked run (exact sweeps 0-1 then
-        # the matmul-only Jacobi tracker, ops/decomp._ritz_rot_track)
+        # the eigh-free orthogonal-iteration tracker, ops/decomp._ritz_rot_track)
         # trains to a sane model.  Quality parity of the tracker at the
-        # gated chi=64 cell is the oracle probe's job
-        # (scripts/chi64_probe.py ritz_track cells).
+        # gated chi=64 cell is pinned by the oracle probe (ritz_track
+        # 0.79-0.85 vs exact 0.76-0.82, docs/complex_split_oracle.md
+        # section 7) and test_complex_ritz_chi64_band.
         Xtr, ytr, _, _ = ecg200
         Xtr, ytr = Xtr[:60], ytr[:60]
         base = dict(encoding="fourier", chi_max=16, d=3, nsweeps=4,
