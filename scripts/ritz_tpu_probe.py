@@ -48,6 +48,8 @@ CELLS = {
     "ritz_qr@48": (48, "randomized_warm_ritz", "qr", 0, False, -1),
     "ritz_track": (64, "randomized_warm_ritz", "ns", 0, False, 2),
     "ritz_track_ss": (64, "randomized_warm_ritz", "ns", 0, False, 0),
+    "ritz_track_qr": (64, "randomized_warm_ritz", "qr", 0, False, 2),
+    "ritz_track_ss_qr": (64, "randomized_warm_ritz", "qr", 0, False, 0),
 }
 
 
