@@ -87,7 +87,11 @@ def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
               rescale=(False, True), svd_alg=opts.resolved_svd_alg(),
               power_iters=opts.resolved_power_iters(),
               orth=opts.resolved_orth_alg(),
-              refresh_every=refresh_every)
+              refresh_every=refresh_every,
+              # the shipped exact->track ritz schedule (fit_mps passes this
+              # too); full_sweeps' own default is -1 = eigh every sweep,
+              # which is the parity route, NOT the production default
+              ritz_exact_sweeps=opts.ritz_exact_sweeps)
     eta = jnp.asarray(opts.eta, rdt)
     cutoff = jnp.asarray(opts.cutoff, rdt)
 

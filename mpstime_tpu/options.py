@@ -316,7 +316,7 @@ class MPSOptions:
         buys nothing — ritz+NS measured ~2.7x slower than ritz+QR on
         CPU).
 
-        EXCEPTION: shape-polymorphic padded runs (``pad_to`` set) resolve
+        EXCEPTION 1: shape-polymorphic padded runs (``pad_to`` set) resolve
         to "qr" on every backend.  A padded trial's runtime chi cap leaves
         most of the static-``keep``-wide warm subspace structurally dead,
         and the NS subspace iteration contaminates the kept basis there:
@@ -325,10 +325,25 @@ class MPSOptions:
         unlike QR's nested fill-in) folds into the live ones.  Measured
         (ECG200 f32 warm, pad_to=(40, 8), chi cap 17, 4 sweeps): train acc
         ns 0.69 vs qr 0.98 on CPU, ns 0.73 on-chip vs the 0.85 lane floor.
-        Explicit orth_alg="ns" is still honored for experiments."""
+
+        EXCEPTION 2: the ritz route (resolved svd_alg
+        "randomized_warm_ritz") resolves to "qr" on every backend.  Its
+        shipped exact->track schedule (``ritz_exact_sweeps=2``) hands the
+        warm basis to the eigh-free orthogonal-iteration tracker, and in
+        f32 on chip the NS-refreshed basis drifts enough that the tracker
+        maintains a polluted eigen-ordering: measured fourier c64 chi=64
+        ECG200 v5e train acc 0.59-0.75 (ns, seeds 1234/777) vs 0.90-0.95
+        (qr) at a ~6% sweep-time cost (0.182 vs 0.169 s at res=2; pure
+        tracking 0.068 vs 0.049 — scripts/ritz_tpu_probe.py ritz_track*
+        cells).  On the f64 CPU oracle both chains are in band (section 7
+        of docs/complex_split_oracle.md); the rule pins the chain that is
+        robust at hardware precision.  Explicit orth_alg="ns" is still
+        honored for experiments."""
         if self.orth_alg != "auto":
             return self.orth_alg
         if self.pad_to is not None:
+            return "qr"
+        if self.resolved_svd_alg() == "randomized_warm_ritz":
             return "qr"
         import jax
         return "qr" if jax.default_backend() == "cpu" else "ns"

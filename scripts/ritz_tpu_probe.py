@@ -72,8 +72,9 @@ def child(name: str):
         chi = 12
     d_npz = np.load(os.path.join(_REPO, "tests/data/ecg200.npz"))
     X, y = d_npz["X_train"], d_npz["y_train"]
+    seed = int(os.environ.get("MPSTIME_PROBE_SEED", "1234"))
     opts = mt.MPSOptions(chi_max=chi, d=5, verbosity=-1, encoding="fourier",
-                         svd_alg=alg, orth_alg=orth,
+                         svd_alg=alg, orth_alg=orth, init_rng=seed,
                          subspace_power_iters=q)
     dt = opts.resolved_dtype()
     rdt = np.zeros(0, dt).real.dtype
@@ -104,7 +105,7 @@ def child(name: str):
         times.append(time.perf_counter() - t0)
     _, _, acc, _ = loss_acc_conf(MPS(cores, center, T - 1), ds.X_enc,
                                  ds.y_idx)
-    print(json.dumps({"cell": name, "chi": chi,
+    print(json.dumps({"cell": name, "chi": chi, "seed": seed,
                       "alg": kw["svd_alg"], "orth": kw["orth"],
                       "q": kw["power_iters"], "res": res,
                       "no_pallas": bool(os.environ.get(

@@ -173,7 +173,10 @@ def test_fourier_c64_ritz_route_on_chip(ecg):
                          log_level=-1)
     assert opts.resolved_svd_alg() == "randomized_warm_ritz"
     assert opts.resolved_power_iters() == 1
-    assert opts.resolved_orth_alg() == "ns"
+    # the ritz route pins qr orth on every backend: on chip the tracked
+    # schedule's NS-refreshed basis drifts in f32 (train acc 0.59-0.75 ns
+    # vs 0.90-0.95 qr, scripts/ritz_tpu_probe.py ritz_track* cells)
+    assert opts.resolved_orth_alg() == "qr"
     trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
     acc = float(np.mean(mt.classify(trained, Xte) == yte))
     assert 0.55 <= acc <= 0.95, acc

@@ -347,15 +347,17 @@ class TestWarmSplitTraining:
         # complex encodings switches to the Ritz-rotated warm split (the
         # chi=64 probe measured the fused q=3 route out of the exact band
         # there — docs/complex_split_oracle.md section 5), with q=1 and
-        # the accelerator NS orth (ritz+NS measured in/above the exact
-        # band at 0.82-0.88 over 3 seeds, at or above ritz+QR).
+        # qr orth on EVERY backend (the ritz exception in
+        # resolved_orth_alg: on-chip f32 the tracked schedule's
+        # NS-refreshed basis drifts — train acc 0.59-0.75 ns vs 0.90-0.95
+        # qr over 2 seeds, scripts/ritz_tpu_probe.py ritz_track* cells).
         import jax
         from mpstime_tpu.options import COMPLEX_RITZ_CHI_GATE
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         o = mt.MPSOptions(encoding="fourier", chi_max=64)
         assert o.resolved_svd_alg() == "randomized_warm_ritz"
         assert o.resolved_power_iters() == 1
-        assert o.resolved_orth_alg() == "ns"
+        assert o.resolved_orth_alg() == "qr"
         # at/below the gate: the fused warm q=3 route (beats exact there)
         o2 = mt.MPSOptions(encoding="fourier", chi_max=COMPLEX_RITZ_CHI_GATE)
         assert o2.resolved_svd_alg() == "randomized_warm"
@@ -364,11 +366,11 @@ class TestWarmSplitTraining:
         # real encodings never gate
         assert mt.MPSOptions(chi_max=256).resolved_svd_alg() == \
             "randomized_warm"
-        # explicit ritz anywhere resolves auto q to 1; orth follows the
-        # backend rule (still monkeypatched to "tpu" here)
+        # explicit ritz anywhere resolves auto q to 1 and auto orth to qr
+        # (backend-independent — still monkeypatched to "tpu" here)
         o4 = mt.MPSOptions(encoding="sahand", chi_max=25,
                            svd_alg="randomized_warm_ritz")
-        assert o4.resolved_orth_alg() == "ns"
+        assert o4.resolved_orth_alg() == "qr"
         assert o4.resolved_power_iters() == 1
         # explicit knob values always win
         o5 = mt.MPSOptions(encoding="fourier", chi_max=64, orth_alg="ns",
