@@ -407,8 +407,10 @@ class TestWarmSplitTraining:
         # measured exact SVD at 0.76-0.82 test acc, the fused warm q=3
         # route OUT of band at 0.61-0.69, and the ritz route in/above band
         # on both orth chains (all-eigh: qr 0.78-0.85, ns 0.82-0.88 over
-        # 3 seeds) — ns is what accelerators resolve to, qr is the CPU
-        # chain.  Runs at the SHIPPED tracked default (ritz_exact_sweeps=2,
+        # 3 seeds) — qr is what auto resolves to on every backend (the
+        # on-chip f32 tracker drifts under ns, resolved_orth_alg); ns
+        # stays covered here as the experiment knob.  Runs at the SHIPPED
+        # tracked default (ritz_exact_sweeps=2,
         # orthogonal-iteration tracker after 2 exact sweeps — oracle band
         # 0.79-0.85 ns, section 7), so a regression in the Ritz rotation
         # OR the tracker fails loudly.
