@@ -111,8 +111,12 @@ def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
 
     t_percall = None
     if measure_percall:
-        # full_sweep has no refresh cadence (single sweep per call)
-        kw1 = {k: v for k, v in kw.items() if k != "refresh_every"}
+        # full_sweep has no refresh cadence and no exact->track schedule
+        # (both are multi-sweep concepts; a single sweep per call always
+        # refreshes, and full_sweep does not accept either kwarg — the r4
+        # bench lost its chi=64 headline to exactly this TypeError)
+        kw1 = {k: v for k, v in kw.items()
+               if k not in ("refresh_every", "ritz_exact_sweeps")}
         cores1, center1 = full_sweep(cores, center, phis_c, y_onehot, w,
                                      eta, cutoff, **kw1)
         _sync(center1)
@@ -130,6 +134,40 @@ def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
     _, _, acc, _ = loss_acc_conf(MPS(cores, center, T - 1), ds.X_enc,
                                  ds.y_idx)
     return t_fused, t_percall, float(acc)
+
+
+#: Peak dense-matmul throughput used for the MFU estimate, FLOP/s.  v5e
+#: (TPU v5 lite) peak is ~197 TFLOP/s bf16 per chip; XLA's default f32
+#: matmul on TPU runs bf16-based passes, so the bf16 peak is the honest
+#: utilization denominator for this workload.
+_PEAK_FLOPS = 197e12
+
+
+def _sweep_flops(T, N, chi, d, C, q=1, ns_iters=14, cplx=False):
+    """Estimated useful FLOPs of ONE production sweep (fused warm path,
+    KLD+TSGO, q power steps, NS orth) — a LOWER bound counting only the
+    structural matmuls (yhat + gradient, warm power step, NS polar, split
+    products, env update); elementwise work and the blocked-route K12m
+    re-contractions are ignored.  mul+add = 2 FLOPs.  Complex pair kernels
+    do 4 real matmuls per complex one (factor 4)."""
+    R, Cc, k = chi * d * C, d * chi, chi          # backward split shape
+    per_bond = (
+        4 * N * C * (chi * d) ** 2                # yhat + gradient
+        + q * 4 * R * Cc * k                      # power step (M^H M Y)
+        + ns_iters * (4 * Cc * k ** 2 + 2 * k ** 3)   # NS polar
+        + 2 * R * Cc * k                          # B = M Q (split product)
+        + 2 * N * d * chi ** 2                    # env update
+    )
+    total = 2 * (T - 1) * per_bond                # bonds per sweep
+    return total * (4 if cplx else 1)
+
+
+def _mfu(t_sweep, T, N, chi, d, C, **kw):
+    """Arithmetic-utilization estimate: useful FLOPs/sweep / time / peak."""
+    if not t_sweep:
+        return None
+    return round(_sweep_flops(T, N, chi, d, C, **kw) / t_sweep
+                 / _PEAK_FLOPS, 5)
 
 
 def _impute_batch_time(Xtr, ytr, Xte, yte, reps=3, encoding="legendre"):
@@ -386,17 +424,28 @@ def _chi320_datapoint():
     service restarted and lost its executable cache (observed r4) — run it
     in an isolated subprocess so a compile failure costs this one datapoint
     rather than the whole bench."""
+    out = None
     try:
         out = subprocess.run(
             [sys.executable, "-c", _FORCE_CPU_PRELUDE + _CHI320_CHILD],
             capture_output=True, text=True, timeout=2400,
             cwd=os.path.dirname(os.path.abspath(__file__)))
-        line = out.stdout.strip().splitlines()[-1]
+        lines = out.stdout.strip().splitlines()
+        if not lines:
+            # the child died before printing (e.g. the compile helper
+            # SIGKILLed it) — surface its stderr tail, not an IndexError
+            raise RuntimeError(
+                f"child rc={out.returncode}, no stdout; stderr tail: "
+                + " | ".join(out.stderr.strip().splitlines()[-3:]))
         return {"ecg200_sweep_time_chi320":
-                round(json.loads(line)["t"], 5)}
+                round(json.loads(lines[-1])["t"], 5)}
     except Exception as e:                               # noqa: BLE001
+        msg = str(e)
+        if out is not None and "stderr tail" not in msg and out.stderr:
+            msg += " | stderr: " + " | ".join(
+                out.stderr.strip().splitlines()[-2:])
         return {"ecg200_sweep_time_chi320": None,
-                "ecg200_sweep_time_chi320_error": str(e)[:160]}
+                "ecg200_sweep_time_chi320_error": msg[:400]}
 
 
 _CANARY_CHILD = r"""
@@ -568,6 +617,19 @@ def main():
         out["fold_eval_vs_ref_1.9s"] = round(1.9 / t_fold_eval, 1)
     if t_fold_train:
         out["tune_fold_train_vs_ref_128s"] = round(128.0 / t_fold_train, 0)
+    # Arithmetic utilization (VERDICT r4 task 9): estimated structural
+    # FLOPs/sweep over measured time over bf16 peak.  At chi=64 the real
+    # path is latency-bound small-matrix work, so low MFU is expected —
+    # the number exists to show whether blocking/donation raise it.
+    T_, N_ = X.shape[1], X.shape[0]
+    out["mfu_estimate"] = _mfu(t64, T_, N_, 64, 5, 2)
+    out["mfu_estimate_chi256"] = _mfu(
+        record.get("ecg200_sweep_time_chi256"), T_, N_, 256, 5, 2)
+    out["mfu_estimate_fourier_chi64"] = _mfu(
+        record.get("fourier_c64_sweep_time_chi64_fused"), T_, N_, 64, 5, 2,
+        q=3, cplx=True)
+    out["mfu_note"] = ("lower-bound structural-matmul FLOPs / measured "
+                       "s/sweep / 197 TFLOP/s bf16 peak (v5e)")
     out["device"] = str(jax.devices()[0])
     out["bond_route"] = route
     if platform_fallback:
