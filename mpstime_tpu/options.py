@@ -238,7 +238,19 @@ class MPSOptions:
         elif bb in ("TSGO", "CGD"):
             pass
         elif bb in ("OPTIM", "OPTIMKIT"):
-            bb = "CGD"   # the reference's Optim/OptimKit solvers are CGD-based
+            # DIVERGENCE NOTE: the reference's Optim/OptimKit bbopt runs a
+            # conjugate-gradient bond optimizer WITH a line search per
+            # update (legacy engine only —
+            # /root/reference/src/legacy_itensor/loss_functions.jl:172-270;
+            # the modern reference engine ERRORS on these options,
+            # loss_functions.jl:120-151).  Our "CGD" is Polak-Ribière
+            # momentum with the TSGO normalized fixed step
+            # (ops/bond_update.py apply_update, bbopt="CGD") — same descent family, no
+            # line search.  Accepting OPTIM/OPTIMKIT here maps them to the
+            # closest working algorithm rather than replicating the
+            # reference's error; fits needing exact parity should compare
+            # against GD/TSGO, which match the reference exactly.
+            bb = "CGD"
         else:
             raise ValueError(f"bbopt must be 'GD', 'TSGO' or 'CGD', "
                              f"got {self.bbopt!r}")

@@ -238,6 +238,17 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
                     svd_alg=opts.resolved_svd_alg(),
                     power_iters=opts.resolved_power_iters(),
                     orth=opts.resolved_orth_alg())
+    if verb >= 1:
+        # the fused-kernel eligibility set is narrow; a config that falls
+        # off it silently costs ~5-10x sweep time at chi>=64 — say so once
+        from .sweep import pallas_route_notice
+        notice = pallas_route_notice(
+            mps.cores.dtype, opts.loss_grad, opts.bbopt, opts.update_iters,
+            opts.rescale, sweep_kw["svd_alg"], platform,
+            C=mps.center.shape[3], chi=mps.cores.shape[1], d=opts.d,
+            N=phis_c.shape[1], track_cost=opts.track_cost)
+        if notice:
+            print(notice)
     eta_a = jnp.asarray(opts.eta, dtype=real_dt)
     cutoff_a = jnp.asarray(opts.cutoff, dtype=np.float64
                            if real_dt == np.float64 else np.float32)

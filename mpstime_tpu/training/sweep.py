@@ -158,6 +158,60 @@ def _pallas_eligible(dtype, loss, bbopt, update_iters, rescale, svd_alg,
     return platform in ("tpu", "axon")
 
 
+def pallas_route_notice(dtype, loss, bbopt, update_iters, rescale, svd_alg,
+                        platform, C: int, chi: int, d: int, N: int,
+                        track_cost: bool = False) -> Optional[str]:
+    """One-line explanation of why a config will NOT run on the fused
+    Pallas bond kernels (None if it will, or if the platform has no fused
+    path to lose).  The eligibility set is narrow by design (the default
+    hot path only — see ``_pallas_eligible``), and falling off it is a
+    large perf cliff (order ~5-10x sweep time at chi>=64); fit_mps prints
+    this at verbosity >= 1 so the demotion is never silent
+    (docs/tpu_performance.md lists the full eligibility table)."""
+    if pallas_bond._INTERPRET:
+        return None
+    plat = platform if platform is not None else resolve_platform()
+    if plat not in ("tpu", "axon"):
+        return None          # CPU / other: XLA bond path is the only path
+    cplx = np.dtype(dtype).kind == "c"
+    reasons = []
+    if track_cost:
+        reasons.append("track_cost=True (per-bond loss trace)")
+    if os.environ.get("MPSTIME_TPU_NO_PALLAS"):
+        reasons.append("MPSTIME_TPU_NO_PALLAS is set")
+    if svd_alg != "randomized_warm":
+        reasons.append(f"svd_alg={svd_alg!r} (fused path requires "
+                       "'randomized_warm'; note complex chi_max > "
+                       f"{_complex_ritz_gate()} auto-resolves to "
+                       "'randomized_warm_ritz' for accuracy)")
+    if (loss, bbopt, int(update_iters)) != ("KLD", "TSGO", 1):
+        reasons.append(f"loss={loss}/bbopt={bbopt}/update_iters="
+                       f"{update_iters} (fused path covers KLD+TSGO+1)")
+    if tuple(rescale) != (False, True):
+        reasons.append(f"rescale={tuple(rescale)} (fused path covers "
+                       "(False, True))")
+    if not cplx and np.dtype(dtype) != np.dtype(np.float32):
+        reasons.append(f"dtype={np.dtype(dtype).name} (fused path is "
+                       "f32/c64)")
+    if cplx and np.dtype(dtype) != np.dtype(np.complex64):
+        reasons.append(f"dtype={np.dtype(dtype).name} (fused path is "
+                       "f32/c64)")
+    if not reasons and not _pallas_vmem_ok(C, chi, d, N,
+                                           factor=2 if cplx else 1):
+        reasons.append(f"estimated kernel footprint at chi={chi}, N={N} "
+                       "exceeds the VMEM ceiling "
+                       "(pallas_bond.kernel_footprint)")
+    if not reasons:
+        return None
+    return ("[mpstime_tpu] note: this configuration takes the XLA bond "
+            "path (not the fused Pallas kernels): " + "; ".join(reasons))
+
+
+def _complex_ritz_gate() -> int:
+    from ..options import COMPLEX_RITZ_CHI_GATE
+    return COMPLEX_RITZ_CHI_GATE
+
+
 def resolve_platform() -> str:
     """Platform jit-dispatched computations will place on: the thread-local
     ``jax.default_device`` override if set (what DeviceFarm uses to pin fold

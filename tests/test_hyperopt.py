@@ -321,3 +321,42 @@ class TestFoldBatch:
         assert best["chi_max"] in (10, 15)
         assert len(cache) == 3
         assert all(np.isfinite(v) for v in cache.values())
+
+
+@pytest.mark.slow
+def test_tuned_optimum_regression(ecg200):
+    """Golden-value regression on a seeded end-to-end ``tune`` run,
+    mirroring the reference's pinned search optimum
+    (/root/reference/test/hyperopt.jl:44 asserts the exact tuned
+    (chi_max=30, d=8, eta~0.0031623, nsweeps=10) on IPD; IPD is not
+    vendorable offline, so this pins ECG200).  Any drift in LHC grid
+    generation, logspace-eta mapping, parameter rounding, stratified fold
+    mechanics, cache-key semantics, or the training trajectory moves the
+    cache keys / losses / argmin and fails loudly.  Constants captured on
+    CPU float64 (the parity lane); loss values are exact fractions of
+    validation counts, so rel-tol 1e-6 is effectively exact — an FP-flip
+    of a single borderline prediction is a real behaviour change and
+    should re-pin deliberately."""
+    Xtr, ytr, *_ = ecg200
+    X, y = Xtr[:60], ytr[:60]
+    best, cache = mt.tune(
+        X, y, nfolds=3,
+        parameters={"chi_max": (10, 30), "d": [3, 4, 5],
+                    "eta": (0.001, 0.1)},
+        method=mt.MPSRandomSearch("LatinHypercube"),
+        objective=mt.MisclassificationRate(),
+        opts0=mt.MPSOptions(verbosity=-5, log_level=-1, nsweeps=3,
+                            dtype="float64"),
+        maxiters=6, verbosity=-1, rng=20250819, logspace_eta=True)
+    assert best == {"chi_max": 12, "d": 3, "eta": 0.02404162514735489}
+    expected = {
+        (10, 5, 0.0016534260924294783): 0.21779448621553887,
+        (11, 4, 0.0032693175520011938): 0.2646198830409357,
+        (12, 3, 0.02404162514735489): 0.14857978279030912,
+        (13, 4, 0.00807536499203354): 0.20200501253132833,
+        (14, 3, 0.015093177764427633): 0.18287385129490394,
+        (15, 5, 0.06267680837577685): 0.15367585630743527,
+    }
+    assert set(cache) == set(expected)
+    for k, v in expected.items():
+        assert cache[k] == pytest.approx(v, rel=1e-6), (k, cache[k], v)
