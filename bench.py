@@ -95,16 +95,21 @@ def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
     eta = jnp.asarray(opts.eta, rdt)
     cutoff = jnp.asarray(opts.cutoff, rdt)
 
-    # fused path (warm + timed)
+    # fused path (warm + timed).  donate=True is the production setting
+    # (fit_mps donates) — the rep loop chains (cores, center) through the
+    # calls because donated inputs are deleted; sweep time is
+    # state-independent (static shapes), so chaining measures the same
+    # thing re-feeding mps.cores did.
     cores, center = full_sweeps(mps.cores, mps.center, phis_c, y_onehot, w,
-                                eta, cutoff, nsweeps=nsweeps_block, **kw)
+                                eta, cutoff, nsweeps=nsweeps_block,
+                                donate=True, **kw)
     _sync(center)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        cores, center = full_sweeps(mps.cores, mps.center, phis_c, y_onehot,
+        cores, center = full_sweeps(cores, center, phis_c, y_onehot,
                                     w, eta, cutoff, nsweeps=nsweeps_block,
-                                    **kw)
+                                    donate=True, **kw)
         _sync(center)
         times.append(time.perf_counter() - t0)
     t_fused = float(np.median(times)) / nsweeps_block
@@ -117,6 +122,8 @@ def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
         # bench lost its chi=64 headline to exactly this TypeError)
         kw1 = {k: v for k, v in kw.items()
                if k not in ("refresh_every", "ritz_exact_sweeps")}
+        # warm call keeps donate off: (cores, center) feed the final
+        # accuracy check below and must survive
         cores1, center1 = full_sweep(cores, center, phis_c, y_onehot, w,
                                      eta, cutoff, **kw1)
         _sync(center1)
@@ -124,7 +131,7 @@ def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
         for _ in range(reps):
             t0 = time.perf_counter()
             cores1, center1 = full_sweep(cores1, center1, phis_c, y_onehot,
-                                         w, eta, cutoff, **kw1)
+                                         w, eta, cutoff, donate=True, **kw1)
             _sync(center1)
             times1.append(time.perf_counter() - t0)
         t_percall = float(np.median(times1))

@@ -266,12 +266,14 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
                 refresh_every=opts.subspace_refresh_every,
                 ritz_exact_sweeps=opts.ritz_exact_sweeps, **sweep_kw)
         else:
+            # donate: the (multi-MB at large chi) core stack + center are
+            # dead after this call — XLA aliases them with the outputs
             cores, center = full_sweeps(
                 cores, center, phis_c, y_onehot, class_weight, eta_a,
                 cutoff_a, nsweeps=opts.nsweeps, platform=platform,
                 refresh_every=opts.subspace_refresh_every,
                 ritz_exact_sweeps=opts.ritz_exact_sweeps,
-                max_rank=max_rank, **sweep_kw)
+                max_rank=max_rank, donate=True, **sweep_kw)
         jax.block_until_ready(center)
         mps = MPS(cores, center, T - 1)
     else:
@@ -309,7 +311,7 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
                     eta_a, cutoff_a, refresh=refresh, ritz_rot=rrot,
                     platform=platform,
                     track_cost=opts.track_cost, max_rank=max_rank,
-                    **sweep_kw)
+                    donate=True, **sweep_kw)
                 cores, center, subspaces = out[0], out[1], out[2]
                 if opts.track_cost:
                     costs = out[3]
@@ -324,7 +326,8 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
                 out = full_sweep(
                     cores, center, phis_c, y_onehot, class_weight,
                     eta_a, cutoff_a, track_cost=opts.track_cost,
-                    platform=platform, max_rank=max_rank, **sweep_kw)
+                    platform=platform, max_rank=max_rank, donate=True,
+                    **sweep_kw)
                 cores, center = out[0], out[1]
                 if opts.track_cost:
                     costs = out[2]

@@ -589,23 +589,16 @@ def _sweep_once(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
     return out
 
 
-@partial(jax.jit, static_argnames=("loss", "bbopt", "update_iters", "rescale",
-                                   "svd_alg", "power_iters", "orth",
-                                   "track_cost", "axis_name", "platform"))
-def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
-               y_onehot: jnp.ndarray, class_weight: jnp.ndarray,
-               eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
-               rescale: Tuple[bool, bool], svd_alg: str,
-               power_iters: int = 1, orth: str = "qr",
-               track_cost: bool = False, axis_name: Optional[str] = None,
-               platform: Optional[str] = None, max_rank=None
-               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One full sweep per device call (cores, center) -> (cores, center).
-
-    With svd_alg="randomized_warm" the subspace caches are cold-started
-    every call; use :func:`full_sweeps` (or full_sweep_warm) to accumulate
-    them across sweeps.  ``track_cost`` appends the per-bond loss trace
-    [2(T-1)] to the return tuple."""
+def _full_sweep_impl(cores: jnp.ndarray, center: jnp.ndarray,
+                     phis_c: jnp.ndarray, y_onehot: jnp.ndarray,
+                     class_weight: jnp.ndarray,
+                     eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
+                     rescale: Tuple[bool, bool], svd_alg: str,
+                     power_iters: int = 1, orth: str = "qr",
+                     track_cost: bool = False,
+                     axis_name: Optional[str] = None,
+                     platform: Optional[str] = None, max_rank=None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     out = _sweep_once(cores, center, phis_c, y_onehot, class_weight,
                       eta, cutoff, loss=loss, bbopt=bbopt,
                       update_iters=update_iters, rescale=rescale,
@@ -618,24 +611,49 @@ def full_sweep(cores: jnp.ndarray, center: jnp.ndarray, phis_c: jnp.ndarray,
     return out[0], out[1]
 
 
-@partial(jax.jit, static_argnames=("loss", "bbopt", "update_iters", "rescale",
-                                   "svd_alg", "power_iters", "orth",
-                                   "refresh", "ritz_rot",
-                                   "track_cost", "axis_name", "platform"))
-def full_sweep_warm(cores, center, subspaces, phis_c, y_onehot, class_weight,
-                    eta, cutoff, *, loss: str, bbopt: str, update_iters: int,
-                    rescale: Tuple[bool, bool], svd_alg: str,
-                    power_iters: int = 1, orth: str = "qr",
-                    refresh: bool = True, ritz_rot: str = "eigh",
-                    track_cost: bool = False,
-                    axis_name: Optional[str] = None,
-                    platform: Optional[str] = None, max_rank=None):
-    """One sweep with explicit warm-subspace state: pass the ``subspaces``
-    returned by the previous call (init with :func:`init_subspaces`) so the
-    caches accumulate across per-sweep host calls (fit_mps's logging path).
-    ``refresh=False`` runs a frozen-subspace sweep (split against the cached
-    bases; no power step, no QR).  Returns (cores, center, subspaces) — plus
-    the per-bond cost trace when ``track_cost``."""
+_FULL_SWEEP_STATICS = ("loss", "bbopt", "update_iters", "rescale",
+                       "svd_alg", "power_iters", "orth",
+                       "track_cost", "axis_name", "platform")
+_full_sweep_jit = partial(jax.jit, static_argnames=_FULL_SWEEP_STATICS)(
+    _full_sweep_impl)
+_full_sweep_jit_don = partial(jax.jit, static_argnames=_FULL_SWEEP_STATICS,
+                              donate_argnums=(0, 1))(_full_sweep_impl)
+
+
+def full_sweep(cores, center, *args, donate: bool = False, **kw):
+    """One full sweep per device call (cores, center) -> (cores, center).
+
+    With svd_alg="randomized_warm" the subspace caches are cold-started
+    every call; use :func:`full_sweeps` (or full_sweep_warm) to accumulate
+    them across sweeps.  ``track_cost`` appends the per-bond loss trace
+    [2(T-1)] to the return tuple.
+
+    ``donate=True`` donates the cores/center input buffers to the call
+    (jit donate_argnums), letting XLA alias them with the outputs — at
+    chi >= 256 the core stack is >100 MB, so donation halves the call's
+    peak footprint and skips a copy (SURVEY §7.2 step 9).  The production
+    path (fit_mps) donates; the default stays False because parity tests
+    and probes re-feed the same arrays to several routes, which donation
+    turns into use-after-delete errors."""
+    fn = _full_sweep_jit_don if donate else _full_sweep_jit
+    return fn(cores, center, *args, **kw)
+
+
+_FULL_SWEEP_WARM_STATICS = ("loss", "bbopt", "update_iters", "rescale",
+                            "svd_alg", "power_iters", "orth",
+                            "refresh", "ritz_rot",
+                            "track_cost", "axis_name", "platform")
+
+
+def _full_sweep_warm_impl(cores, center, subspaces, phis_c, y_onehot,
+                          class_weight, eta, cutoff, *, loss: str,
+                          bbopt: str, update_iters: int,
+                          rescale: Tuple[bool, bool], svd_alg: str,
+                          power_iters: int = 1, orth: str = "qr",
+                          refresh: bool = True, ritz_rot: str = "eigh",
+                          track_cost: bool = False,
+                          axis_name: Optional[str] = None,
+                          platform: Optional[str] = None, max_rank=None):
     return _sweep_once(cores, center, phis_c, y_onehot, class_weight,
                        eta, cutoff, subspaces=subspaces, loss=loss,
                        bbopt=bbopt, update_iters=update_iters,
@@ -644,6 +662,29 @@ def full_sweep_warm(cores, center, subspaces, phis_c, y_onehot, class_weight,
                        ritz_rot=ritz_rot,
                        track_cost=track_cost, axis_name=axis_name,
                        platform=platform, max_rank=max_rank)
+
+
+_full_sweep_warm_jit = partial(
+    jax.jit, static_argnames=_FULL_SWEEP_WARM_STATICS)(_full_sweep_warm_impl)
+_full_sweep_warm_jit_don = partial(
+    jax.jit, static_argnames=_FULL_SWEEP_WARM_STATICS,
+    donate_argnums=(0, 1, 2))(_full_sweep_warm_impl)
+
+
+def full_sweep_warm(cores, center, subspaces, *args, donate: bool = False,
+                    **kw):
+    """One sweep with explicit warm-subspace state: pass the ``subspaces``
+    returned by the previous call (init with :func:`init_subspaces`) so the
+    caches accumulate across per-sweep host calls (fit_mps's logging path).
+    ``refresh=False`` runs a frozen-subspace sweep (split against the cached
+    bases; no power step, no QR).  Returns (cores, center, subspaces) — plus
+    the per-bond cost trace when ``track_cost``.
+
+    ``donate=True`` donates cores/center/subspaces to the call (see
+    :func:`full_sweep`); fit_mps's per-sweep loop donates since it threads
+    all three through every sweep."""
+    fn = _full_sweep_warm_jit_don if donate else _full_sweep_warm_jit
+    return fn(cores, center, subspaces, *args, **kw)
 
 
 def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
@@ -736,10 +777,22 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
 
 # nsweeps is a TRACED fori trip count (not static): hyperopt trials that
 # differ only in sweep count share one compiled program
-full_sweeps = partial(jax.jit, static_argnames=(
+_FULL_SWEEPS_STATICS = (
     "loss", "bbopt", "update_iters", "rescale", "svd_alg", "power_iters",
-    "orth", "refresh_every", "ritz_exact_sweeps", "axis_name",
-    "platform"))(_full_sweeps_impl)
+    "orth", "refresh_every", "ritz_exact_sweeps", "axis_name", "platform")
+_full_sweeps_jit = partial(jax.jit, static_argnames=_FULL_SWEEPS_STATICS)(
+    _full_sweeps_impl)
+_full_sweeps_jit_don = partial(jax.jit, static_argnames=_FULL_SWEEPS_STATICS,
+                               donate_argnums=(0, 1))(_full_sweeps_impl)
+
+
+def full_sweeps(cores, center, *args, donate: bool = False, **kw):
+    """``nsweeps`` full sweeps in ONE compiled call — see
+    :func:`_full_sweeps_impl` for the semantics and knobs.  ``donate=True``
+    donates the cores/center input buffers (see :func:`full_sweep`); the
+    production path (fit_mps, bench) donates."""
+    fn = _full_sweeps_jit_don if donate else _full_sweeps_jit
+    return fn(cores, center, *args, **kw)
 
 
 def _batched_full_sweeps_impl(cores, center, phis_c, y_onehot, class_weight,
