@@ -19,6 +19,7 @@ RealRealHighDimension.jl:146-203).  TPU-first design decisions:
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Tuple
 
@@ -501,11 +502,174 @@ def _ritz_rot_track(S: jnp.ndarray,
     return w[order], W[:, order]
 
 
+#: Relative magnitude of the fixed hermitian perturbation that splits
+#: structurally-degenerate complex eigenvalue clusters before the
+#: realified real eigh (``rot="eigh_r"``), so the J-doubled realified
+#: pairs of DIFFERENT complex eigenvectors separate and the every-other-
+#: column extraction picks one representative per complex ray.  Well
+#: above f32 eigh backward error (~6e-8 * ||S||), far below any spectral
+#: scale the cutoff mask can resolve; the basis change it causes lives
+#: inside degenerate clusters, which is exactly the MPS gauge freedom.
+_EIGH_R_SPLIT = 1e-5
+
+
+@functools.lru_cache(maxsize=8)
+def _fixed_hermitian_np(k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic unit-norm hermitian (re, im) parts [k, k] (host)."""
+    rng = np.random.default_rng(20250819)
+    A = rng.standard_normal((k, k)) + 1j * rng.standard_normal((k, k))
+    H = (A + A.conj().T) / 2
+    H = H / np.linalg.norm(H)
+    return np.ascontiguousarray(H.real), np.ascontiguousarray(H.imag)
+
+
+def _ritz_rot_eigh_realified(S: jnp.ndarray
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact eigendecomposition of a complex hermitian S [k, k] via ONE
+    REAL symmetric eigh of the realified embedding [2k, 2k] — on TPU the
+    complex QDWH eigh lowers ~7.5x slower than the real one at the ritz
+    shapes (measured v5e, k=64: 1691 us vs 226 us per bond,
+    scripts/ritz_unit_probe.py), so the ritz route's exact sweeps use this
+    on accelerators.
+    Realified spectrum = complex spectrum with every eigenvalue doubled
+    (the J-pairing): any unit vector (x, y) in a J-invariant 2-dim
+    eigenspace realifies x + iy as a unit complex eigenvector, so taking
+    every other column of the sorted real eigenbasis gives one complex
+    representative per eigenvalue — PROVIDED different complex rays don't
+    share a realified eigenvalue cluster.  A fixed eps-hermitian
+    perturbation (J-commuting, so the complex structure survives) splits
+    structurally-degenerate clusters (fourier's +-frequency pairs) first;
+    a final realified-QR pass (:func:`_qr_orth`) polishes the extracted
+    basis to complex orthonormality (cross-eigenvalue orthogonality is
+    automatic; the QR only mixes within residual clusters — gauge)."""
+    k = S.shape[0]
+    rdt = S.real.dtype
+    nf = jnp.maximum(jnp.linalg.norm(S), jnp.finfo(rdt).tiny)
+    Hr, Hi = _fixed_hermitian_np(k)
+    Sr = jnp.real(S) + (rdt.type(_EIGH_R_SPLIT) * nf) * jnp.asarray(Hr, rdt)
+    Si = jnp.imag(S) + (rdt.type(_EIGH_R_SPLIT) * nf) * jnp.asarray(Hi, rdt)
+    R = jnp.block([[Sr, -Si], [Si, Sr]])
+    w, V = jnp.linalg.eigh(R)                       # ascending
+    w = w[::-1]
+    V = V[:, ::-1]                                  # descending, J-pairs adjacent
+    cand = V[:, ::2]                                # [2k, k]
+    Vc = jax.lax.complex(cand[:k], cand[k:]).astype(S.dtype)
+    W = _qr_orth(Vc)
+    # exact Rayleigh quotients of the UNperturbed S (the mask must see the
+    # true energies, not the eps-shifted ones)
+    hi = jax.lax.Precision.HIGHEST
+    wq = jnp.real(jnp.diagonal(
+        jnp.dot(W.conj().T, jnp.dot(S, W, precision=hi), precision=hi)))
+    order = jnp.argsort(-wq)
+    return wq[order], W[:, order]
+
+
+#: Odd-even adjacent-pair Jacobi rounds per bond for ``rot="jacobi"``.
+#: Each round exactly diagonalizes (and descending-sorts) every touched
+#: 2x2 block; alternating offsets make the schedule an odd-even
+#: transposition sort, so eigenvalues drifting <= _JACOBI_ROUNDS/2
+#: positions per sweep stay tracked.  6 rounds measured in the exact band
+#: on the f64 oracle (scripts/jacobi_oracle.py).
+_JACOBI_ROUNDS = 6
+
+
+def _jacobi_round(S: jnp.ndarray, W: jnp.ndarray, off: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One round of exact 2x2 Jacobi rotations on the adjacent disjoint
+    pairs (i, i+1), i = off, off+2, ...: S <- J^H S J, W <- W J.
+
+    Every op is a (complex) matmul or elementwise math — Mosaic-expressible,
+    which is the point: this is the tracker the fused Pallas pair kernels
+    can run in-kernel (the orthogonal-iteration tracker's Householder QR
+    cannot).  The rotation's first column is always the mu_plus
+    eigenvector, so each touched pair leaves descending — the schedule
+    doubles as an odd-even transposition sort."""
+    k = S.shape[0]
+    cdt = S.dtype
+    rdt = S.real.dtype
+    idx = jnp.arange(k)
+    first = ((idx >= off) & ((idx - off) % 2 == 0) & (idx + 1 < k))
+    alpha = jnp.real(jnp.diagonal(S))
+    beta = jnp.roll(alpha, -1)
+    woff = jnp.concatenate([jnp.diagonal(S, 1),
+                            jnp.zeros((1,), cdt)])          # w_i = S[i, i+1]
+    aw = jnp.abs(woff)
+    half = (alpha - beta) / 2
+    root = jnp.sqrt(half * half + aw * aw)
+    mu_p = (alpha + beta) / 2 + root
+    # branch by conditioning: alpha >= beta -> v+ ~ (mu_p - beta, conj(w));
+    # else v+ ~ (w, mu_p - alpha).  Both are exact mu_plus eigenvectors;
+    # the chosen one has norm >= |alpha - beta| / 2 + ... and only
+    # degenerates when the pair is already diagonal AND equal (guard -> I).
+    d_hi = mu_p - beta                                      # >= 0
+    d_lo = mu_p - alpha                                     # >= 0
+    use_hi = alpha >= beta
+    x = jnp.where(use_hi, d_hi.astype(cdt), woff)
+    y = jnp.where(use_hi, jnp.conj(woff), d_lo.astype(cdt))
+    n = jnp.sqrt(jnp.abs(x) ** 2 + jnp.abs(y) ** 2)
+    live = first & (n > jnp.finfo(rdt).tiny ** 0.5)
+    n_safe = jnp.where(live, n, 1.0).astype(cdt)
+    x = jnp.where(live, x / n_safe, 1.0)
+    y = jnp.where(live, y / n_safe, 0.0)
+    # J: column i = (x, y) at rows (i, i+1); column i+1 = (-conj(y), conj(x))
+    diag = jnp.where(live, x, jnp.ones((), cdt))
+    diag = jnp.where(jnp.roll(live, 1), jnp.roll(jnp.conj(x), 1), diag)
+    sub = jnp.where(live, y, 0.0)[:-1]                      # J[i+1, i]
+    sup = jnp.where(live, -jnp.conj(y), 0.0)[:-1]           # J[i, i+1]
+    J = jnp.diag(diag) + jnp.diag(sup, 1) + jnp.diag(sub, -1)
+    hi_p = jax.lax.Precision.HIGHEST
+    SJ = jnp.dot(S, J, precision=hi_p)
+    S2 = jnp.dot(J.conj().T, SJ, precision=hi_p)
+    S2 = (S2 + S2.conj().T) / 2
+    return S2, jnp.dot(W, J, precision=hi_p)
+
+
+def _ritz_rot_jacobi(S: jnp.ndarray, rounds: int = _JACOBI_ROUNDS
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Matmul-only eigen-TRACKER: ``rounds`` alternating odd-even
+    adjacent-pair exact Jacobi rounds (:func:`_jacobi_round`).
+
+    Valid in the same regime as the orthogonal-iteration tracker
+    (``rot="track"``): the cached basis is near the eigenbasis, i.e. S is
+    near-diagonal with near-sorted diagonal — the sweep engine's
+    exact->track schedule guarantees it.  There it is *stronger* per
+    touched pair (each rotation is an exact 2x2 eigensolve, not an
+    iteration step) and — unlike the QR-based tracker — contains no
+    Householder factorization, so the fused Pallas pair kernels run it
+    in-kernel and the whole tracked-ritz bond step stays fused.  Far
+    off-diagonal couplings are not directly annihilated; in the tracked
+    regime they are second-order (strong mixing only happens between
+    near-degenerate eigenvalues, which a sorted basis keeps adjacent).
+
+    Returns (w, W) in ROUND ORDER — near-descending (each round sorts the
+    pairs it touches) but NOT argsorted: the fused kernel twin
+    (ops/pallas_bond_c._jacobi_rounds_pair) cannot reorder columns, so the
+    XLA route matches it and the callers' truncation mask handles
+    out-of-order values (warm_ritz_split_* sorts for the mask decision and
+    scatters the 0/1 result back)."""
+    rdt = S.real.dtype
+    nf = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(S)).real),
+                     jnp.finfo(rdt).tiny)
+    Sn = S / nf
+    W = jnp.eye(S.shape[0], dtype=S.dtype)
+    for r in range(rounds):
+        Sn, W = _jacobi_round(Sn, W, r % 2)
+    w = jnp.real(jnp.diagonal(Sn)) * nf
+    return w, W
+
+
 def _ritz_rot(S: jnp.ndarray, rot: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Eigen-rotation dispatcher for the ritz splits: exact eigh (descending)
-    or the eigh-free orthogonal-iteration tracker (``rot="track"``)."""
+    """Eigen-rotation dispatcher for the ritz splits: exact eigh
+    (descending), the realified-eigh exact route (``rot="eigh_r"``, the
+    accelerator exact default for complex S), or the eigh-free trackers
+    (``rot="track"`` orthogonal iteration / ``rot="jacobi"`` matmul-only
+    adjacent-pair Jacobi)."""
     if rot == "track":
         return _ritz_rot_track(S)
+    if rot == "jacobi":
+        return _ritz_rot_jacobi(S)
+    if rot == "eigh_r" and np.dtype(S.dtype).kind == "c":
+        return _ritz_rot_eigh_realified(S)
     w, W = jnp.linalg.eigh(S)
     return w[::-1], W[:, ::-1]
 
@@ -547,7 +711,12 @@ def warm_ritz_split_left(M: jnp.ndarray, V0: jnp.ndarray, keep: int, cutoff,
     B = M @ Q                                          # [R, k]
     S = B.conj().T @ B                                 # [k, k] Ritz Gram
     w, W = _ritz_rot(S, rot)
-    mask = _trunc_mask(w, keep, cutoff, max_rank)
+    # rot="jacobi" returns w in (near-sorted) round order; decide the mask
+    # in sorted order and scatter it back so truncation semantics match
+    # the descending-sort rule regardless of the rotation's column order
+    order = jnp.argsort(-w)
+    mask = jnp.zeros_like(w).at[order].set(
+        _trunc_mask(w[order], keep, cutoff, max_rank))
     Wm = W * mask
     US = B @ Wm                                        # [R, k]
     Qt = Q @ Wm                                        # [C, k] masked basis
@@ -572,7 +741,9 @@ def warm_ritz_split_right(M: jnp.ndarray, U0: jnp.ndarray, keep: int, cutoff,
     B = Q.conj().T @ M                                 # [k, C]
     S = B @ B.conj().T                                 # [k, k]
     w, W = _ritz_rot(S, rot)
-    mask = _trunc_mask(w, keep, cutoff, max_rank)
+    order = jnp.argsort(-w)
+    mask = jnp.zeros_like(w).at[order].set(
+        _trunc_mask(w[order], keep, cutoff, max_rank))
     Wm = W * mask
     U = Q @ Wm
     SVh = Wm.conj().T @ B

@@ -607,15 +607,24 @@ def _k2_project_mask(cutoff, max_rank, bt_at, Q, *, C: int, chi: int,
         wv = jnp.dot(jnp.ones((1, chi), f32), eye0 * wv_c,
                      preferred_element_type=f32)    # [1, chi]
 
-    # ---- ITensor cutoff without a sort -------------------------------------
-    # direction i is dropped iff the total energy of all directions with
-    # w_j <= w_i is <= cutoff * total (the sorted-suffix rule, O(chi^2)).
-    # Ties are broken by index — j counts toward i's suffix iff w_j < w_i,
-    # or w_j == w_i and j >= i — which reproduces exactly the stable
-    # descending sort the XLA paths use (_trunc_mask over argsort(-w)), so
-    # both paths truncate identically even on degenerate spectra.
-    # Mosaic is picky about 1-D vectors / row<->column relayouts, so the
-    # whole computation stays 2-D via matmuls with ones/eye.
+    mask_row, mask_col = _pairwise_cutoff_mask(wv, cutoff, max_rank, chi)
+    return B, mask_row, mask_col, Q * mask_row
+
+
+def _pairwise_cutoff_mask(wv, cutoff, max_rank, chi: int):
+    """ITensor cutoff without a sort — shared by the real/complex K2 and
+    the ritz kernels.  Direction i is dropped iff the total energy of all
+    directions with w_j <= w_i is <= cutoff * total (the sorted-suffix
+    rule, O(chi^2)).  Ties are broken by index — j counts toward i's
+    suffix iff w_j < w_i, or w_j == w_i and j >= i — which reproduces
+    exactly the stable descending sort the XLA paths use (_trunc_mask
+    over argsort(-w)), so both paths truncate identically even on
+    degenerate spectra AND on unsorted inputs (the jacobi rotation's
+    round order).  Mosaic is picky about 1-D vectors / row<->column
+    relayouts, so the whole computation stays 2-D via matmuls with
+    ones/eye.  wv: [1, chi] row of direction energies.  Returns
+    (mask_row [1, chi], mask_col [chi, 1])."""
+    f32 = jnp.float32
     ones_c = jnp.ones((chi, 1), f32)
     eye = (jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 1)).astype(f32)
@@ -637,7 +646,7 @@ def _k2_project_mask(cutoff, max_rank, bt_at, Q, *, C: int, chi: int,
                 & (cnt_col > jnp.float32(chi) - max_rank)).astype(f32)
     mask_row = jnp.dot(jnp.ones((1, chi), f32), eye * mask_col,
                        preferred_element_type=f32)            # [1, chi]
-    return B, mask_row, mask_col, Q * mask_row
+    return mask_row, mask_col
 
 
 def _k2_emit(B, mask_row, mask_col, Qm, center_ref, core_ref, *,

@@ -513,22 +513,7 @@ def _k2c_project_mask(cutoff, max_rank, bt_ck, Q, *, C: int, chi: int,
         wv = _dot(jnp.ones((1, chi), f32), eye0 * wv_c)
 
     # ---- cutoff mask (identical real machinery) ---------------------------
-    ones_c = jnp.ones((chi, 1), f32)
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 1)).astype(f32)
-    W_row = _dot(ones_c, wv)
-    wv_col = _dot(W_row * eye, ones_c)
-    W_col = _dot(wv_col, jnp.ones((1, chi), f32))
-    I_idx = jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 0)
-    J_idx = jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 1)
-    leq = ((W_row < W_col)
-           | ((W_row == W_col) & (J_idx >= I_idx))).astype(f32)
-    s_col = jnp.sum(leq * W_row, axis=1, keepdims=True)
-    total = jnp.sum(wv)
-    cnt_col = jnp.sum(leq, axis=1, keepdims=True)
-    mask_col = ((s_col > cutoff * total) & (wv_col > 0)
-                & (cnt_col > jnp.float32(chi) - max_rank)).astype(f32)
-    mask_row = _dot(jnp.ones((1, chi), f32), eye * mask_col)
+    mask_row, mask_col = pb._pairwise_cutoff_mask(wv, cutoff, max_rank, chi)
     Qm = (Q[0] * mask_row, Q[1] * mask_row)
     return B, mask_row, mask_col, Qm
 
@@ -758,6 +743,241 @@ def _k12c_call(scal, y1h, w, left, right, le, re, phil, phir, V0, env_ls, *,
         interpret=pb._INTERPRET,
         **pb._compiler_kw(est),
     )(scal, y1h, w, *flat, env_ls)
+
+
+# --------------------------------------------------------------------------
+# K12cr: the tracked-RITZ complex bond step as ONE kernel.
+#
+# The quality route for complex chi > COMPLEX_RITZ_CHI_GATE is the warm
+# split + per-bond eigen-rotation (svd_alg="randomized_warm_ritz").  Its
+# exact sweeps need an eigh and stay on the XLA bond path, but the shipped
+# exact->track schedule runs almost every sweep on a TRACKER — and the r5
+# Jacobi tracker (ops/decomp._ritz_rot_jacobi) is pure matmuls +
+# elementwise math, i.e. Mosaic-expressible.  Keeping ANY per-bond op on
+# XLA costs ~30 ms/sweep at ECG shapes just in op-issue floor (190 bonds
+# x ~160 us for even two small matmuls, scripts/ritz_unit_probe.py), so
+# the tracked bond step only wins big if EVERYTHING fuses: K1 body ->
+# NS-refreshed basis -> projected Gram S -> in-kernel Jacobi rounds ->
+# rotated+masked split factors -> env advance, one pallas_call per bond.
+# --------------------------------------------------------------------------
+
+def _jacobi_rounds_pair(S, rounds: int):
+    """Mosaic twin of ops/decomp._ritz_rot_jacobi on a hermitian pair
+    S = (Sr, Si) [k, k]: ``rounds`` alternating odd-even adjacent-pair
+    exact 2x2 rotations, each built from matmuls with constant iota masks
+    (no gather/scatter, no 1-D ops).  Returns (wv [1, k] row of the final
+    diagonal = Rayleigh energies in round order, W pair [k, k]).  Same
+    branch rules as the XLA version, so the two routes truncate
+    identically."""
+    f32 = jnp.float32
+    k = S[0].shape[0]
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)).astype(f32)
+    up_m = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+            == jax.lax.broadcasted_iota(jnp.int32, (k, k), 0) + 1
+            ).astype(f32)                      # [i, i+1]
+    dn_m = up_m.T                              # [i+1, i]
+    ones_c = jnp.ones((k, 1), f32)
+    ones_r = jnp.ones((1, k), f32)
+    idx_c = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+
+    # normalize like the XLA route: nf = max |diag|
+    nf = jnp.maximum(jnp.max(jnp.abs(S[0] * eye)), jnp.finfo(f32).tiny)
+    Sr, Si = S[0] / nf, S[1] / nf
+    Wr, Wi = eye, jnp.zeros((k, k), f32)
+
+    def down(v):                               # v2[i] = v[i-1]
+        return _dot(dn_m, v)
+
+    for r in range(rounds):
+        off = r % 2
+        alpha = _dot(Sr * eye, ones_c)                       # [k, 1]
+        beta = _dot(up_m, alpha)                             # alpha[i+1]
+        wr = _dot(Sr * up_m, ones_c)                         # S[i, i+1]
+        wi = _dot(Si * up_m, ones_c)
+        first = (((idx_c - off) % 2 == 0) & (idx_c >= off)
+                 & (idx_c + 1 < k))
+        aw2 = wr * wr + wi * wi
+        half = (alpha - beta) * 0.5
+        root = jnp.sqrt(half * half + aw2)
+        mu_p = (alpha + beta) * 0.5 + root
+        d_hi = mu_p - beta
+        d_lo = mu_p - alpha
+        use_hi = alpha >= beta
+        xr = jnp.where(use_hi, d_hi, wr)
+        xi = jnp.where(use_hi, jnp.zeros_like(wi), wi)
+        yr = jnp.where(use_hi, wr, d_lo)
+        yi = jnp.where(use_hi, -wi, jnp.zeros_like(wi))
+        n2 = xr * xr + xi * xi + yr * yr + yi * yi
+        live = first & (n2 > jnp.finfo(f32).tiny)
+        inv = jax.lax.rsqrt(jnp.where(live, n2, 1.0))
+        live_f = live.astype(f32)
+        xr = jnp.where(live, xr * inv, 1.0)
+        xi = jnp.where(live, xi * inv, 0.0)
+        yr = jnp.where(live, yr * inv, 0.0)
+        yi = jnp.where(live, yi * inv, 0.0)
+        live_dn = down(live_f)
+        # J: col i = (x, y) at rows (i, i+1); col i+1 = (-conj(y), conj(x))
+        diag_r = live_f * xr + live_dn * down(xr) \
+            + (1.0 - live_f - live_dn)
+        diag_i = live_f * xi - live_dn * down(xi)
+        Jr = (eye * _dot(diag_r, ones_r)
+              + up_m * _dot(-(live_f * yr), ones_r)
+              + dn_m * _dot(down(live_f * yr), ones_r))
+        Ji = (eye * _dot(diag_i, ones_r)
+              + up_m * _dot(live_f * yi, ones_r)
+              + dn_m * _dot(down(live_f * yi), ones_r))
+        SJ = _cdot((Sr, Si), (Jr, Ji))
+        Sr, Si = _cdot_ct((Jr, Ji), SJ)
+        Sr = (Sr + Sr.T) * 0.5                               # re-hermitize
+        Si = (Si - Si.T) * 0.5
+        Wr, Wi = _cdot((Wr, Wi), (Jr, Ji))
+    wv = _dot(ones_r, Sr * eye) * nf                         # [1, k]
+    return wv, (Wr, Wi)
+
+
+def _k12cr_kernel(scal_ref, y1h_ref, w_ref, *refs, C: int, chi: int, d: int,
+                  forward: bool, emit_y: bool, q: int, rounds: int):
+    """One-kernel tracked-ritz complex bond step: _k1c body (NS-refreshed
+    basis), projected Gram S = B^H B, in-kernel Jacobi rotation, rotated +
+    cutoff-masked split factors, env advance.  The cached basis (y refs)
+    leaves ROTATED (Q @ W, unmasked) — the eigen-ordering the next sweep's
+    tracker relies on, exactly like ops/decomp.warm_ritz_split_*."""
+    eta = scal_ref[0, 0]
+    y1h = y1h_ref[:]
+    w = w_ref[:]
+    (left, right, le, re, phil, phir, V0) = _pairs(refs[:14])
+    envls_ref = refs[14]
+    (center_r, center_i, core_r, core_i, env2_r, env2_i, envls2,
+     y_r, y_i) = refs[15:]
+    left_at, right_at = _val_accessors(left, right, chi, d, forward)
+    BT, G = _k1c_bt_grad(left_at, right_at, le, re, phil, phir, y1h, w,
+                         C=C, chi=chi, d=d, forward=forward)
+    # in-kernel refresh is NS (subspace iteration); frozen bonds pass V0
+    BT = _k1c_tsgo_power(eta, BT, G, V0, None, None, y_r, y_i,
+                         C=C, chi=chi, d=d, forward=forward,
+                         emit_y=emit_y, q=q, orth="ns")
+    Q = (y_r[:], y_i[:])
+
+    def q_k(kk):
+        return (Q[0][kk * chi:(kk + 1) * chi, :],
+                Q[1][kk * chi:(kk + 1) * chi, :])
+
+    # ---- projected blocks + Gram S -----------------------------------------
+    f32 = jnp.float32
+    if not forward:
+        B = [None] * C                                 # B_c [chi*d, k]
+        S = (jnp.zeros((chi, chi), f32), jnp.zeros((chi, chi), f32))
+        for c in range(C):
+            acc = None
+            for kk in range(d):
+                term = _cdot(BT[c][kk], q_k(kk))
+                acc = term if acc is None else _cadd(acc, term)
+            B[c] = acc
+            S = _cadd(S, _cdot_ct(acc, acc))
+    else:
+        B = [[None] * d for _ in range(C)]             # B_ck [k, chi]
+        S = (jnp.zeros((chi, chi), f32), jnp.zeros((chi, chi), f32))
+        for c in range(C):
+            for kk in range(d):
+                B_ck = _cdot_ct(Q, BT[c][kk])
+                B[c][kk] = B_ck
+                # S += B_ck @ B_ck^H
+                S = _cadd(S, (_dot(B_ck[0], B_ck[0].T)
+                              + _dot(B_ck[1], B_ck[1].T),
+                              _dot(B_ck[1], B_ck[0].T)
+                              - _dot(B_ck[0], B_ck[1].T)))
+
+    # ---- rotation + mask ----------------------------------------------------
+    wv, W = _jacobi_rounds_pair(S, rounds)
+    mask_row, mask_col = pb._pairwise_cutoff_mask(
+        wv, scal_ref[0, 1], scal_ref[0, 2], chi)
+    Wm = (W[0] * mask_row, W[1] * mask_row)
+    Qrot = _cdot(Q, W)                                 # cache (unmasked)
+    Qm = _cdot(Q, Wm)                                  # masked isometry
+
+    # ---- emit ---------------------------------------------------------------
+    if not forward:
+        for c in range(C):
+            BW = _cdot(B[c], Wm)                       # US_c [chi*d, k]
+            center_r[c] = BW[0].reshape(chi, d, chi)
+            center_i[c] = BW[1].reshape(chi, d, chi)
+        for kk in range(d):
+            core_r[:, kk, :] = Qm[0][kk * chi:(kk + 1) * chi, :].T
+            core_i[:, kk, :] = -Qm[1][kk * chi:(kk + 1) * chi, :].T
+    else:
+        for c in range(C):
+            for kk in range(d):
+                WB = _cdot_ct(Wm, B[c][kk])            # SVh_ck [k, chi]
+                center_r[c, :, kk, :] = WB[0]
+                center_i[c, :, kk, :] = WB[1]
+        core_r[:] = Qm[0].reshape(chi, d, chi)
+        core_i[:] = Qm[1].reshape(chi, d, chi)
+    env = le if forward else re
+    phi = phil if forward else phir
+    _k2c_env_advance(Qm, env, phi, envls_ref, env2_r, env2_i, envls2,
+                     chi=chi, d=d, forward=forward)
+    y_r[:] = Qrot[0]
+    y_i[:] = Qrot[1]
+
+
+def _k12cr_call(scal, y1h, w, left, right, le, re, phil, phir, V0, env_ls, *,
+                C, chi, d, forward, emit_y, q, rounds, est=None):
+    f32 = jnp.float32
+    N = le[0].shape[0]
+    out_shape = (
+        jax.ShapeDtypeStruct((C, chi, d, chi), f32),   # center re
+        jax.ShapeDtypeStruct((C, chi, d, chi), f32),   # center im
+        jax.ShapeDtypeStruct((chi, d, chi), f32),      # core re
+        jax.ShapeDtypeStruct((chi, d, chi), f32),      # core im
+        jax.ShapeDtypeStruct((N, chi), f32),           # env' re
+        jax.ShapeDtypeStruct((N, chi), f32),           # env' im
+        jax.ShapeDtypeStruct((N, 1), f32),             # env_ls'
+        jax.ShapeDtypeStruct((chi * d, chi), f32),     # Q@W re (cache)
+        jax.ShapeDtypeStruct((chi * d, chi), f32),     # Q@W im
+    )
+    kern = functools.partial(_k12cr_kernel, C=C, chi=chi, d=d,
+                             forward=forward, emit_y=emit_y, q=q,
+                             rounds=rounds)
+    flat = []
+    for pr in (left, right, le, re, phil, phir, V0):
+        flat.extend(pr)
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[pb._smem_scalar()] + [pb._vmem()] * (2 + 14 + 1),
+        out_specs=tuple(pb._vmem() for _ in range(9)),
+        interpret=pb._INTERPRET,
+        **pb._compiler_kw(est),
+    )(scal, y1h, w, *flat, env_ls)
+
+
+def bond_step_c_ritz(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w,
+                     V0, eta, cutoff, *, forward: bool, refresh: bool = True,
+                     power_iters: int = 1, max_rank=None, rounds=None):
+    """One fused tracked-ritz complex bond step (see _k12cr_kernel).  Same
+    operand contract as :func:`bond_step_c`; single-device only (the
+    exact-eigh sweeps and any dp mesh keep the XLA bond path).  The warm
+    refresh inside the kernel is NS subspace iteration — the per-bond
+    Jacobi rotation restores eigen-ordering every bond, which is what the
+    XLA route's qr-orth pin existed to protect (docs/complex_split_oracle
+    .md section 7b; band re-validated for this route in section 9)."""
+    from .decomp import _JACOBI_ROUNDS
+    C, chi, d, _ = center_c[0].shape
+    est = 2 * pb.k12_footprint(C, chi, d, le[0].shape[0])
+    mr = jnp.float32(chi) if max_rank is None else max_rank.astype(jnp.float32)
+    scal = jnp.stack([eta.astype(jnp.float32),
+                      cutoff.astype(jnp.float32), mr])[None, :]
+    if forward:
+        left, right = center_c, A_or_B
+    else:
+        left, right = A_or_B, center_c
+    (c_r, c_i, k_r, k_i, e_r, e_i, ls2, q_r, q_i) = _k12cr_call(
+        scal, y1h, w[:, None], left, right, le, re, phil, phir, V0,
+        env_ls[:, None], C=C, chi=chi, d=d, forward=forward,
+        emit_y=refresh, q=power_iters,
+        rounds=_JACOBI_ROUNDS if rounds is None else rounds, est=est)
+    return ((c_r, c_i), (k_r, k_i), (e_r, e_i), ls2[:, 0], (q_r, q_i))
 
 
 # --------------------------------------------------------------------------

@@ -189,6 +189,20 @@ class MPSOptions:
     # sweep 0 holds 0.80-0.83 — docs/complex_split_oracle.md section 7).
     # -1 = exact eigh on every sweep (the legacy/bit-parity route).
     ritz_exact_sweeps: int = 2
+    # Ritz route rotation implementations (see resolved_ritz_rots):
+    #   ritz_rot_exact: "auto" | "eigh" | "eigh_r" — the exact sweeps'
+    #     rotation.  auto = complex eigh on CPU (bit-parity with r4), ONE
+    #     realified real eigh + complex re-extraction on accelerators
+    #     (ops/decomp._ritz_rot_eigh_realified — the TPU complex QDWH eigh
+    #     is ~7.5x the real one at ritz shapes, scripts/ritz_unit_probe.py:
+    #     1691 vs 226 us/bond at k=64 on v5e).
+    #   ritz_rot_track: "auto" | "track" | "jacobi" — the tracked sweeps'
+    #     rotation.  auto = QR-based orthogonal iteration on CPU,
+    #     matmul-only adjacent-pair exact Jacobi on accelerators
+    #     (ops/decomp._ritz_rot_jacobi — Mosaic-expressible, so the fused
+    #     pair kernels run the whole tracked bond step in-kernel).
+    ritz_rot_exact: str = "auto"
+    ritz_rot_track: str = "auto"
     # Orthogonalization inside the randomized/lean/warm splits:
     #   "auto" -> accelerators: "ns" (including the ritz route — the chi=64
     #             probe measured ritz+NS at 0.82-0.88 test acc over 3 seeds,
@@ -258,6 +272,12 @@ class MPSOptions:
         if self.orth_alg not in ("auto", "qr", "ns"):
             raise ValueError(f"orth_alg must be 'auto', 'qr' or 'ns', "
                              f"got {self.orth_alg!r}")
+        if self.ritz_rot_exact not in ("auto", "eigh", "eigh_r"):
+            raise ValueError(f"ritz_rot_exact must be 'auto', 'eigh' or "
+                             f"'eigh_r', got {self.ritz_rot_exact!r}")
+        if self.ritz_rot_track not in ("auto", "track", "jacobi"):
+            raise ValueError(f"ritz_rot_track must be 'auto', 'track' or "
+                             f"'jacobi', got {self.ritz_rot_track!r}")
         if isinstance(self.rescale, list):
             object.__setattr__(self, "rescale", tuple(self.rescale))
         if isinstance(self.data_bounds, list):
@@ -359,6 +379,24 @@ class MPSOptions:
             return "qr"
         import jax
         return "qr" if jax.default_backend() == "cpu" else "ns"
+
+    def resolved_ritz_rots(self) -> Tuple[str, str]:
+        """(exact_rot, track_rot) for the ritz exact->track schedule.
+
+        Auto policy: CPU keeps the r4 pair ("eigh", "track") — LAPACK's
+        complex eigh is cheap there and the orthogonal-iteration tracker
+        is the long-validated chain; accelerators use ("eigh_r",
+        "jacobi") — the realified exact eigh cuts the exact sweeps ~3x on
+        TPU and the matmul-only Jacobi tracker is what the fused pair
+        kernels can run in-kernel (both oracle-validated in the exact
+        band, docs/complex_split_oracle.md section 9)."""
+        import jax
+        cpu = jax.default_backend() == "cpu"
+        exact = (self.ritz_rot_exact if self.ritz_rot_exact != "auto"
+                 else ("eigh" if cpu else "eigh_r"))
+        track = (self.ritz_rot_track if self.ritz_rot_track != "auto"
+                 else ("track" if cpu else "jacobi"))
+        return exact, track
 
     def resolved_power_iters(self) -> int:
         """Warm-split power steps per refresh: explicit value wins; auto (0)

@@ -246,7 +246,8 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
             mps.cores.dtype, opts.loss_grad, opts.bbopt, opts.update_iters,
             opts.rescale, sweep_kw["svd_alg"], platform,
             C=mps.center.shape[3], chi=mps.cores.shape[1], d=opts.d,
-            N=phis_c.shape[1], track_cost=opts.track_cost)
+            N=phis_c.shape[1], track_cost=opts.track_cost,
+            ritz_track_rot=opts.resolved_ritz_rots()[1])
         if notice:
             print(notice)
     eta_a = jnp.asarray(opts.eta, dtype=real_dt)
@@ -258,13 +259,16 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
     fuse_sweeps = (opts.log_level <= 0 and not opts.exit_early
                    and verb <= -1 and not opts.track_cost)
     if fuse_sweeps and opts.nsweeps > 0:
+        exact_rot, track_rot = opts.resolved_ritz_rots()
         if mesh is not None:
             from ..parallel.mesh import sharded_full_sweeps
             cores, center = sharded_full_sweeps(
                 mesh, cores, center, phis_c, y_onehot, class_weight,
                 eta_a, cutoff_a, nsweeps=opts.nsweeps,
                 refresh_every=opts.subspace_refresh_every,
-                ritz_exact_sweeps=opts.ritz_exact_sweeps, **sweep_kw)
+                ritz_exact_sweeps=opts.ritz_exact_sweeps,
+                ritz_exact_rot=exact_rot, ritz_track_rot=track_rot,
+                **sweep_kw)
         else:
             # donate: the (multi-MB at large chi) core stack + center are
             # dead after this call — XLA aliases them with the outputs
@@ -273,11 +277,13 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
                 cutoff_a, nsweeps=opts.nsweeps, platform=platform,
                 refresh_every=opts.subspace_refresh_every,
                 ritz_exact_sweeps=opts.ritz_exact_sweeps,
+                ritz_exact_rot=exact_rot, ritz_track_rot=track_rot,
                 max_rank=max_rank, donate=True, **sweep_kw)
         jax.block_until_ready(center)
         mps = MPS(cores, center, T - 1)
     else:
         warm = sweep_kw["svd_alg"] in WARM_ALGS
+        exact_rot, track_rot = opts.resolved_ritz_rots()
         subspaces = (init_subspaces(T, chi_pad, d_pad, dtype)
                      if warm else None)
         if mesh is not None:
@@ -292,10 +298,10 @@ def fit_mps(X_train: np.ndarray, y_train: Optional[np.ndarray] = None,
             refresh = sweep % opts.subspace_refresh_every == 0
             # exact->track schedule for the ritz route (same host-side rule
             # as full_sweeps' traced cond; ritz_rot is a no-op off it)
-            rrot = ("track"
+            rrot = (track_rot
                     if (sweep_kw["svd_alg"] == "randomized_warm_ritz"
                         and 0 <= opts.ritz_exact_sweeps <= sweep)
-                    else "eigh")
+                    else exact_rot)
             if warm and mesh is not None:
                 out = sharded_full_sweep_warm(
                     mesh, cores, center, subspaces, phis_c, y_onehot,

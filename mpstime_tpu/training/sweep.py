@@ -160,7 +160,8 @@ def _pallas_eligible(dtype, loss, bbopt, update_iters, rescale, svd_alg,
 
 def pallas_route_notice(dtype, loss, bbopt, update_iters, rescale, svd_alg,
                         platform, C: int, chi: int, d: int, N: int,
-                        track_cost: bool = False) -> Optional[str]:
+                        track_cost: bool = False,
+                        ritz_track_rot: str = "jacobi") -> Optional[str]:
     """One-line explanation of why a config will NOT run on the fused
     Pallas bond kernels (None if it will, or if the platform has no fused
     path to lose).  The eligibility set is narrow by design (the default
@@ -179,9 +180,21 @@ def pallas_route_notice(dtype, loss, bbopt, update_iters, rescale, svd_alg,
         reasons.append("track_cost=True (per-bond loss trace)")
     if os.environ.get("MPSTIME_TPU_NO_PALLAS"):
         reasons.append("MPSTIME_TPU_NO_PALLAS is set")
-    if svd_alg != "randomized_warm":
+    if (svd_alg == "randomized_warm_ritz" and cplx
+            and ritz_track_rot == "jacobi"):
+        # the tracked sweeps of the complex ritz route DO run fused
+        # (K12cr, ritz_rot_track="jacobi" — the accelerator default);
+        # only the ritz_exact_sweeps exact-rotation sweeps take XLA
+        pass
+    elif svd_alg == "randomized_warm_ritz" and cplx:
+        reasons.append(f"ritz_rot_track={ritz_track_rot!r} (the ritz "
+                       "route's tracked sweeps fuse only with the "
+                       "matmul-only 'jacobi' tracker)")
+    elif svd_alg != "randomized_warm":
         reasons.append(f"svd_alg={svd_alg!r} (fused path requires "
-                       "'randomized_warm'; note complex chi_max > "
+                       "'randomized_warm', or 'randomized_warm_ritz' "
+                       "on complex dtypes whose TRACKED sweeps fuse via "
+                       "the jacobi rotation; note complex chi_max > "
                        f"{_complex_ritz_gate()} auto-resolves to "
                        "'randomized_warm_ritz' for accuracy)")
     if (loss, bbopt, int(update_iters)) != ("KLD", "TSGO", 1):
@@ -284,12 +297,25 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     wsr = (partial(warm_ritz_split_right, rot=ritz_rot) if ritz
            else warm_split_right)
     cplx = np.dtype(dtype).kind == "c"
+    # Fused tracked-ritz route (K12cr): the adjacent-pair Jacobi rotation
+    # is matmul-only, so complex ritz sweeps with ritz_rot="jacobi" run
+    # the WHOLE bond step in one kernel (ops/pallas_bond_c.bond_step_c_
+    # ritz — in-kernel NS refresh + in-kernel rotation + cutoff mask);
+    # exact rotations (eigh/eigh_r) and the QR-based orth-iteration
+    # tracker keep the XLA bond path.  Single-kernel range only: no
+    # split-tail twin and no dp variant exist for K12cr.
+    ritz_fused = (ritz and ritz_rot == "jacobi" and cplx
+                  and axis_name is None
+                  and 2 * pallas_bond.k12_footprint(C, chi, d, N)
+                  <= pallas_bond.SPLIT_TAIL_FOOTPRINT)
     pallas = (not track_cost) \
         and _pallas_vmem_ok(C, chi, d, N, factor=2 if cplx else 1) \
         and _pallas_eligible(dtype, loss, bbopt, update_iters, rescale,
-                             svd_alg, platform=platform)
+                             "randomized_warm" if ritz_fused else svd_alg,
+                             platform=platform)
+    ritz_fused = ritz_fused and pallas
     cplx = cplx and pallas    # below, cplx means "complex pair kernels"
-    if pallas and orth == "ns":
+    if pallas and orth == "ns" and not ritz_fused:
         est = pallas_bond.kernel_footprint(C, chi, d, N) * (2 if cplx else 1)
         if est > pallas_bond.SPLIT_TAIL_FOOTPRINT:
             # On the large-chi split-tail route the per-step NS unroll makes
@@ -349,6 +375,13 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     def backward_step(carry, x):
         with jax.named_scope("mps/backward_bond"):
             center, re_v, re_ls = carry
+            if ritz_fused:
+                center, V, v2, ls2, Qv = pallas_bond_c.bond_step_c_ritz(
+                    x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
+                    x["phi_r"], y_onehot, class_weight, x["vb"], eta, cutoff,
+                    forward=False, refresh=refresh,
+                    power_iters=power_iters, max_rank=max_rank)
+                return (center, v2, ls2), dict(V=V, re=v2, re_ls=ls2, qv=Qv)
             if cplx:
                 center, V, v2, ls2, Qv = pallas_bond_c.bond_step_c(
                     x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
@@ -399,7 +432,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     # in-kernel power steps, so they block at any q.
     BB = (_auto_block(C, chi, d, N, T, factor=2 if cplx else 1,
                       cap=4 if cplx else 8)
-          if (pallas and axis_name is None
+          if (pallas and axis_name is None and not ritz_fused
               and (orth == "ns" or not refresh)
               and not (cplx and refresh and power_iters > 1)) else 1)
     block_steps = (pallas_bond_c.bond_block_steps_c if cplx
@@ -474,6 +507,14 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     def forward_step(carry, x):
         with jax.named_scope("mps/forward_bond"):
             center, le_v, le_ls = carry
+            if ritz_fused:
+                center, Unew, v2, ls2, Qu = pallas_bond_c.bond_step_c_ritz(
+                    x["B"], center, le_v, x["re"], le_ls, x["phi_l"],
+                    x["phi_r"], y_onehot, class_weight, x["uf"], eta, cutoff,
+                    forward=True, refresh=refresh,
+                    power_iters=power_iters, max_rank=max_rank)
+                return (center, v2, ls2), dict(U=Unew, le=v2, le_ls=ls2,
+                                               qu=Qu)
             if cplx:
                 center, Unew, v2, ls2, Qu = pallas_bond_c.bond_step_c(
                     x["B"], center, le_v, x["re"], le_ls, x["phi_l"],
@@ -694,6 +735,8 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
                       update_iters: int, rescale: Tuple[bool, bool],
                       svd_alg: str, power_iters: int = 1, orth: str = "qr",
                       refresh_every: int = 1, ritz_exact_sweeps: int = -1,
+                      ritz_exact_rot: str = "eigh",
+                      ritz_track_rot: str = "track",
                       axis_name: Optional[str] = None,
                       platform: Optional[str] = None, max_rank=None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -712,12 +755,20 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
     everything else is fused, drops out of (K-1)/K of the sweeps.
 
     ``ritz_exact_sweeps=n`` (ritz route only; static): run the per-bond
-    eigen-rotation EXACTLY (eigh) for the first n sweeps, then switch to
-    the eigh-free orthogonal-iteration tracker (ops/decomp._ritz_rot_track) — the
-    exact sweeps eigen-order the per-bond caches, after which first-order
-    tracking maintains the ordering and the eigh (the route's dominant
-    TPU cost) leaves the steady-state critical path.  -1 = exact on every
-    sweep (legacy behaviour)."""
+    eigen-rotation EXACTLY for the first n sweeps, then switch to an
+    eigh-free tracker — the exact sweeps eigen-order the per-bond caches,
+    after which tracking maintains the ordering and the eigh (the route's
+    dominant TPU cost) leaves the steady-state critical path.  -1 = exact
+    on every sweep (legacy behaviour).
+
+    ``ritz_exact_rot``: rotation used on the exact sweeps — "eigh"
+    (complex eigh; the CPU/bit-parity route) or "eigh_r" (ONE realified
+    real eigh + complex re-extraction, ops/decomp._ritz_rot_eigh_realified
+    — ~3x cheaper on TPU where the complex QDWH eigh is the outlier op).
+    ``ritz_track_rot``: the tracker — "track" (QR-based orthogonal
+    iteration, ops/decomp._ritz_rot_track) or "jacobi" (matmul-only
+    adjacent-pair exact Jacobi, ops/decomp._ritz_rot_jacobi — the
+    Mosaic-expressible tracker the fused pair kernels run in-kernel)."""
     T, chi, d, _ = cores.shape
     warm = svd_alg in WARM_ALGS
     kw = dict(loss=loss, bbopt=bbopt, update_iters=update_iters,
@@ -755,10 +806,10 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
 
         def with_rot(refresh):
             if not ritz_track:
-                return run(refresh, "eigh")
+                return run(refresh, ritz_exact_rot)
             return lambda a: jax.lax.cond(i < ritz_exact_sweeps,
-                                          run(refresh, "eigh"),
-                                          run(refresh, "track"), a)
+                                          run(refresh, ritz_exact_rot),
+                                          run(refresh, ritz_track_rot), a)
 
         if warm and refresh_every > 1:
             out = jax.lax.cond(i % refresh_every == 0,
@@ -767,7 +818,8 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
             out = with_rot(True)(args)
         else:
             out = _sweep_core(*args, phis_c, y_onehot, class_weight,
-                              eta, cutoff, **kw)[:6]
+                              eta, cutoff, ritz_rot=ritz_exact_rot,
+                              **kw)[:6]
         return pack(*out)
 
     state0 = pack(cores, center, LE, LE_ls, VB, UF)
@@ -779,7 +831,8 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
 # differ only in sweep count share one compiled program
 _FULL_SWEEPS_STATICS = (
     "loss", "bbopt", "update_iters", "rescale", "svd_alg", "power_iters",
-    "orth", "refresh_every", "ritz_exact_sweeps", "axis_name", "platform")
+    "orth", "refresh_every", "ritz_exact_sweeps", "ritz_exact_rot",
+    "ritz_track_rot", "axis_name", "platform")
 _full_sweeps_jit = partial(jax.jit, static_argnames=_FULL_SWEEPS_STATICS)(
     _full_sweeps_impl)
 _full_sweeps_jit_don = partial(jax.jit, static_argnames=_FULL_SWEEPS_STATICS,
@@ -801,7 +854,9 @@ def _batched_full_sweeps_impl(cores, center, phis_c, y_onehot, class_weight,
                               rescale: Tuple[bool, bool], svd_alg: str,
                               power_iters: int = 1, orth: str = "qr",
                               refresh_every: int = 1,
-                              ritz_exact_sweeps: int = -1, max_rank=None
+                              ritz_exact_sweeps: int = -1,
+                              ritz_exact_rot: str = "eigh",
+                              ritz_track_rot: str = "track", max_rank=None
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Train F independent MPS models in ONE vmapped program.
 
@@ -834,6 +889,8 @@ def _batched_full_sweeps_impl(cores, center, phis_c, y_onehot, class_weight,
               power_iters=power_iters, orth=orth,
               refresh_every=refresh_every,
               ritz_exact_sweeps=ritz_exact_sweeps,
+              ritz_exact_rot=ritz_exact_rot,
+              ritz_track_rot=ritz_track_rot,
               axis_name=None, platform="xla")
 
     if max_rank is None:
@@ -854,5 +911,5 @@ def _batched_full_sweeps_impl(cores, center, phis_c, y_onehot, class_weight,
 
 batched_full_sweeps = partial(jax.jit, static_argnames=(
     "loss", "bbopt", "update_iters", "rescale", "svd_alg", "power_iters",
-    "orth", "refresh_every",
-    "ritz_exact_sweeps"))(_batched_full_sweeps_impl)
+    "orth", "refresh_every", "ritz_exact_sweeps", "ritz_exact_rot",
+    "ritz_track_rot"))(_batched_full_sweeps_impl)

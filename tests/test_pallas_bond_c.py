@@ -336,3 +336,200 @@ class TestComplexPallasBondParity:
         # blocked 0.766 / single-bond 0.633 measured at this config — a
         # weak-learner regime; the floor catches route breakage only
         assert acc >= 0.6, acc
+
+
+class TestTrackedRitzKernel:
+    """Parity for the fused tracked-ritz complex bond step (K12cr,
+    ops/pallas_bond_c.bond_step_c_ritz) against the XLA route
+    apply_update + warm_ritz_split_* with rot="jacobi", orth="ns" — the
+    exact program the kernel fuses (in-kernel NS refresh + in-kernel
+    adjacent-pair Jacobi rounds + pairwise cutoff mask)."""
+
+    def _xla_backward_ritz(self, b, eta, cutoff, V0, refresh=True, q=1):
+        from mpstime_tpu.ops.decomp import warm_ritz_split_left
+        chi, d, C = b["chi"], b["d"], b["C"]
+        BT = jnp.einsum("aim,mkbc->aikbc", b["A"], b["center"])
+        _, BT2 = apply_update(BT, b["le"], b["re"], b["phil"].conj(),
+                              b["phir"].conj(), b["y1h"], b["w"],
+                              jnp.zeros(b["N"]), eta=eta,
+                              loss="KLD", bbopt="TSGO", update_iters=1,
+                              rescale=(False, True))
+        M = BT2.transpose(0, 1, 4, 2, 3).reshape(chi * d * C, d * chi)
+        US, Vh, Qv = warm_ritz_split_left(M, V0, chi, cutoff, q=q,
+                                          refresh=refresh, orth="ns",
+                                          rot="jacobi")
+        center_x = US.reshape(chi, d, C, chi).transpose(0, 1, 3, 2)
+        V_x = Vh.reshape(chi, d, chi)
+        v2_x, ls2_x = env_step_right_scaled(b["re"], b["re_ls"], V_x,
+                                            b["phir"])
+        return center_x, V_x, v2_x, ls2_x, Qv
+
+    def test_jacobi_pair_twin_matches_xla(self):
+        # _jacobi_rounds_pair is plain jnp math — compare against
+        # ops/decomp._ritz_rot_jacobi on the same hermitian S
+        from mpstime_tpu.ops.decomp import _ritz_rot_jacobi
+        from mpstime_tpu.ops.pallas_bond_c import _jacobi_rounds_pair
+        rng = np.random.default_rng(2)
+        k = 8
+        D = np.diag(np.sort(rng.uniform(0.1, 1.0, k))[::-1])
+        P = rng.standard_normal((k, k)) + 1j * rng.standard_normal((k, k))
+        P = (P + P.conj().T) / 2
+        S = (D + 0.05 * P / np.linalg.norm(P)).astype(np.complex64)
+        w_x, W_x = _ritz_rot_jacobi(jnp.asarray(S))
+        wv, Wp = _jacobi_rounds_pair(
+            (jnp.asarray(S.real), jnp.asarray(S.imag)), rounds=6)
+        np.testing.assert_allclose(np.asarray(wv)[0], np.asarray(w_x),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(_comb(Wp), np.asarray(W_x),
+                                   rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("refresh", [True, False])
+    def test_backward_ritz_matches_xla(self, interpret, refresh):
+        b = _rand_bond_c(seed=21)
+        eta, cutoff = jnp.float32(0.05), jnp.float32(1e-10)
+        V0 = warm_sketch_init(b["d"] * b["chi"], b["chi"], np.complex128)
+        center_x, V_x, v2_x, ls2_x, Qv = self._xla_backward_ritz(
+            b, eta, cutoff, V0, refresh=refresh)
+        cp, Vp, v2p, ls2p, Qvp = pallas_bond_c.bond_step_c_ritz(
+            _pair(b["A"]), _pair(jnp.moveaxis(b["center"], 3, 0)),
+            _pair(b["le"]), _pair(b["re"]), b["re_ls"].astype(jnp.float32),
+            _pair(b["phil"]), _pair(b["phir"]),
+            b["y1h"].astype(jnp.float32), b["w"].astype(jnp.float32),
+            _pair(V0), eta, cutoff, forward=False, refresh=refresh)
+        np.testing.assert_allclose(np.moveaxis(_comb(cp), 0, 3),
+                                   np.asarray(center_x), rtol=1e-4,
+                                   atol=5e-5)
+        np.testing.assert_allclose(_comb(Vp), np.asarray(V_x),
+                                   rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(_comb(v2p), np.asarray(v2_x),
+                                   rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(ls2p), np.asarray(ls2_x),
+                                   rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(_comb(Qvp), np.asarray(Qv),
+                                   rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("q", [1, 3])
+    def test_forward_ritz_matches_xla(self, interpret, q):
+        from mpstime_tpu.ops.decomp import warm_ritz_split_right
+        b = _rand_bond_c(seed=23)
+        chi, d, C = b["chi"], b["d"], b["C"]
+        eta, cutoff = jnp.float32(0.05), jnp.float32(1e-10)
+        U0 = warm_sketch_init(chi * d, chi, np.complex128)
+        BTf = jnp.einsum("aimc,mkb->aikbc", b["center"], b["A"])
+        _, BTf2 = apply_update(BTf, b["le"], b["re"], b["phil"].conj(),
+                               b["phir"].conj(), b["y1h"], b["w"],
+                               jnp.zeros(b["N"]), eta=eta,
+                               loss="KLD", bbopt="TSGO", update_iters=1,
+                               rescale=(False, True))
+        Mf = BTf2.reshape(chi * d, d * chi * C)
+        Uu, SVh, Qu = warm_ritz_split_right(Mf, U0, chi, cutoff, q=q,
+                                            orth="ns", rot="jacobi")
+        U_x = Uu.reshape(chi, d, chi)
+        center_x = SVh.reshape(chi, d, chi, C)
+        v2_x, ls2_x = env_step_left_scaled(b["le"], b["re_ls"], U_x,
+                                           b["phil"])
+        cp, Up, v2p, ls2p, Qup = pallas_bond_c.bond_step_c_ritz(
+            _pair(b["A"]), _pair(jnp.moveaxis(b["center"], 3, 0)),
+            _pair(b["le"]), _pair(b["re"]), b["re_ls"].astype(jnp.float32),
+            _pair(b["phil"]), _pair(b["phir"]),
+            b["y1h"].astype(jnp.float32), b["w"].astype(jnp.float32),
+            _pair(U0), eta, cutoff, forward=True, power_iters=q)
+        np.testing.assert_allclose(np.moveaxis(_comb(cp), 0, 3),
+                                   np.asarray(center_x), rtol=1e-4,
+                                   atol=5e-5)
+        np.testing.assert_allclose(_comb(Up), np.asarray(U_x),
+                                   rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(_comb(v2p), np.asarray(v2_x),
+                                   rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(ls2p), np.asarray(ls2_x),
+                                   rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(_comb(Qup), np.asarray(Qu),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_tracked_ritz_kernel_count(self, interpret):
+        # the tracked-ritz bond step must be ONE pallas_call (fusing the
+        # whole bond step is the point — any per-bond XLA op costs the
+        # ~160us op-issue floor x 2(T-1) bonds, scripts/ritz_unit_probe.py)
+        b = _rand_bond_c(seed=31)
+        eta, cutoff = jnp.float32(0.05), jnp.float32(1e-10)
+        V0 = warm_sketch_init(b["d"] * b["chi"], b["chi"], np.complex128)
+        args = (_pair(b["A"]), _pair(jnp.moveaxis(b["center"], 3, 0)),
+                _pair(b["le"]), _pair(b["re"]), b["re_ls"].astype(jnp.float32),
+                _pair(b["phil"]), _pair(b["phir"]),
+                b["y1h"].astype(jnp.float32), b["w"].astype(jnp.float32),
+                _pair(V0), eta, cutoff)
+        flat = jax.tree_util.tree_leaves(args)
+
+        def _regroup(fl):
+            out, i = [], 0
+            for x in args:
+                if isinstance(x, tuple):
+                    out.append((fl[i], fl[i + 1]))
+                    i += 2
+                else:
+                    out.append(fl[i])
+                    i += 1
+            return out
+
+        jaxpr = jax.make_jaxpr(
+            lambda *fl: pallas_bond_c.bond_step_c_ritz(
+                *_regroup(fl), forward=False))(*flat)
+        assert sum(e.primitive.name == "pallas_call"
+                   for e in jaxpr.jaxpr.eqns) == 1
+
+    def test_full_sweep_tracked_ritz_matches_xla(self, interpret,
+                                                 monkeypatch):
+        # One full tracked-ritz sweep: the fused K12cr route against the
+        # XLA bond path (same rot="jacobi", orth="ns" program).  Per-bond
+        # parity is 1e-4-grade; over 2(T-1) bonds the trajectories drift a
+        # little more on degenerate directions, so the tolerance is loose.
+        from mpstime_tpu.training.sweep import full_sweep_warm, init_subspaces
+        rng = np.random.default_rng(41)
+        T, chi, d, C, N = 6, 6, 3, 2, 16
+
+        def c(*shape):
+            return jnp.asarray((rng.standard_normal(shape)
+                                + 1j * rng.standard_normal(shape))
+                               .astype(np.complex64))
+
+        th = rng.uniform(-np.pi, np.pi, (T, N, d))
+        phis = jnp.asarray((np.exp(1j * th) / np.sqrt(d))
+                           .astype(np.complex64))
+        cores = c(T, chi, d, chi)
+        center = c(chi, d, chi, C)
+        y1h = jnp.asarray(np.eye(C, dtype=np.float32)[
+            rng.integers(0, C, N)])
+        w = jnp.full((N,), 1.0 / N, jnp.float32)
+        subs = init_subspaces(T, chi, d, np.complex64)
+        kw = dict(loss="KLD", bbopt="TSGO", update_iters=1,
+                  rescale=(False, True), svd_alg="randomized_warm_ritz",
+                  power_iters=1, orth="ns", ritz_rot="jacobi")
+        c_f, z_f, s_f = full_sweep_warm(cores, center, subs, phis, y1h, w,
+                                        jnp.float32(0.05), jnp.float32(1e-10),
+                                        **kw)
+        monkeypatch.setenv("MPSTIME_TPU_NO_PALLAS", "1")
+        jax.clear_caches()
+        c_x, z_x, s_x = full_sweep_warm(cores, center, subs, phis, y1h, w,
+                                        jnp.float32(0.05), jnp.float32(1e-10),
+                                        **kw)
+        np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_x),
+                                   rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_x),
+                                   rtol=5e-3, atol=5e-4)
+
+    def test_fourier_training_through_tracked_ritz_path(self, interpret,
+                                                        ecg200):
+        """End to end: the shipped complex quality route (ritz exact->track
+        schedule) with the jacobi tracker runs its tracked sweeps through
+        the fused K12cr kernels and trains to a healthy accuracy."""
+        Xtr, ytr, *_ = ecg200
+        Xtr, ytr = Xtr[:40], ytr[:40]
+        opts = mt.MPSOptions(nsweeps=4, chi_max=12, d=3, encoding="fourier",
+                             verbosity=-1, log_level=-1, dtype="complex64",
+                             svd_alg="randomized_warm_ritz",
+                             ritz_exact_sweeps=1, ritz_rot_exact="eigh_r",
+                             ritz_rot_track="jacobi", init_rng=1234)
+        trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
+        assert np.asarray(trained.mps.center).dtype == np.complex64
+        acc = np.mean(mt.classify(trained, Xtr) == ytr)
+        assert acc >= 0.7, acc

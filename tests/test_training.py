@@ -638,3 +638,21 @@ class TestPallasRouteNotice:
             base.pop("update_iters"), base.pop("rescale"),
             base.pop("svd_alg"), base.pop("platform"), **base)
         assert notice is not None and frag in notice
+
+
+class TestTrackedRitzRouteNotice:
+    def test_complex_ritz_jacobi_is_quiet(self):
+        # the shipped complex quality route: tracked sweeps fuse (K12cr)
+        from mpstime_tpu.training.sweep import pallas_route_notice
+        assert pallas_route_notice(
+            np.complex64, "KLD", "TSGO", 1, (False, True),
+            "randomized_warm_ritz", "tpu", C=2, chi=64, d=5, N=100,
+            ritz_track_rot="jacobi") is None
+
+    def test_complex_ritz_track_names_the_tracker(self):
+        from mpstime_tpu.training.sweep import pallas_route_notice
+        notice = pallas_route_notice(
+            np.complex64, "KLD", "TSGO", 1, (False, True),
+            "randomized_warm_ritz", "tpu", C=2, chi=64, d=5, N=100,
+            ritz_track_rot="track")
+        assert notice is not None and "jacobi" in notice
