@@ -91,7 +91,12 @@ def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
               # the shipped exact->track ritz schedule (fit_mps passes this
               # too); full_sweeps' own default is -1 = eigh every sweep,
               # which is the parity route, NOT the production default
-              ritz_exact_sweeps=opts.ritz_exact_sweeps)
+              ritz_exact_sweeps=opts.ritz_exact_sweeps,
+              # production rotations (r5): accelerators resolve to
+              # (eigh_r, jacobi) — the jacobi-tracked sweeps run fused
+              # (K12cr); full_sweeps' own defaults are the r4 XLA pair
+              ritz_exact_rot=opts.resolved_ritz_rots()[0],
+              ritz_track_rot=opts.resolved_ritz_rots()[1])
     eta = jnp.asarray(opts.eta, rdt)
     cutoff = jnp.asarray(opts.cutoff, rdt)
 
@@ -121,7 +126,8 @@ def _steady_sweep_time(X, y, chi, d, nsweeps_block=8, reps=5,
         # refreshes, and full_sweep does not accept either kwarg — the r4
         # bench lost its chi=64 headline to exactly this TypeError)
         kw1 = {k: v for k, v in kw.items()
-               if k not in ("refresh_every", "ritz_exact_sweeps")}
+               if k not in ("refresh_every", "ritz_exact_sweeps",
+                            "ritz_exact_rot", "ritz_track_rot")}
         # warm call keeps donate off: (cores, center) feed the final
         # accuracy check below and must survive
         cores1, center1 = full_sweep(cores, center, phis_c, y_onehot, w,

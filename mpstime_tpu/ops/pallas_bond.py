@@ -1044,10 +1044,139 @@ def bond_block_steps(A_blk, center_c, envx_blk, env0, env_ls0, phil_blk,
 # public bond step
 # --------------------------------------------------------------------------
 
+#: Smallest batch tile the N-streaming route will propose (rows).  Below
+#: this the per-tile kernels are launch-overhead-bound and XLA wins.
+STREAM_MIN_TILE = 256
+
+
+def stream_tile_for(C: int, chi: int, d: int, N: int,
+                    factor: int = 1) -> Optional[int]:
+    """Batch tile size for the N-streaming bond-step route, or None.
+
+    None means either (a) the full-N working set already fits the fused
+    kernels' limits (no streaming needed) or (b) streaming cannot help —
+    the batch-independent residents (the [C, chi*d, d, chi] bond tensor +
+    subspace buffers) alone exceed the two-kernel ceiling, which is the
+    large-chi compile cliff (docs/tpu_performance.md), not a batch-size
+    problem.  Otherwise: the largest multiple of 256 such that the
+    per-tile working set fits SPLIT_TAIL_FOOTPRINT (the proven two-kernel
+    range).  ``factor=2`` for the complex pair kernels."""
+    limit = MAX_FOOTPRINT if factor > 1 else SPLIT_MAX_FOOTPRINT
+    if factor * kernel_footprint(C, chi, d, N) <= limit:
+        return None
+    fixed = factor * kernel_footprint(C, chi, d, 0)
+    if fixed > SPLIT_TAIL_FOOTPRINT:
+        return None
+    per_row = factor * (kernel_footprint(C, chi, d, 1)
+                        - kernel_footprint(C, chi, d, 0))
+    nt = int((SPLIT_TAIL_FOOTPRINT - fixed) // (per_row * STREAM_MIN_TILE))
+    while (nt >= 1 and factor * kernel_footprint(C, chi, d,
+                                                 nt * STREAM_MIN_TILE)
+           > SPLIT_TAIL_FOOTPRINT):
+        nt -= 1
+    if nt < 1:
+        return None
+    return min(STREAM_MIN_TILE * nt,
+               STREAM_MIN_TILE * -(-N // STREAM_MIN_TILE))
+
+
+def _pad_rows(x, n_to: int):
+    """Pad axis 0 to n_to rows by repeating row 0 (valid feature values;
+    the pad rows carry w=0 so they contribute nothing to the gradient,
+    and their env outputs are sliced away by the caller)."""
+    n = x.shape[0]
+    if n == n_to:
+        return x
+    reps = jnp.broadcast_to(x[:1], (n_to - n,) + x.shape[1:])
+    return jnp.concatenate([x, reps], axis=0)
+
+
+def _bond_step_streamed(A_or_B, center_c, le, re, env_ls, phil, phir, y1h,
+                        w, V0, eta, cutoff, *, forward: bool, refresh: bool,
+                        power_iters: int, orth: str, max_rank,
+                        stream_tile: int):
+    """N-streaming bond step: the batch axis is processed in
+    ``stream_tile``-row tiles so the batch-resident VMEM terms become a
+    tile size instead of a ceiling (SURVEY §7.2 / r4 VERDICT task 5 —
+    production batches are orders of magnitude larger than the UCR sets).
+
+    Same decomposition as the dp path (which is proven bit-compatible):
+    per-tile LOCAL gradients through _k1_grad_call accumulated by a
+    lax.scan (the dp psum becomes the scan sum), ONE _k1_update_call (+
+    tail) and ONE _k2_split_call on the accumulated gradient, then
+    per-tile env advances through _k2_env_call.  N is padded to a tile
+    multiple with w=0 rows; their gradient contribution is exactly zero
+    and their env rows are dropped."""
+    C, chi, d, _ = center_c.shape
+    N = le.shape[0]
+    Nt = stream_tile
+    nt = -(-N // Nt)
+    est = kernel_footprint(C, chi, d, Nt)
+    eta2 = jnp.reshape(eta.astype(jnp.float32), (1, 1))
+    mr = jnp.float32(chi) if max_rank is None else max_rank.astype(jnp.float32)
+    cut2 = jnp.stack([cutoff.astype(jnp.float32), mr])[None, :]
+
+    if forward:
+        left, right = center_c, A_or_B
+    else:
+        left, right = A_or_B, center_c
+
+    def tiles(x):
+        return _pad_rows(x, nt * Nt).reshape((nt, Nt) + x.shape[1:])
+
+    le_t, re_t = tiles(le), tiles(re)
+    phil_t, phir_t = tiles(phil), tiles(phir)
+    y1h_t = tiles(y1h)
+    w_t = tiles(jnp.concatenate([w, jnp.zeros((nt * Nt - N,), w.dtype)])
+                if nt * Nt > N else w)
+    ls_t = tiles(env_ls[:, None])
+
+    def grad_acc(G, tile):
+        le_i, re_i, pl_i, pr_i, y_i, w_i = tile
+        Gi = _k1_grad_call(left, right, le_i, re_i, pl_i, pr_i, y_i,
+                           w_i[:, None], C=C, chi=chi, d=d,
+                           forward=forward, est=est)
+        return G + Gi, None
+
+    G0 = jnp.zeros((C, chi * d, d, chi), jnp.float32)
+    G, _ = jax.lax.scan(grad_acc, G0,
+                        (le_t, re_t, phil_t, phir_t, y1h_t, w_t))
+
+    split_tail = refresh and est > SPLIT_TAIL_FOOTPRINT
+    emit = refresh and not split_tail
+    BT, Y = _k1_update_call(eta2, left, right, G, V0, C=C, chi=chi, d=d,
+                            forward=forward, emit_y=emit,
+                            q=power_iters, orth=orth, est=est)
+    if split_tail:
+        Y = V0
+        for _ in range(power_iters):
+            Y = _k1_tail_call(BT, Y, C=C, chi=chi, d=d, forward=forward,
+                              q=1, orth=orth, est=est)
+    if refresh:
+        Q = Y if orth == "ns" else jnp.linalg.qr(Y)[0]
+    else:
+        Q = V0
+    center2, core, Qm = _k2_split_call(cut2, BT, Q, C=C, chi=chi, d=d,
+                                       forward=forward, est=est)
+    env_t = le_t if forward else re_t
+    phi_t = phil_t if forward else phir_t
+
+    def env_tile(_, tile):
+        env_i, ls_i, phi_i = tile
+        return None, _k2_env_call(Qm, env_i, ls_i, phi_i, chi=chi, d=d,
+                                  forward=forward, est=est)
+
+    _, (env2_t, ls2_t) = jax.lax.scan(env_tile, None, (env_t, ls_t, phi_t))
+    env2 = env2_t.reshape(nt * Nt, chi)[:N]
+    env_ls2 = ls2_t.reshape(nt * Nt)[:N]
+    return center2, core, env2, env_ls2, Q
+
+
 def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
               eta, cutoff, *, forward: bool, refresh: bool = True,
               axis_name: str = None, power_iters: int = 1,
-              orth: str = "qr", max_rank=None
+              orth: str = "qr", max_rank=None,
+              stream_tile: Optional[int] = None
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
                          jnp.ndarray]:
     """One fused bond step (everything except the QR).
@@ -1066,7 +1195,20 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
     shard's blocks, cores/center/V0 replicated.  The LOCAL gradient is
     computed per shard (K1a), psummed over ``axis_name`` (the one collective
     per bond update, SURVEY §2.3), and the update + split run redundantly on
-    every device; each shard's environments advance locally."""
+    every device; each shard's environments advance locally.
+
+    ``stream_tile``: process the batch axis in tiles of this many rows
+    (the N-streaming route, :func:`_bond_step_streamed`) — for batches
+    whose full-N working set exceeds the fused kernels' VMEM range.
+    Mutually exclusive with ``axis_name`` (a dp shard's local batch that
+    still overflows should shard wider instead)."""
+    if stream_tile is not None:
+        assert axis_name is None, "stream_tile is a single-device route"
+        return _bond_step_streamed(
+            A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
+            eta, cutoff, forward=forward, refresh=refresh,
+            power_iters=power_iters, orth=orth, max_rank=max_rank,
+            stream_tile=stream_tile)
     C, chi, d, _ = center_c.shape
     est = kernel_footprint(C, chi, d, le.shape[0])
     eta2 = jnp.reshape(eta.astype(jnp.float32), (1, 1))

@@ -42,7 +42,7 @@ options.jl:117; loss semantics loss_functions.jl:302-432.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -1141,10 +1141,91 @@ def _qr_orth_pair(Y: Tuple[jnp.ndarray, jnp.ndarray]
     return Qe[:R], Qe[R:]
 
 
+def _bond_step_c_streamed(A_or_B, center_c, le, re, env_ls, phil, phir,
+                          y1h, w, V0, eta, cutoff, *, forward: bool,
+                          refresh: bool, power_iters: int, orth: str,
+                          max_rank, stream_tile: int):
+    """Pair twin of pallas_bond._bond_step_streamed: batch tiles through
+    the dp-split complex kernels (per-tile local gradient pairs summed by
+    a lax.scan, one update + split, per-tile env advances)."""
+    C, chi, d, _ = center_c[0].shape
+    N = le[0].shape[0]
+    Nt = stream_tile
+    nt = -(-N // Nt)
+    est = 2 * pb.kernel_footprint(C, chi, d, Nt)
+    eta2 = jnp.reshape(eta.astype(jnp.float32), (1, 1))
+    mr = jnp.float32(chi) if max_rank is None else max_rank.astype(jnp.float32)
+    cut2 = jnp.stack([cutoff.astype(jnp.float32), mr])[None, :]
+
+    if forward:
+        left, right = center_c, A_or_B
+    else:
+        left, right = A_or_B, center_c
+
+    def tiles(x):
+        return pb._pad_rows(x, nt * Nt).reshape((nt, Nt) + x.shape[1:])
+
+    def tiles_p(p):
+        return (tiles(p[0]), tiles(p[1]))
+
+    le_t, re_t = tiles_p(le), tiles_p(re)
+    phil_t, phir_t = tiles_p(phil), tiles_p(phir)
+    y1h_t = tiles(y1h)
+    w_t = tiles(jnp.concatenate([w, jnp.zeros((nt * Nt - N,), w.dtype)])
+                if nt * Nt > N else w)
+    ls_t = tiles(env_ls[:, None])
+
+    def grad_acc(G, tile):
+        le_i, re_i, pl_i, pr_i, y_i, w_i = tile
+        Gr, Gi = _k1c_grad_call(y_i, w_i[:, None], left, right, le_i, re_i,
+                                pl_i, pr_i, C=C, chi=chi, d=d,
+                                forward=forward, est=est)
+        return (G[0] + Gr, G[1] + Gi), None
+
+    G0 = (jnp.zeros((C, chi * d, d, chi), jnp.float32),
+          jnp.zeros((C, chi * d, d, chi), jnp.float32))
+    G, _ = jax.lax.scan(grad_acc, G0,
+                        (le_t, re_t, phil_t, phir_t, y1h_t, w_t))
+
+    split_tail = refresh and est > pb.SPLIT_TAIL_FOOTPRINT
+    emit = refresh and not split_tail
+    BT_r, BT_i, Y_r, Y_i = _k1c_update_call(
+        eta2, left, right, G, V0, C=C, chi=chi, d=d, forward=forward,
+        emit_y=emit, q=power_iters, orth=orth, est=est)
+    if split_tail:
+        Yp = V0
+        for _ in range(power_iters):
+            Yp = _k1c_tail_call((BT_r, BT_i), Yp, C=C, chi=chi, d=d,
+                                forward=forward, q=1, orth=orth, est=est)
+        Y_r, Y_i = Yp
+    if refresh:
+        Q = (Y_r, Y_i) if orth == "ns" else _qr_orth_pair((Y_r, Y_i))
+    else:
+        Q = V0
+    (c_r, c_i, k_r, k_i, qm_r, qm_i) = _k2c_split_call(
+        cut2, (BT_r, BT_i), Q, C=C, chi=chi, d=d, forward=forward, est=est)
+    env_t = le_t if forward else re_t
+    phi_t = phil_t if forward else phir_t
+
+    def env_tile(_, tile):
+        er_i, ei_i, ls_i, pr_i, pi_i = tile
+        return None, _k2c_env_call((qm_r, qm_i), (er_i, ei_i), ls_i,
+                                   (pr_i, pi_i), chi=chi, d=d,
+                                   forward=forward, est=est)
+
+    _, (e_r_t, e_i_t, ls2_t) = jax.lax.scan(
+        env_tile, None, (env_t[0], env_t[1], ls_t, phi_t[0], phi_t[1]))
+    e_r = e_r_t.reshape(nt * Nt, chi)[:N]
+    e_i = e_i_t.reshape(nt * Nt, chi)[:N]
+    ls2 = ls2_t.reshape(nt * Nt)[:N]
+    return ((c_r, c_i), (k_r, k_i), (e_r, e_i), ls2, Q)
+
+
 def bond_step_c(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
                 eta, cutoff, *, forward: bool, refresh: bool = True,
                 axis_name: str = None, power_iters: int = 1,
-                orth: str = "qr", max_rank=None):
+                orth: str = "qr", max_rank=None,
+                stream_tile: Optional[int] = None):
     """One fused complex bond step.  Every complex operand is a (re, im)
     pair of f32 arrays with the shapes of the real kernel's operands;
     returns pair-typed (center_c', core', env') plus real env_ls' and the
@@ -1156,7 +1237,17 @@ def bond_step_c(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
     gradient pair is psummed over the axis (one collective of the (re, im)
     gradient per bond update), and the update + split run redundantly on
     every device while each shard's environments advance locally (the same
-    contract as pallas_bond.bond_step's dp split)."""
+    contract as pallas_bond.bond_step's dp split).
+
+    ``stream_tile``: process the batch axis in tiles of this many rows
+    (:func:`_bond_step_c_streamed` — the complex N-streaming route)."""
+    if stream_tile is not None:
+        assert axis_name is None, "stream_tile is a single-device route"
+        return _bond_step_c_streamed(
+            A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
+            eta, cutoff, forward=forward, refresh=refresh,
+            power_iters=power_iters, orth=orth, max_rank=max_rank,
+            stream_tile=stream_tile)
     C, chi, d, _ = center_c[0].shape
     est = 2 * pb.kernel_footprint(C, chi, d, le[0].shape[0])
     eta2 = jnp.reshape(eta.astype(jnp.float32), (1, 1))

@@ -56,10 +56,12 @@ from ..ops.env import (boundary_env, build_left_envs, env_step_left_scaled,
 
 WARM_ALGS = ("randomized_warm", "randomized_warm_ritz")
 """svd_algs that thread per-bond subspace caches through the sweep.
-"randomized_warm_ritz" adds a per-bond [k, k] Rayleigh-Ritz eigh
+"randomized_warm_ritz" adds a per-bond [k, k] Rayleigh-Ritz rotation
 (exact-SVD truncation ordering on the warm subspace — the large-chi
-complex quality route, ops/decomp.warm_ritz_split_*); the eigh keeps it
-off the fused Pallas kernels, so it always takes the XLA bond path."""
+complex quality route, ops/decomp.warm_ritz_split_*).  Its EXACT
+rotations (eigh / realified eigh) keep those sweeps on the XLA bond
+path; the tracked sweeps fuse when the rotation is the matmul-only
+jacobi tracker (K12cr, ops/pallas_bond_c.bond_step_c_ritz — r5)."""
 
 BOND_BLOCK = None
 """Override for the multi-bond block size (K12m): None = auto (largest of
@@ -209,11 +211,16 @@ def pallas_route_notice(dtype, loss, bbopt, update_iters, rescale, svd_alg,
     if cplx and np.dtype(dtype) != np.dtype(np.complex64):
         reasons.append(f"dtype={np.dtype(dtype).name} (fused path is "
                        "f32/c64)")
-    if not reasons and not _pallas_vmem_ok(C, chi, d, N,
-                                           factor=2 if cplx else 1):
+    if (not reasons and not _pallas_vmem_ok(C, chi, d, N,
+                                            factor=2 if cplx else 1)
+            and pallas_bond.stream_tile_for(C, chi, d, N,
+                                            factor=2 if cplx else 1)
+            is None):
+        # batch-driven overflows stream in tiles (stream_tile_for) and
+        # stay fused; only chi-driven overflows demote
         reasons.append(f"estimated kernel footprint at chi={chi}, N={N} "
-                       "exceeds the VMEM ceiling "
-                       "(pallas_bond.kernel_footprint)")
+                       "exceeds the VMEM ceiling even per batch tile "
+                       "(pallas_bond.kernel_footprint/stream_tile_for)")
     if not reasons:
         return None
     return ("[mpstime_tpu] note: this configuration takes the XLA bond "
@@ -308,14 +315,26 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                   and axis_name is None
                   and 2 * pallas_bond.k12_footprint(C, chi, d, N)
                   <= pallas_bond.SPLIT_TAIL_FOOTPRINT)
+    # N-streaming: when the full-N working set overflows the fused
+    # kernels' VMEM range but the batch term is the driver, the bond step
+    # runs the dp-split kernels over batch tiles instead of falling off
+    # to XLA (pallas_bond._bond_step_streamed; production batches are
+    # orders of magnitude larger than the UCR sets).  Not available for
+    # the ritz kernel (single-kernel only) or under dp (shard wider).
+    vmem_ok = _pallas_vmem_ok(C, chi, d, N, factor=2 if cplx else 1)
+    stream = None
+    if not vmem_ok and not ritz and axis_name is None:
+        stream = pallas_bond.stream_tile_for(C, chi, d, N,
+                                             factor=2 if cplx else 1)
     pallas = (not track_cost) \
-        and _pallas_vmem_ok(C, chi, d, N, factor=2 if cplx else 1) \
+        and (vmem_ok or stream is not None) \
         and _pallas_eligible(dtype, loss, bbopt, update_iters, rescale,
                              "randomized_warm" if ritz_fused else svd_alg,
                              platform=platform)
     ritz_fused = ritz_fused and pallas
+    stream = stream if pallas else None
     cplx = cplx and pallas    # below, cplx means "complex pair kernels"
-    if pallas and orth == "ns" and not ritz_fused:
+    if pallas and orth == "ns" and not ritz_fused and stream is None:
         est = pallas_bond.kernel_footprint(C, chi, d, N) * (2 if cplx else 1)
         if est > pallas_bond.SPLIT_TAIL_FOOTPRINT:
             # On the large-chi split-tail route the per-step NS unroll makes
@@ -387,14 +406,16 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                     x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["vb"], eta, cutoff,
                     forward=False, refresh=refresh, axis_name=axis_name,
-                    power_iters=power_iters, orth=orth, max_rank=max_rank)
+                    power_iters=power_iters, orth=orth, max_rank=max_rank,
+                    stream_tile=stream)
                 return (center, v2, ls2), dict(V=V, re=v2, re_ls=ls2, qv=Qv)
             if pallas:
                 center, V, v2, ls2, Qv = pallas_bond.bond_step(
                     x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["vb"], eta, cutoff,
                     forward=False, refresh=refresh, axis_name=axis_name,
-                    power_iters=power_iters, orth=orth, max_rank=max_rank)
+                    power_iters=power_iters, orth=orth, max_rank=max_rank,
+                    stream_tile=stream)
                 return (center, v2, ls2), dict(V=V, re=v2, re_ls=ls2, qv=Qv)
             BT = jnp.einsum("aim,mkbc->aikbc", x["A"], center)
             cost, BT = upd(BT, x["le"], re_v, x["phi_l"].conj(),
@@ -433,6 +454,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     BB = (_auto_block(C, chi, d, N, T, factor=2 if cplx else 1,
                       cap=4 if cplx else 8)
           if (pallas and axis_name is None and not ritz_fused
+              and stream is None
               and (orth == "ns" or not refresh)
               and not (cplx and refresh and power_iters > 1)) else 1)
     block_steps = (pallas_bond_c.bond_block_steps_c if cplx
@@ -520,7 +542,8 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                     x["B"], center, le_v, x["re"], le_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["uf"], eta, cutoff,
                     forward=True, refresh=refresh, axis_name=axis_name,
-                    power_iters=power_iters, orth=orth, max_rank=max_rank)
+                    power_iters=power_iters, orth=orth, max_rank=max_rank,
+                    stream_tile=stream)
                 return (center, v2, ls2), dict(U=Unew, le=v2, le_ls=ls2,
                                                qu=Qu)
             if pallas:
@@ -528,7 +551,8 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                     x["B"], center, le_v, x["re"], le_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["uf"], eta, cutoff,
                     forward=True, refresh=refresh, axis_name=axis_name,
-                    power_iters=power_iters, orth=orth, max_rank=max_rank)
+                    power_iters=power_iters, orth=orth, max_rank=max_rank,
+                    stream_tile=stream)
                 return (center, v2, ls2), dict(U=Unew, le=v2, le_ls=ls2,
                                                qu=Qu)
             BT = jnp.einsum("aimc,mkb->aikbc", center, x["B"])

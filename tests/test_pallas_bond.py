@@ -391,3 +391,79 @@ class TestPallasBondParity:
         trained, _, _ = mt.fit_mps(Xtr, ytr, opts=opts)
         acc = np.mean(mt.classify(trained, Xtr) == ytr)
         assert acc >= 0.9
+
+
+class TestStreamedBondStep:
+    """The N-streaming route (ops/pallas_bond._bond_step_streamed) must
+    match the plain fused bond step exactly up to f32 reassociation: the
+    gradient is accumulated tile-by-tile (same dp decomposition), the
+    update/split run once, env advances per tile, pad rows (w=0) drop."""
+
+    @pytest.mark.parametrize("forward", [False, True])
+    @pytest.mark.parametrize("refresh,orth,q", [(True, "ns", 3),
+                                                (True, "qr", 1),
+                                                (False, "qr", 1)])
+    def test_streamed_matches_plain(self, interpret, forward, refresh,
+                                    orth, q):
+        b = _rand_bond(seed=51, N=13)          # 13 rows, tile 5 -> 3 tiles
+        chi, d = b["chi"], b["d"]              # (last one 60% padding)
+        eta, cutoff = jnp.float32(0.05), jnp.float32(1e-10)
+        V0 = warm_sketch_init((d * chi) if not forward else (chi * d),
+                              chi, np.float32)
+        args = (b["A"], jnp.moveaxis(b["center"], 3, 0), b["le"], b["re"],
+                b["re_ls"], b["phil"], b["phir"], b["y1h"], b["w"], V0,
+                eta, cutoff)
+        kw = dict(forward=forward, refresh=refresh, power_iters=q,
+                  orth=orth)
+        ref = pallas_bond.bond_step(*args, **kw)
+        out = pallas_bond.bond_step(*args, stream_tile=5, **kw)
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       rtol=2e-4, atol=1e-5)
+
+    def test_stream_tile_for_policy(self):
+        from mpstime_tpu.ops.pallas_bond import (SPLIT_TAIL_FOOTPRINT,
+                                                 kernel_footprint,
+                                                 stream_tile_for)
+        # small shapes fit outright -> no streaming
+        assert stream_tile_for(2, 64, 5, 100) is None
+        # huge batch at moderate chi -> a tile that fits the two-kernel
+        # range
+        t = stream_tile_for(2, 64, 5, 100_000)
+        assert t is not None and t % 256 == 0
+        assert kernel_footprint(2, 64, 5, t) <= SPLIT_TAIL_FOOTPRINT
+        # bt-dominated shapes cannot be saved by batch streaming
+        assert stream_tile_for(2, 384, 5, 100) is None
+
+    def test_full_sweep_streamed_matches_fused(self, interpret, monkeypatch):
+        # Force the sweep engine onto the N-streaming route (vmem gate
+        # closed, tiny tile) and compare a full sweep against the plain
+        # fused route.
+        from mpstime_tpu.training import sweep as sweep_mod
+        from mpstime_tpu.training.sweep import full_sweep
+        rng = np.random.default_rng(71)
+        T, chi, d, C, N = 6, 6, 3, 2, 13
+        f32 = np.float32
+        cores = jnp.asarray(rng.standard_normal((T, chi, d, chi)).astype(f32))
+        center = jnp.asarray(
+            rng.standard_normal((chi, d, chi, C)).astype(f32))
+        phis = jnp.asarray(rng.uniform(-0.8, 0.8, (T, N, d)).astype(f32))
+        y1h = jnp.asarray(np.eye(C, dtype=f32)[rng.integers(0, C, N)])
+        w = jnp.full((N,), 1.0 / N, jnp.float32)
+        kw = dict(loss="KLD", bbopt="TSGO", update_iters=1,
+                  rescale=(False, True), svd_alg="randomized_warm",
+                  power_iters=1, orth="ns")
+        c_ref, z_ref = full_sweep(cores, center, phis, y1h, w,
+                                  jnp.float32(0.05), jnp.float32(1e-10),
+                                  **kw)
+        monkeypatch.setattr(sweep_mod, "_pallas_vmem_ok",
+                            lambda *a, **k: False)
+        monkeypatch.setattr(pallas_bond, "stream_tile_for",
+                            lambda *a, **k: 5)
+        jax.clear_caches()
+        c_s, z_s = full_sweep(cores, center, phis, y1h, w,
+                              jnp.float32(0.05), jnp.float32(1e-10), **kw)
+        np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_ref),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(z_s), np.asarray(z_ref),
+                                   rtol=2e-4, atol=1e-5)

@@ -533,3 +533,31 @@ class TestTrackedRitzKernel:
         assert np.asarray(trained.mps.center).dtype == np.complex64
         acc = np.mean(mt.classify(trained, Xtr) == ytr)
         assert acc >= 0.7, acc
+
+
+class TestStreamedComplexBondStep:
+    """Pair twin of the real streamed-bond parity contract."""
+
+    @pytest.mark.parametrize("forward", [False, True])
+    @pytest.mark.parametrize("refresh,orth,q", [(True, "ns", 3),
+                                                (True, "qr", 1),
+                                                (False, "qr", 1)])
+    def test_streamed_matches_plain(self, interpret, forward, refresh,
+                                    orth, q):
+        b = _rand_bond_c(seed=61, N=13)
+        eta, cutoff = jnp.float32(0.05), jnp.float32(1e-10)
+        V0 = warm_sketch_init(b["d"] * b["chi"], b["chi"], np.complex128)
+        args = (_pair(b["A"]), _pair(jnp.moveaxis(b["center"], 3, 0)),
+                _pair(b["le"]), _pair(b["re"]),
+                b["re_ls"].astype(jnp.float32),
+                _pair(b["phil"]), _pair(b["phir"]),
+                b["y1h"].astype(jnp.float32), b["w"].astype(jnp.float32),
+                _pair(V0), eta, cutoff)
+        kw = dict(forward=forward, refresh=refresh, power_iters=q,
+                  orth=orth)
+        ref = pallas_bond_c.bond_step_c(*args, **kw)
+        out = pallas_bond_c.bond_step_c(*args, stream_tile=5, **kw)
+        for r, o in zip(jax.tree_util.tree_leaves(ref),
+                        jax.tree_util.tree_leaves(out)):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       rtol=2e-4, atol=1e-5)
