@@ -506,11 +506,15 @@ def _ritz_rot_track(S: jnp.ndarray,
 #: structurally-degenerate complex eigenvalue clusters before the
 #: realified real eigh (``rot="eigh_r"``), so the J-doubled realified
 #: pairs of DIFFERENT complex eigenvectors separate and the every-other-
-#: column extraction picks one representative per complex ray.  Well
-#: above f32 eigh backward error (~6e-8 * ||S||), far below any spectral
-#: scale the cutoff mask can resolve; the basis change it causes lives
-#: inside degenerate clusters, which is exactly the MPS gauge freedom.
-_EIGH_R_SPLIT = 1e-5
+#: column extraction picks one representative per complex ray.  Per
+#: precision: above the eigh backward error (f32 ~6e-8 * ||S||, f64
+#: ~1e-15), as far below the trained spectral scales as possible — the
+#: perturbation scrambles the ordering of every eigenvalue pair whose
+#: true gap is below it, and the r5 f64 oracle measured that cost
+#: directly at the old flat 1e-5 (fourier chi=64: eigh_r cells at or
+#: below the exact band's floor, scripts/jacobi_oracle.py — which is why
+#: eigh_r is an opt-in, not the auto exact rotation).
+_EIGH_R_SPLIT = {4: 1e-5, 8: 1e-11}    # real-dtype itemsize -> eps
 
 
 @functools.lru_cache(maxsize=8)
@@ -545,9 +549,10 @@ def _ritz_rot_eigh_realified(S: jnp.ndarray
     k = S.shape[0]
     rdt = S.real.dtype
     nf = jnp.maximum(jnp.linalg.norm(S), jnp.finfo(rdt).tiny)
+    eps = rdt.type(_EIGH_R_SPLIT[np.dtype(rdt).itemsize])
     Hr, Hi = _fixed_hermitian_np(k)
-    Sr = jnp.real(S) + (rdt.type(_EIGH_R_SPLIT) * nf) * jnp.asarray(Hr, rdt)
-    Si = jnp.imag(S) + (rdt.type(_EIGH_R_SPLIT) * nf) * jnp.asarray(Hi, rdt)
+    Sr = jnp.real(S) + (eps * nf) * jnp.asarray(Hr, rdt)
+    Si = jnp.imag(S) + (eps * nf) * jnp.asarray(Hi, rdt)
     R = jnp.block([[Sr, -Si], [Si, Sr]])
     w, V = jnp.linalg.eigh(R)                       # ascending
     w = w[::-1]
@@ -571,6 +576,15 @@ def _ritz_rot_eigh_realified(S: jnp.ndarray
 #: positions per sweep stay tracked.  6 rounds measured in the exact band
 #: on the f64 oracle (scripts/jacobi_oracle.py).
 _JACOBI_ROUNDS = 6
+
+#: Rounds for ``rot="jacobi_warm"`` — the cold-start variant used on the
+#: first ``ritz_exact_sweeps`` sweeps in place of an exact eigh: enough
+#: odd-even rounds to eigen-order a warm-split basis (ordered by column
+#: energy, i.e. near-sorted) from scratch, so the entire schedule can
+#: stay matmul-only (and, on TPU, entirely inside the fused pair
+#: kernels).  24 rounds = migration distance 12; validated on the f64
+#: oracle (scripts/jacobi_oracle.py round 2).
+_JACOBI_WARM_ROUNDS = 24
 
 
 def _jacobi_round(S: jnp.ndarray, W: jnp.ndarray, off: int
@@ -668,6 +682,8 @@ def _ritz_rot(S: jnp.ndarray, rot: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return _ritz_rot_track(S)
     if rot == "jacobi":
         return _ritz_rot_jacobi(S)
+    if rot == "jacobi_warm":
+        return _ritz_rot_jacobi(S, rounds=_JACOBI_WARM_ROUNDS)
     if rot == "eigh_r" and np.dtype(S.dtype).kind == "c":
         return _ritz_rot_eigh_realified(S)
     w, W = jnp.linalg.eigh(S)

@@ -279,6 +279,12 @@ def _k1c_power(BT, V0, y_r, y_i, *, C: int, chi: int, d: int,
                                          Yn[1] + eps * Y[1]))
                 y_r[:] = Y[0]
                 y_i[:] = Y[1]
+            elif orth == "tri":
+                # QR-gauge refresh (no revival — twin of _warm_power's
+                # qr branch: normalize, then orthogonalize)
+                Y = _tri_newton_pair(Yn)
+                y_r[:] = Y[0]
+                y_i[:] = Y[1]
             else:
                 Y = Yn
         else:
@@ -296,10 +302,56 @@ def _k1c_power(BT, V0, y_r, y_i, *, C: int, chi: int, d: int,
                 # refs leave as the complex-orthonormal Q, no XLA QR
                 Y = _ns_orth_pair_value((Ynorm[0] + eps * Y[0],
                                          Ynorm[1] + eps * Y[1]))
+            elif orth == "tri":
+                Y = _tri_newton_pair(Ynorm)
             else:
                 Y = Ynorm
             y_r[:] = Y[0]
             y_i[:] = Y[1]
+
+
+#: Damped triangular-Newton iterations for ``orth="tri"``.  The damped
+#: schedule (s = 1/max(1, ||E||_F)) contracts linearly until ||E|| < 1,
+#: then quadratically; 8 iterations reach QR to f32 precision even from a
+#: random cold start (measured k=64: E 3.6 -> 5e-10 in 8; tracked-regime
+#: starts converge in 4).
+_TRI_NEWTON_ITERS = 8
+
+
+def _tri_newton_pair(X, iters: int = _TRI_NEWTON_ITERS):
+    """QR-GAUGE orthogonalization of a pair X [n, k] by damped triangular
+    Newton: iterate X <- X (I - s (triu(E, 1) + diag(E)/2)), E = X^H X - I,
+    s = 1/max(1, ||E||_F).
+
+    Each correction is upper-triangular, so the limit satisfies
+    X_inf = X_0 R^{-1} with R upper triangular with positive real diagonal
+    — i.e. EXACTLY the thin-QR Q factor of X_0, in matmuls + iota masks
+    only.  This is the fused tracked-ritz kernel's refresh
+    orthogonalization: the r5 f64 oracle showed the NS polar (symmetric
+    gauge, mixes columns) costs real accuracy under the jacobi tracker
+    (all-NS cells 0.67-0.70 vs the qr-gauge jacobi cells 0.77-0.81,
+    scripts/jacobi_oracle.py) — QR's nested column spans are what keep
+    the cached basis eigen-ordered, and this iteration reproduces that
+    gauge without a Householder factorization."""
+    f32 = jnp.float32
+    k = X[0].shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    eye = (row == col).astype(f32)
+    up = (col > row).astype(f32)
+    half = up + 0.5 * eye
+    for _ in range(iters):
+        G = _cdot_ct(X, X)                     # X^H X (hermitian pair)
+        Er = G[0] - eye
+        Ei = G[1]
+        nf2 = jnp.sum(Er * Er + Ei * Ei)
+        s = jax.lax.rsqrt(jnp.maximum(nf2, 1.0))
+        # T = I - s*(triu(E,1) + diag(E)/2); diag(E) is real (hermitian),
+        # so T's imaginary part has no diagonal
+        Tr = eye - s * (half * Er)
+        Ti = -s * (up * Ei)
+        X = _cdot(X, (Tr, Ti))
+    return X
 
 
 def _k1c_kernel(eta_ref, y1h_ref, w_ref, *refs,
@@ -838,11 +890,12 @@ def _jacobi_rounds_pair(S, rounds: int):
 
 def _k12cr_kernel(scal_ref, y1h_ref, w_ref, *refs, C: int, chi: int, d: int,
                   forward: bool, emit_y: bool, q: int, rounds: int):
-    """One-kernel tracked-ritz complex bond step: _k1c body (NS-refreshed
-    basis), projected Gram S = B^H B, in-kernel Jacobi rotation, rotated +
-    cutoff-masked split factors, env advance.  The cached basis (y refs)
-    leaves ROTATED (Q @ W, unmasked) — the eigen-ordering the next sweep's
-    tracker relies on, exactly like ops/decomp.warm_ritz_split_*."""
+    """One-kernel tracked-ritz complex bond step: _k1c body (QR-gauge
+    tri-Newton-refreshed basis), projected Gram S = B^H B, in-kernel
+    Jacobi rotation, rotated + cutoff-masked split factors, env advance.
+    The cached basis (y refs) leaves ROTATED (Q @ W, unmasked) — the
+    eigen-ordering the next sweep's tracker relies on, exactly like
+    ops/decomp.warm_ritz_split_*."""
     eta = scal_ref[0, 0]
     y1h = y1h_ref[:]
     w = w_ref[:]
@@ -853,10 +906,11 @@ def _k12cr_kernel(scal_ref, y1h_ref, w_ref, *refs, C: int, chi: int, d: int,
     left_at, right_at = _val_accessors(left, right, chi, d, forward)
     BT, G = _k1c_bt_grad(left_at, right_at, le, re, phil, phir, y1h, w,
                          C=C, chi=chi, d=d, forward=forward)
-    # in-kernel refresh is NS (subspace iteration); frozen bonds pass V0
+    # in-kernel refresh is the QR-gauge tri-Newton (oracle: the NS polar's
+    # symmetric gauge degrades the tracked band); frozen bonds pass V0
     BT = _k1c_tsgo_power(eta, BT, G, V0, None, None, y_r, y_i,
                          C=C, chi=chi, d=d, forward=forward,
-                         emit_y=emit_y, q=q, orth="ns")
+                         emit_y=emit_y, q=q, orth="tri")
     Q = (y_r[:], y_i[:])
 
     def q_k(kk):
@@ -954,15 +1008,23 @@ def _k12cr_call(scal, y1h, w, left, right, le, re, phil, phir, V0, env_ls, *,
 
 def bond_step_c_ritz(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w,
                      V0, eta, cutoff, *, forward: bool, refresh: bool = True,
-                     power_iters: int = 1, max_rank=None, rounds=None):
-    """One fused tracked-ritz complex bond step (see _k12cr_kernel).  Same
-    operand contract as :func:`bond_step_c`; single-device only (the
-    exact-eigh sweeps and any dp mesh keep the XLA bond path).  The warm
-    refresh inside the kernel is NS subspace iteration — the per-bond
-    Jacobi rotation restores eigen-ordering every bond, which is what the
-    XLA route's qr-orth pin existed to protect (docs/complex_split_oracle
-    .md section 7b; band re-validated for this route in section 9)."""
-    from .decomp import _JACOBI_ROUNDS
+                     power_iters: int = 1, max_rank=None, rounds=None,
+                     rot: str = "jacobi"):
+    """One fused ritz complex bond step (see _k12cr_kernel).  Same operand
+    contract as :func:`bond_step_c`; single-device only (eigh-rotation
+    sweeps and any dp mesh keep the XLA bond path).  The warm refresh
+    inside the kernel is the QR-GAUGE tri-Newton (``_tri_newton_pair``) —
+    gauge-identical to the XLA route's pinned qr orth, which the f64
+    oracle shows is what keeps the jacobi-tracked band
+    (scripts/jacobi_oracle.py; the NS polar's symmetric gauge measured
+    0.67-0.70 vs qr-gauge 0.77-0.81).
+
+    ``rot``: "jacobi" (tracked sweeps, _JACOBI_ROUNDS) or "jacobi_warm"
+    (cold-start sweeps, _JACOBI_WARM_ROUNDS); ``rounds`` overrides."""
+    from .decomp import _JACOBI_ROUNDS, _JACOBI_WARM_ROUNDS
+    if rounds is None:
+        rounds = (_JACOBI_WARM_ROUNDS if rot == "jacobi_warm"
+                  else _JACOBI_ROUNDS)
     C, chi, d, _ = center_c[0].shape
     est = 2 * pb.k12_footprint(C, chi, d, le[0].shape[0])
     mr = jnp.float32(chi) if max_rank is None else max_rank.astype(jnp.float32)
@@ -976,7 +1038,7 @@ def bond_step_c_ritz(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w,
         scal, y1h, w[:, None], left, right, le, re, phil, phir, V0,
         env_ls[:, None], C=C, chi=chi, d=d, forward=forward,
         emit_y=refresh, q=power_iters,
-        rounds=_JACOBI_ROUNDS if rounds is None else rounds, est=est)
+        rounds=rounds, est=est)
     return ((c_r, c_i), (k_r, k_i), (e_r, e_i), ls2[:, 0], (q_r, q_i))
 
 

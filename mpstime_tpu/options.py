@@ -190,17 +190,21 @@ class MPSOptions:
     # -1 = exact eigh on every sweep (the legacy/bit-parity route).
     ritz_exact_sweeps: int = 2
     # Ritz route rotation implementations (see resolved_ritz_rots):
-    #   ritz_rot_exact: "auto" | "eigh" | "eigh_r" — the exact sweeps'
-    #     rotation.  auto = complex eigh on CPU (bit-parity with r4), ONE
-    #     realified real eigh + complex re-extraction on accelerators
-    #     (ops/decomp._ritz_rot_eigh_realified — the TPU complex QDWH eigh
-    #     is ~7.5x the real one at ritz shapes, scripts/ritz_unit_probe.py:
-    #     1691 vs 226 us/bond at k=64 on v5e).
+    #   ritz_rot_exact: "auto" | "eigh" | "eigh_r" | "jacobi" — the
+    #     rotation for the first ritz_exact_sweeps sweeps (the cold-start
+    #     eigen-ordering phase).  "eigh" = exact complex eigh (XLA bond
+    #     path).  "eigh_r" = ONE realified real eigh + complex
+    #     re-extraction (ops/decomp._ritz_rot_eigh_realified — ~7.5x
+    #     cheaper per bond on TPU, but its cluster-splitting perturbation
+    #     measurably costs accuracy on the f64 oracle, so it is opt-in:
+    #     scripts/jacobi_oracle.py).  "jacobi" = _JACOBI_WARM_ROUNDS
+    #     odd-even Jacobi rounds (matmul-only, runs FUSED on TPU — the
+    #     no-eigh-anywhere schedule).
     #   ritz_rot_track: "auto" | "track" | "jacobi" — the tracked sweeps'
     #     rotation.  auto = QR-based orthogonal iteration on CPU,
     #     matmul-only adjacent-pair exact Jacobi on accelerators
     #     (ops/decomp._ritz_rot_jacobi — Mosaic-expressible, so the fused
-    #     pair kernels run the whole tracked bond step in-kernel).
+    #     pair kernels run the whole tracked bond step in-kernel, K12cr).
     ritz_rot_exact: str = "auto"
     ritz_rot_track: str = "auto"
     # Orthogonalization inside the randomized/lean/warm splits:
@@ -272,9 +276,10 @@ class MPSOptions:
         if self.orth_alg not in ("auto", "qr", "ns"):
             raise ValueError(f"orth_alg must be 'auto', 'qr' or 'ns', "
                              f"got {self.orth_alg!r}")
-        if self.ritz_rot_exact not in ("auto", "eigh", "eigh_r"):
-            raise ValueError(f"ritz_rot_exact must be 'auto', 'eigh' or "
-                             f"'eigh_r', got {self.ritz_rot_exact!r}")
+        if self.ritz_rot_exact not in ("auto", "eigh", "eigh_r", "jacobi"):
+            raise ValueError(f"ritz_rot_exact must be 'auto', 'eigh', "
+                             f"'eigh_r' or 'jacobi', got "
+                             f"{self.ritz_rot_exact!r}")
         if self.ritz_rot_track not in ("auto", "track", "jacobi"):
             raise ValueError(f"ritz_rot_track must be 'auto', 'track' or "
                              f"'jacobi', got {self.ritz_rot_track!r}")
@@ -381,21 +386,27 @@ class MPSOptions:
         return "qr" if jax.default_backend() == "cpu" else "ns"
 
     def resolved_ritz_rots(self) -> Tuple[str, str]:
-        """(exact_rot, track_rot) for the ritz exact->track schedule.
+        """(exact_rot, track_rot) for the ritz exact->track schedule, as
+        the sweep engine's rot strings (option value "jacobi" for the
+        exact phase maps to "jacobi_warm" — _JACOBI_WARM_ROUNDS of
+        odd-even rotations instead of an eigh).
 
         Auto policy: CPU keeps the r4 pair ("eigh", "track") — LAPACK's
         complex eigh is cheap there and the orthogonal-iteration tracker
-        is the long-validated chain; accelerators use ("eigh_r",
-        "jacobi") — the realified exact eigh cuts the exact sweeps ~3x on
-        TPU and the matmul-only Jacobi tracker is what the fused pair
-        kernels can run in-kernel (both oracle-validated in the exact
-        band, docs/complex_split_oracle.md section 9)."""
+        is the long-validated chain; accelerators use ("eigh",
+        "jacobi") — the tracked sweeps run the matmul-only Jacobi tracker
+        INSIDE the fused pair kernels (K12cr) while the exact sweeps keep
+        the complex eigh (the f64 oracle put eigh+jacobi in the exact
+        band, 0.77-0.81, and showed the cheaper eigh_r exact rotation
+        costs accuracy — scripts/jacobi_oracle.py)."""
         import jax
         cpu = jax.default_backend() == "cpu"
         exact = (self.ritz_rot_exact if self.ritz_rot_exact != "auto"
-                 else ("eigh" if cpu else "eigh_r"))
+                 else "eigh")
         track = (self.ritz_rot_track if self.ritz_rot_track != "auto"
                  else ("track" if cpu else "jacobi"))
+        if exact == "jacobi":
+            exact = "jacobi_warm"
         return exact, track
 
     def resolved_power_iters(self) -> int:

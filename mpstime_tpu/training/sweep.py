@@ -311,7 +311,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
     # exact rotations (eigh/eigh_r) and the QR-based orth-iteration
     # tracker keep the XLA bond path.  Single-kernel range only: no
     # split-tail twin and no dp variant exist for K12cr.
-    ritz_fused = (ritz and ritz_rot == "jacobi" and cplx
+    ritz_fused = (ritz and ritz_rot in ("jacobi", "jacobi_warm") and cplx
                   and axis_name is None
                   and 2 * pallas_bond.k12_footprint(C, chi, d, N)
                   <= pallas_bond.SPLIT_TAIL_FOOTPRINT)
@@ -398,7 +398,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 center, V, v2, ls2, Qv = pallas_bond_c.bond_step_c_ritz(
                     x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["vb"], eta, cutoff,
-                    forward=False, refresh=refresh,
+                    forward=False, refresh=refresh, rot=ritz_rot,
                     power_iters=power_iters, max_rank=max_rank)
                 return (center, v2, ls2), dict(V=V, re=v2, re_ls=ls2, qv=Qv)
             if cplx:
@@ -533,7 +533,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 center, Unew, v2, ls2, Qu = pallas_bond_c.bond_step_c_ritz(
                     x["B"], center, le_v, x["re"], le_ls, x["phi_l"],
                     x["phi_r"], y_onehot, class_weight, x["uf"], eta, cutoff,
-                    forward=True, refresh=refresh,
+                    forward=True, refresh=refresh, rot=ritz_rot,
                     power_iters=power_iters, max_rank=max_rank)
                 return (center, v2, ls2), dict(U=Unew, le=v2, le_ls=ls2,
                                                qu=Qu)

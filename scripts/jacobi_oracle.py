@@ -28,17 +28,22 @@ import sys
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CELLS = {
-    # name -> (ritz_rot_exact, ritz_rot_track, ritz_exact_sweeps)
-    "track": ("eigh", "track", 2),
-    "eighr": ("eigh_r", "track", 2),
-    "jacobi": ("eigh", "jacobi", 2),
-    "both": ("eigh_r", "jacobi", 2),
-    "jacobi_ss": ("eigh", "jacobi", 0),
-    # orth_alg="ns" + jacobi: the f64 proxy for the FUSED route (K12cr
-    # refreshes in-kernel with NS subspace iteration; the shipped TPU
-    # config is qr on the exact XLA sweeps + NS on the fused tracked
-    # sweeps, so all-NS is the conservative end of that mix)
-    "ns_jacobi": ("eigh_r", "jacobi", 2, "ns"),
+    # name -> (ritz_rot_exact, ritz_rot_track, ritz_exact_sweeps[, orth])
+    # ROUND 1 (r5, measured — see docs/complex_split_oracle.md sect. 9):
+    #   track     (eigh, track, 2)    0.85/0.79/0.84  band ok (control)
+    #   eighr     (eigh_r, track, 2)  0.79/0.79/0.76  low edge
+    #   jacobi    (eigh, jacobi, 2)   0.79/0.81/0.77  band ok  <- shipped
+    #   both      (eigh_r, jacobi, 2) 0.74/0.76/0.75  below band
+    #   jacobi_ss (eigh, jacobi, 0)   0.76/0.75/0.80  borderline
+    #   ns_jacobi (eigh_r, jacobi, 2, ns) 0.70/0.70/0.67 out of band
+    #     -> NS refresh degrades the tracked chain; the fused kernel now
+    #        uses the QR-gauge tri-Newton instead, whose f64 proxy is
+    #        the (in-band) qr cells.
+    # ROUND 2: can the exact sweeps drop the eigh entirely?
+    "jwarm": ("jacobi", "jacobi", 2),      # 24-round jacobi cold start
+    "jwarm_r1": ("jacobi", "jacobi", 1),
+    # dtype-aware eigh_r split (f64 now 1e-11): rescued on the oracle?
+    "eighr11": ("eigh_r", "jacobi", 2),
 }
 SEEDS = (1234, 777, 2025)
 
