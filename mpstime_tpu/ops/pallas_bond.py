@@ -31,10 +31,16 @@ split the minor (lane) dimension are unsupported, so
    contraction over the (k,b) column group is statically unrolled over the
    tiny physical index k (d is 3..8), so all slices are leading-dim.
 
-Covers the default hot path: real float32, KLD loss, TSGO optimiser,
-update_iters=1, rescale=(False, True), svd_alg="randomized_warm"
-(training/sweep.py falls back to the XLA path otherwise; complex64 takes
-the real-imag pair twin in ops/pallas_bond_c.py).
+Covers the accelerator hot paths: real float32, {KLD, MSE} loss x
+{TSGO, GD} optimiser (r5 — the MSE gradient differs by one per-sample
+weight term and the true-scale factor exp(env_ls); GD skips the gradient
+normalization), update_iters=1, rescale=(False, True),
+svd_alg="randomized_warm" (training/sweep.py falls back to the XLA path
+otherwise; complex64 takes the real-imag pair twin in
+ops/pallas_bond_c.py, which remains KLD+TSGO only).  The multi-bond
+block route (K12m) covers KLD only — MSE bonds run the single-kernel
+K12 (the block kernel would need per-bond opposite-side log-scale
+operands).
 
 Class-axis layout: the center travels as [C, chi_l, d, chi_r].
 
@@ -309,10 +315,17 @@ def _ref_accessors(left_ref, right_ref, chi, d, forward):
 
 def _k1_body(eta, left_at, right_at, le, re, phil, phir, y1h, w, V0,
              y_ref, *, C: int, chi: int, d: int, forward: bool,
-             emit_y: bool, q: int, orth: str):
+             emit_y: bool, q: int, orth: str, loss: str = "KLD",
+             bbopt: str = "TSGO", gls=None):
     """Shared K1 math: bond-tensor blocks BT[c][k] [chi*d, chi] (returned
-    as live values), batched KLD gradient, TSGO update with
-    post-normalization, and the warm power step written to y_ref.
+    as live values), batched loss gradient (KLD or MSE), the optimiser
+    step (TSGO normalized-gradient or plain GD) with post-normalization,
+    and the warm power step written to y_ref.
+
+    ``loss="MSE"`` needs the TOTAL per-sample env log-scales ``gls``
+    [N, 1] (left + right — the MSE residual is against the true-scale
+    yhat, ops/bond_update.py:79-99); the KLD gradient is scale-invariant
+    and ignores it.
 
     Operands arrive through accessors so the same body serves the
     single-bond kernels (ref-backed) and the multi-bond block kernel
@@ -352,25 +365,37 @@ def _k1_body(eta, left_at, right_at, le, re, phil, phir, y1h, w, V0,
             acc = part if acc is None else acc + part
         yhat.append(acc)
 
-    y_true = sum(yhat[c] * y1h[:, c:c + 1] for c in range(C))     # [N, 1]
-    u = w / y_true
-
-    # ---- gradient + TSGO + renormalize ------------------------------------
+    # ---- gradient + optimiser step + renormalize ---------------------------
+    if loss == "KLD":
+        y_true = sum(yhat[c] * y1h[:, c:c + 1] for c in range(C))  # [N, 1]
+        u = w / y_true
+    else:                       # MSE: resid against true-scale yhat
+        s = jnp.exp(gls)                              # [N, 1]
+        ws = w * s
     G = [[None] * d for _ in range(C)]
     g2 = jnp.zeros((), f32)
     for c in range(C):
-        wc = y1h[:, c:c + 1] * u                      # [N, 1]
+        if loss == "KLD":
+            wc = y1h[:, c:c + 1] * u                  # [N, 1]
+        else:
+            wc = (yhat[c] * s - y1h[:, c:c + 1]) * ws
         for k in range(d):
             R_k = phir[:, k:k + 1] * re
-            G_ck = -jnp.dot(L.T, R_k * wc, preferred_element_type=f32)
+            G_ck = jnp.dot(L.T, R_k * wc, preferred_element_type=f32)
+            if loss == "KLD":
+                G_ck = -G_ck
             G[c][k] = G_ck
-            g2 = g2 + jnp.sum(G_ck * G_ck)
-    gn = jax.lax.rsqrt(jnp.maximum(g2, jnp.finfo(f32).tiny))
+            if bbopt == "TSGO":
+                g2 = g2 + jnp.sum(G_ck * G_ck)
+    if bbopt == "TSGO":
+        step = eta * jax.lax.rsqrt(jnp.maximum(g2, jnp.finfo(f32).tiny))
+    else:                       # GD: fixed-step (loss_functions.jl:27-57)
+        step = eta
 
     b2 = jnp.zeros((), f32)
     for c in range(C):
         for k in range(d):
-            BT[c][k] = BT[c][k] - (eta * gn) * G[c][k]
+            BT[c][k] = BT[c][k] - step * G[c][k]
             b2 = b2 + jnp.sum(BT[c][k] * BT[c][k])
     bn = jax.lax.rsqrt(jnp.maximum(b2, jnp.finfo(f32).tiny))
     for c in range(C):
@@ -384,23 +409,25 @@ def _k1_body(eta, left_at, right_at, le, re, phil, phir, y1h, w, V0,
 
 
 def _k1_kernel(eta_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
-               phir_ref, y1h_ref, w_ref, v0_ref, bt_ref, y_ref, *,
+               phir_ref, y1h_ref, w_ref, gls_ref, v0_ref, bt_ref, y_ref, *,
                C: int, chi: int, d: int, forward: bool,
-               emit_y: bool = True, q: int = 1, orth: str = "qr"):
+               emit_y: bool = True, q: int = 1, orth: str = "qr",
+               loss: str = "KLD", bbopt: str = "TSGO"):
     """_k1_body + bond-tensor emission (the two-kernel route: BT crosses
     to K2 through HBM)."""
     left_at, right_at = _ref_accessors(left_ref, right_ref, chi, d, forward)
     BT = _k1_body(eta_ref[0, 0], left_at, right_at, le_ref[:], re_ref[:],
                   phil_ref[:], phir_ref[:], y1h_ref[:], w_ref[:], v0_ref[:],
                   y_ref, C=C, chi=chi, d=d, forward=forward, emit_y=emit_y,
-                  q=q, orth=orth)
+                  q=q, orth=orth, loss=loss, bbopt=bbopt, gls=gls_ref[:])
     for c in range(C):
         for k in range(d):
             bt_ref[c, :, k, :] = BT[c][k]
 
 
-def _k1_call(eta, left, right, le, re, phil, phir, y1h, w, V0, *,
-             C, chi, d, forward, emit_y=True, q=1, orth="qr", est=None):
+def _k1_call(eta, left, right, le, re, phil, phir, y1h, w, gls, V0, *,
+             C, chi, d, forward, emit_y=True, q=1, orth="qr",
+             loss="KLD", bbopt="TSGO", est=None):
     f32 = jnp.float32
     if forward:
         left = left.reshape(C, chi * d, chi)   # free relayout outside Mosaic
@@ -410,15 +437,16 @@ def _k1_call(eta, left, right, le, re, phil, phir, y1h, w, V0, *,
         jax.ShapeDtypeStruct((chi * d, chi), f32),
     )
     kern = functools.partial(_k1_kernel, C=C, chi=chi, d=d, forward=forward,
-                             emit_y=emit_y, q=q, orth=orth)
+                             emit_y=emit_y, q=q, orth=orth, loss=loss,
+                             bbopt=bbopt)
     return pl.pallas_call(
         kern,
         out_shape=out_shape,
-        in_specs=[_smem_scalar()] + [_vmem()] * 9,
+        in_specs=[_smem_scalar()] + [_vmem()] * 10,
         out_specs=(_vmem(), _vmem()),
         interpret=_INTERPRET,
         **_compiler_kw(est),
-    )(eta, left, right, le, re, phil, phir, y1h, w, V0)
+    )(eta, left, right, le, re, phil, phir, y1h, w, gls, V0)
 
 
 # --------------------------------------------------------------------------
@@ -432,9 +460,10 @@ def _k1_call(eta, left, right, le, re, phil, phir, y1h, w, V0, *,
 # --------------------------------------------------------------------------
 
 def _k1_grad_kernel(left_ref, right_ref, le_ref, re_ref, phil_ref,
-                    phir_ref, y1h_ref, w_ref, g_ref, *,
-                    C: int, chi: int, d: int, forward: bool):
-    """Local-batch KLD gradient G[c, (a,i), k, b] (the pre-psum contribution
+                    phir_ref, y1h_ref, w_ref, gls_ref, g_ref, *,
+                    C: int, chi: int, d: int, forward: bool,
+                    loss: str = "KLD"):
+    """Local-batch loss gradient G[c, (a,i), k, b] (the pre-psum contribution
     of this shard's samples; see _k1_kernel for the fused single-device
     form).  The bond-tensor blocks are formed from the replicated cores and
     discarded — only the gradient crosses the mesh."""
@@ -469,24 +498,31 @@ def _k1_grad_kernel(left_ref, right_ref, le_ref, re_ref, phil_ref,
             acc = part if acc is None else acc + part
         yhat.append(acc)
 
-    y_true = sum(yhat[c] * y1h[:, c:c + 1] for c in range(C))
-    u = w / y_true
+    if loss == "KLD":
+        y_true = sum(yhat[c] * y1h[:, c:c + 1] for c in range(C))
+        u = w / y_true
+    else:
+        s = jnp.exp(gls_ref[:])
+        ws = w * s
 
     for c in range(C):
-        wc = y1h[:, c:c + 1] * u
+        if loss == "KLD":
+            wc = y1h[:, c:c + 1] * u
+        else:
+            wc = (yhat[c] * s - y1h[:, c:c + 1]) * ws
         for k in range(d):
             R_k = phir[:, k:k + 1] * re
-            g_ref[c, :, k, :] = -jnp.dot(L.T, R_k * wc,
-                                         preferred_element_type=f32)
+            G_ck = jnp.dot(L.T, R_k * wc, preferred_element_type=f32)
+            g_ref[c, :, k, :] = -G_ck if loss == "KLD" else G_ck
 
 
 def _k1_update_kernel(eta_ref, left_ref, right_ref, g_ref, v0_ref,
                       bt_ref, y_ref, *, C: int, chi: int, d: int,
                       forward: bool, emit_y: bool = True, q: int = 1,
-                      orth: str = "qr"):
-    """TSGO step + post-normalization + warm power step against the GLOBAL
-    (psummed) gradient.  All operands replicated; every device computes the
-    same result."""
+                      orth: str = "qr", bbopt: str = "TSGO"):
+    """Optimiser step (TSGO or GD) + post-normalization + warm power step
+    against the GLOBAL (psummed) gradient.  All operands replicated; every
+    device computes the same result."""
     f32 = jnp.float32
     eta = eta_ref[0, 0]
     V0 = v0_ref[:]
@@ -494,12 +530,15 @@ def _k1_update_kernel(eta_ref, left_ref, right_ref, g_ref, v0_ref,
     if not forward:
         A2 = left_ref[:].reshape(chi * d, chi)
 
-    g2 = jnp.zeros((), f32)
-    for c in range(C):
-        for k in range(d):
-            G_ck = g_ref[c, :, k, :]
-            g2 = g2 + jnp.sum(G_ck * G_ck)
-    gn = jax.lax.rsqrt(jnp.maximum(g2, jnp.finfo(f32).tiny))
+    if bbopt == "TSGO":
+        g2 = jnp.zeros((), f32)
+        for c in range(C):
+            for k in range(d):
+                G_ck = g_ref[c, :, k, :]
+                g2 = g2 + jnp.sum(G_ck * G_ck)
+        step = eta * jax.lax.rsqrt(jnp.maximum(g2, jnp.finfo(f32).tiny))
+    else:
+        step = eta
 
     BT = [[None] * d for _ in range(C)]
     b2 = jnp.zeros((), f32)
@@ -513,7 +552,7 @@ def _k1_update_kernel(eta_ref, left_ref, right_ref, g_ref, v0_ref,
             else:
                 BT_ck = jnp.dot(A2, right_ref[c, :, k, :],
                                 preferred_element_type=f32)
-            BT_ck = BT_ck - (eta * gn) * g_ref[c, :, k, :]
+            BT_ck = BT_ck - step * g_ref[c, :, k, :]
             BT[c][k] = BT_ck
             b2 = b2 + jnp.sum(BT_ck * BT_ck)
     bn = jax.lax.rsqrt(jnp.maximum(b2, jnp.finfo(f32).tiny))
@@ -526,26 +565,26 @@ def _k1_update_kernel(eta_ref, left_ref, right_ref, g_ref, v0_ref,
                      emit_y=emit_y, q=q, orth=orth)
 
 
-def _k1_grad_call(left, right, le, re, phil, phir, y1h, w, *,
-                  C, chi, d, forward, est=None):
+def _k1_grad_call(left, right, le, re, phil, phir, y1h, w, gls, *,
+                  C, chi, d, forward, loss="KLD", est=None):
     f32 = jnp.float32
     if forward:
         left = left.reshape(C, chi * d, chi)
         right = right.transpose(1, 0, 2)
     kern = functools.partial(_k1_grad_kernel, C=C, chi=chi, d=d,
-                             forward=forward)
+                             forward=forward, loss=loss)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((C, chi * d, d, chi), f32),
-        in_specs=[_vmem()] * 8,
+        in_specs=[_vmem()] * 9,
         out_specs=_vmem(),
         interpret=_INTERPRET,
         **_compiler_kw(est),
-    )(left, right, le, re, phil, phir, y1h, w)
+    )(left, right, le, re, phil, phir, y1h, w, gls)
 
 
 def _k1_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
-                    emit_y=True, q=1, orth="qr", est=None):
+                    emit_y=True, q=1, orth="qr", bbopt="TSGO", est=None):
     f32 = jnp.float32
     if forward:
         left = left.reshape(C, chi * d, chi)
@@ -555,7 +594,8 @@ def _k1_update_call(eta, left, right, G, V0, *, C, chi, d, forward,
         jax.ShapeDtypeStruct((chi * d, chi), f32),
     )
     kern = functools.partial(_k1_update_kernel, C=C, chi=chi, d=d,
-                             forward=forward, emit_y=emit_y, q=q, orth=orth)
+                             forward=forward, emit_y=emit_y, q=q, orth=orth,
+                             bbopt=bbopt)
     return pl.pallas_call(
         kern,
         out_shape=out_shape,
@@ -813,18 +853,20 @@ def _k2_env_call(Qm, env, env_ls, phi, *, chi, d, forward, est=None):
 # --------------------------------------------------------------------------
 
 def _k12_kernel(scal_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
-                phir_ref, y1h_ref, w_ref, v0_ref, envls_ref,
+                phir_ref, y1h_ref, w_ref, gls_ref, v0_ref, envls_ref,
                 center_ref, core_ref, env2_ref, envls2_ref, y_ref, *,
                 C: int, chi: int, d: int, forward: bool,
-                emit_y: bool, q: int, orth: str):
+                emit_y: bool, q: int, orth: str, loss: str = "KLD",
+                bbopt: str = "TSGO"):
     """One-kernel bond step: _k1_body (BT stays a live VMEM value) then
     the K2 projection/cutoff/emit/env-advance against it.  scal_ref packs
-    [eta, cutoff, max_rank] in SMEM."""
+    [eta, cutoff, max_rank] in SMEM; gls_ref carries the TOTAL env
+    log-scales for the MSE gradient (zeros under KLD)."""
     left_at, right_at = _ref_accessors(left_ref, right_ref, chi, d, forward)
     BT = _k1_body(scal_ref[0, 0], left_at, right_at, le_ref[:], re_ref[:],
                   phil_ref[:], phir_ref[:], y1h_ref[:], w_ref[:], v0_ref[:],
                   y_ref, C=C, chi=chi, d=d, forward=forward, emit_y=emit_y,
-                  q=q, orth=orth)
+                  q=q, orth=orth, loss=loss, bbopt=bbopt, gls=gls_ref[:])
     B, mask_row, mask_col, Qm = _k2_project_mask(
         scal_ref[0, 1], scal_ref[0, 2], lambda c, k: BT[c][k], y_ref[:],
         C=C, chi=chi, d=d, forward=forward)
@@ -836,8 +878,9 @@ def _k12_kernel(scal_ref, left_ref, right_ref, le_ref, re_ref, phil_ref,
                     chi=chi, d=d, forward=forward)
 
 
-def _k12_call(scal, left, right, le, re, phil, phir, y1h, w, V0, env_ls, *,
-              C, chi, d, forward, emit_y, q, orth, est=None):
+def _k12_call(scal, left, right, le, re, phil, phir, y1h, w, gls, V0,
+              env_ls, *, C, chi, d, forward, emit_y, q, orth,
+              loss="KLD", bbopt="TSGO", est=None):
     f32 = jnp.float32
     N = le.shape[0]
     if forward:
@@ -851,15 +894,16 @@ def _k12_call(scal, left, right, le, re, phil, phir, y1h, w, V0, env_ls, *,
         jax.ShapeDtypeStruct((chi * d, chi), f32),     # Q (subspace cache)
     )
     kern = functools.partial(_k12_kernel, C=C, chi=chi, d=d, forward=forward,
-                             emit_y=emit_y, q=q, orth=orth)
+                             emit_y=emit_y, q=q, orth=orth, loss=loss,
+                             bbopt=bbopt)
     return pl.pallas_call(
         kern,
         out_shape=out_shape,
-        in_specs=[_smem_scalar()] + [_vmem()] * 10,
+        in_specs=[_smem_scalar()] + [_vmem()] * 11,
         out_specs=tuple(_vmem() for _ in range(5)),
         interpret=_INTERPRET,
         **_compiler_kw(est),
-    )(scal, left, right, le, re, phil, phir, y1h, w, V0, env_ls)
+    )(scal, left, right, le, re, phil, phir, y1h, w, gls, V0, env_ls)
 
 
 # --------------------------------------------------------------------------
@@ -917,7 +961,7 @@ def _k12m_kernel(scal_ref, lhs_blk_ref, envx_blk_ref, phil_blk_ref,
                  center_out_ref, v_blk_ref, env_blk_ref, envls_blk_ref,
                  qv_blk_ref, cs_ref, y_ref, *,
                  Bb: int, C: int, chi: int, d: int, forward: bool,
-                 emit_y: bool, q: int, orth: str):
+                 emit_y: bool, q: int, orth: str, bbopt: str = "TSGO"):
     """Bb consecutive bond steps (statically unrolled): per bond the K1
     body against the carried center (input ref for bond 0, VMEM scratch
     after), the K2 projection/cutoff/emit, and the env advance on live
@@ -954,7 +998,8 @@ def _k12m_kernel(scal_ref, lhs_blk_ref, envx_blk_ref, phil_blk_ref,
                 right_at = lambda c, k: cs_ref[c, :, k, :]         # noqa: E731
         BT = _k1_body(eta, left_at, right_at, le, re, phil, phir, y1h, w,
                       v0_blk_ref[b], y_ref, C=C, chi=chi, d=d,
-                      forward=forward, emit_y=emit_y, q=q, orth=orth)
+                      forward=forward, emit_y=emit_y, q=q, orth=orth,
+                      bbopt=bbopt)
         Q = y_ref[:]
         Bv, mask_row, mask_col, Qm = _k2_project_mask(
             cutoff, mr, lambda c, k: BT[c][k], Q, C=C, chi=chi, d=d,
@@ -980,7 +1025,7 @@ def _k12m_kernel(scal_ref, lhs_blk_ref, envx_blk_ref, phil_blk_ref,
 
 def _k12m_call(scal, lhs_blk, envx_blk, phil_blk, phir_blk, y1h, w, v0_blk,
                center0, env0, envls0, *, Bb, C, chi, d, forward, emit_y, q,
-               orth, est=None):
+               orth, bbopt="TSGO", est=None):
     f32 = jnp.float32
     N = env0.shape[0]
     out_shape = (
@@ -991,7 +1036,8 @@ def _k12m_call(scal, lhs_blk, envx_blk, phil_blk, phir_blk, y1h, w, v0_blk,
         jax.ShapeDtypeStruct((Bb, chi * d, chi), f32),  # subspace caches
     )
     kern = functools.partial(_k12m_kernel, Bb=Bb, C=C, chi=chi, d=d,
-                             forward=forward, emit_y=emit_y, q=q, orth=orth)
+                             forward=forward, emit_y=emit_y, q=q, orth=orth,
+                             bbopt=bbopt)
     return pl.pallas_call(
         kern,
         out_shape=out_shape,
@@ -1008,7 +1054,8 @@ def _k12m_call(scal, lhs_blk, envx_blk, phil_blk, phir_blk, y1h, w, v0_blk,
 def bond_block_steps(A_blk, center_c, envx_blk, env0, env_ls0, phil_blk,
                      phir_blk, y1h, w, V0_blk, eta, cutoff, *,
                      forward: bool, refresh: bool = True,
-                     power_iters: int = 1, orth: str = "ns", max_rank=None):
+                     power_iters: int = 1, orth: str = "ns", max_rank=None,
+                     bbopt: str = "TSGO"):
     """Bb consecutive bond updates as ONE kernel (see _k12m_kernel).
 
     A_blk [Bb, chi, d, chi]: the static cores in update order (backward:
@@ -1036,7 +1083,8 @@ def bond_block_steps(A_blk, center_c, envx_blk, env0, env_ls0, phil_blk,
     center2, V_blk, env_blk, envls_blk, q_blk = _k12m_call(
         scal, lhs, envx_blk, phil_blk, phir_blk, y1h, w[:, None], V0_blk,
         center0, env0, env_ls0[:, None], Bb=Bb, C=C, chi=chi, d=d,
-        forward=forward, emit_y=refresh, q=power_iters, orth=orth, est=est)
+        forward=forward, emit_y=refresh, q=power_iters, orth=orth,
+        bbopt=bbopt, est=est)
     return center2, V_blk, env_blk, envls_blk[:, :, 0], q_blk
 
 
@@ -1094,7 +1142,8 @@ def _pad_rows(x, n_to: int):
 def _bond_step_streamed(A_or_B, center_c, le, re, env_ls, phil, phir, y1h,
                         w, V0, eta, cutoff, *, forward: bool, refresh: bool,
                         power_iters: int, orth: str, max_rank,
-                        stream_tile: int):
+                        stream_tile: int, loss: str = "KLD",
+                        bbopt: str = "TSGO", opp_ls=None):
     """N-streaming bond step: the batch axis is processed in
     ``stream_tile``-row tiles so the batch-resident VMEM terms become a
     tile size instead of a ceiling (SURVEY §7.2 / r4 VERDICT task 5 —
@@ -1130,23 +1179,26 @@ def _bond_step_streamed(A_or_B, center_c, le, re, env_ls, phil, phir, y1h,
     w_t = tiles(jnp.concatenate([w, jnp.zeros((nt * Nt - N,), w.dtype)])
                 if nt * Nt > N else w)
     ls_t = tiles(env_ls[:, None])
+    total_ls = (env_ls if opp_ls is None else env_ls + opp_ls)
+    gls_t = tiles(total_ls[:, None]) if loss == "MSE" else \
+        jnp.zeros_like(ls_t)
 
     def grad_acc(G, tile):
-        le_i, re_i, pl_i, pr_i, y_i, w_i = tile
+        le_i, re_i, pl_i, pr_i, y_i, w_i, gls_i = tile
         Gi = _k1_grad_call(left, right, le_i, re_i, pl_i, pr_i, y_i,
-                           w_i[:, None], C=C, chi=chi, d=d,
-                           forward=forward, est=est)
+                           w_i[:, None], gls_i, C=C, chi=chi, d=d,
+                           forward=forward, loss=loss, est=est)
         return G + Gi, None
 
     G0 = jnp.zeros((C, chi * d, d, chi), jnp.float32)
     G, _ = jax.lax.scan(grad_acc, G0,
-                        (le_t, re_t, phil_t, phir_t, y1h_t, w_t))
+                        (le_t, re_t, phil_t, phir_t, y1h_t, w_t, gls_t))
 
     split_tail = refresh and est > SPLIT_TAIL_FOOTPRINT
     emit = refresh and not split_tail
     BT, Y = _k1_update_call(eta2, left, right, G, V0, C=C, chi=chi, d=d,
                             forward=forward, emit_y=emit,
-                            q=power_iters, orth=orth, est=est)
+                            q=power_iters, orth=orth, bbopt=bbopt, est=est)
     if split_tail:
         Y = V0
         for _ in range(power_iters):
@@ -1176,10 +1228,18 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
               eta, cutoff, *, forward: bool, refresh: bool = True,
               axis_name: str = None, power_iters: int = 1,
               orth: str = "qr", max_rank=None,
-              stream_tile: Optional[int] = None
+              stream_tile: Optional[int] = None, loss: str = "KLD",
+              bbopt: str = "TSGO", opp_ls=None
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
                          jnp.ndarray]:
     """One fused bond step (everything except the QR).
+
+    ``loss`` ("KLD"/"MSE") and ``bbopt`` ("TSGO"/"GD") select the fused
+    gradient/step variants (r5 — the eligibility widening of VERDICT r4
+    weak #7).  The MSE gradient needs the TOTAL per-sample env log-scales:
+    ``env_ls`` carries the advancing side's (as always, for the env
+    advance), ``opp_ls`` [N] the opposite side's; their sum scales yhat
+    back to true scale (ops/bond_update.py:79-99).
 
     le / re are the gradient's left/right environments for this bond.
     backward (forward=False): A_or_B = cores[j]; advances the *right*
@@ -1208,7 +1268,7 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
             A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
             eta, cutoff, forward=forward, refresh=refresh,
             power_iters=power_iters, orth=orth, max_rank=max_rank,
-            stream_tile=stream_tile)
+            stream_tile=stream_tile, loss=loss, bbopt=bbopt, opp_ls=opp_ls)
     C, chi, d, _ = center_c.shape
     est = kernel_footprint(C, chi, d, le.shape[0])
     eta2 = jnp.reshape(eta.astype(jnp.float32), (1, 1))
@@ -1216,6 +1276,11 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
     # [cutoff, max_rank] share one SMEM scalar block
     cut2 = jnp.stack([cutoff.astype(jnp.float32), mr])[None, :]
     w2 = w[:, None]
+    if loss == "MSE":
+        gls = ((env_ls if opp_ls is None else env_ls + opp_ls)
+               .astype(jnp.float32)[:, None])
+    else:
+        gls = jnp.zeros((le.shape[0], 1), jnp.float32)
 
     if forward:
         left, right = center_c, A_or_B
@@ -1238,9 +1303,10 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
         # footprint sits under the default budget but whose K12 set
         # exceeds it get no raised vmem_limit_bytes and Mosaic rejects
         center2, core, env2, env_ls2, Q = _k12_call(
-            scal, left, right, le, re, phil, phir, y1h, w2, V0,
+            scal, left, right, le, re, phil, phir, y1h, w2, gls, V0,
             env_ls[:, None], C=C, chi=chi, d=d, forward=forward,
-            emit_y=refresh, q=power_iters, orth=orth, est=est_k12)
+            emit_y=refresh, q=power_iters, orth=orth, loss=loss,
+            bbopt=bbopt, est=est_k12)
         return center2, core, env2, env_ls2[:, 0], Q
 
     # Past SPLIT_TAIL_FOOTPRINT the in-kernel power tail crashes the Mosaic
@@ -1250,16 +1316,19 @@ def bond_step(A_or_B, center_c, le, re, env_ls, phil, phir, y1h, w, V0,
     split_tail = refresh and est > SPLIT_TAIL_FOOTPRINT
     emit = refresh and not split_tail
     if axis_name is None:
-        BT, Y = _k1_call(eta2, left, right, le, re, phil, phir, y1h, w2, V0,
-                         C=C, chi=chi, d=d, forward=forward, emit_y=emit,
-                         q=power_iters, orth=orth, est=est)
+        BT, Y = _k1_call(eta2, left, right, le, re, phil, phir, y1h, w2,
+                         gls, V0, C=C, chi=chi, d=d, forward=forward,
+                         emit_y=emit, q=power_iters, orth=orth, loss=loss,
+                         bbopt=bbopt, est=est)
     else:
-        G = _k1_grad_call(left, right, le, re, phil, phir, y1h, w2,
-                          C=C, chi=chi, d=d, forward=forward, est=est)
+        G = _k1_grad_call(left, right, le, re, phil, phir, y1h, w2, gls,
+                          C=C, chi=chi, d=d, forward=forward, loss=loss,
+                          est=est)
         G = jax.lax.psum(G, axis_name)
         BT, Y = _k1_update_call(eta2, left, right, G, V0, C=C, chi=chi, d=d,
                                 forward=forward, emit_y=emit,
-                                q=power_iters, orth=orth, est=est)
+                                q=power_iters, orth=orth, bbopt=bbopt,
+                                est=est)
     if split_tail:
         # One tail kernel per power step (q=1 each, chained): the per-step
         # column normalization makes this identical to q steps in-kernel,

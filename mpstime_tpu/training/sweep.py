@@ -124,11 +124,11 @@ def _pallas_vmem_ok(C: int, chi: int, d: int, N: int,
 
 def _pallas_eligible(dtype, loss, bbopt, update_iters, rescale, svd_alg,
                      platform: Optional[str] = None) -> bool:
-    """The fused Pallas bond step covers the default hot path only:
-    f32 or complex64 (the latter via the real-imag pair kernels,
-    ops/pallas_bond_c.py) + KLD + TSGO + one update iteration +
-    post-normalization + warm splits, on a TPU platform (or in interpreter
-    mode for tests).
+    """The fused Pallas bond step covers the accelerator hot paths:
+    real f32 with {KLD, MSE} x {TSGO, GD} (r5), or complex64 via the
+    real-imag pair kernels (ops/pallas_bond_c.py — KLD + TSGO only);
+    always one update iteration + post-normalization + warm splits, on a
+    TPU platform (or in interpreter mode for tests).
 
     ``platform``: the platform the computation will actually PLACE on —
     callers that pin devices (fit_mps(mesh=...), DeviceFarm via
@@ -144,12 +144,17 @@ def _pallas_eligible(dtype, loss, bbopt, update_iters, rescale, svd_alg,
         return False
     if svd_alg != "randomized_warm":
         return False
-    if (loss, bbopt, int(update_iters)) != ("KLD", "TSGO", 1):
+    if int(update_iters) != 1:
         return False
     if tuple(rescale) != (False, True):
         return False
     if np.dtype(dtype) not in (np.dtype(np.float32),
                                np.dtype(np.complex64)):
+        return False
+    if np.dtype(dtype).kind == "c":
+        if (loss, bbopt) != ("KLD", "TSGO"):
+            return False
+    elif loss not in ("KLD", "MSE") or bbopt not in ("TSGO", "GD"):
         return False
     if os.environ.get("MPSTIME_TPU_NO_PALLAS"):
         return False
@@ -199,9 +204,16 @@ def pallas_route_notice(dtype, loss, bbopt, update_iters, rescale, svd_alg,
                        "the jacobi rotation; note complex chi_max > "
                        f"{_complex_ritz_gate()} auto-resolves to "
                        "'randomized_warm_ritz' for accuracy)")
-    if (loss, bbopt, int(update_iters)) != ("KLD", "TSGO", 1):
-        reasons.append(f"loss={loss}/bbopt={bbopt}/update_iters="
-                       f"{update_iters} (fused path covers KLD+TSGO+1)")
+    if int(update_iters) != 1:
+        reasons.append(f"update_iters={update_iters} (fused path covers "
+                       "a single update iteration)")
+    if cplx and (loss, bbopt) != ("KLD", "TSGO"):
+        reasons.append(f"loss={loss}/bbopt={bbopt} (the complex pair "
+                       "kernels cover KLD+TSGO only)")
+    if not cplx and (loss not in ("KLD", "MSE")
+                     or bbopt not in ("TSGO", "GD")):
+        reasons.append(f"loss={loss}/bbopt={bbopt} (fused path covers "
+                       "{KLD, MSE} x {TSGO, GD})")
     if tuple(rescale) != (False, True):
         reasons.append(f"rescale={tuple(rescale)} (fused path covers "
                        "(False, True))")
@@ -415,7 +427,8 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                     x["phi_r"], y_onehot, class_weight, x["vb"], eta, cutoff,
                     forward=False, refresh=refresh, axis_name=axis_name,
                     power_iters=power_iters, orth=orth, max_rank=max_rank,
-                    stream_tile=stream)
+                    stream_tile=stream, loss=loss, bbopt=bbopt,
+                    opp_ls=x["le_ls"])
                 return (center, v2, ls2), dict(V=V, re=v2, re_ls=ls2, qv=Qv)
             BT = jnp.einsum("aim,mkbc->aikbc", x["A"], center)
             cost, BT = upd(BT, x["le"], re_v, x["phi_l"].conj(),
@@ -455,10 +468,14 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                       cap=4 if cplx else 8)
           if (pallas and axis_name is None and not ritz_fused
               and stream is None
+              and loss == "KLD"        # MSE bonds need per-bond opposite-
+                                       # side log-scales the block kernel
+                                       # does not carry; K12 handles them
               and (orth == "ns" or not refresh)
               and not (cplx and refresh and power_iters > 1)) else 1)
     block_steps = (pallas_bond_c.bond_block_steps_c if cplx
                    else pallas_bond.bond_block_steps)
+    blk_kw = {} if cplx else {"bbopt": bbopt}
 
     def _scan_blocked(block_fn, carry, xs, block_keys):
         """Scan block_fn over [nb, BB]-blocked xs, then run the remainder
@@ -491,7 +508,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 x["A"], center, x["le"], re_v, re_ls, x["phi_l"],
                 x["phi_r"], y_onehot, class_weight, x["vb"], eta, cutoff,
                 forward=False, refresh=refresh, power_iters=power_iters,
-                orth=orth, max_rank=max_rank)
+                orth=orth, max_rank=max_rank, **blk_kw)
             return (center, _m(lambda a: a[-1], env_b), ls_b[-1]), dict(
                 V=V, re=env_b, re_ls=ls_b, qv=Qv)
 
@@ -552,7 +569,8 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                     x["phi_r"], y_onehot, class_weight, x["uf"], eta, cutoff,
                     forward=True, refresh=refresh, axis_name=axis_name,
                     power_iters=power_iters, orth=orth, max_rank=max_rank,
-                    stream_tile=stream)
+                    stream_tile=stream, loss=loss, bbopt=bbopt,
+                    opp_ls=x["re_ls"])
                 return (center, v2, ls2), dict(U=Unew, le=v2, le_ls=ls2,
                                                qu=Qu)
             BT = jnp.einsum("aimc,mkb->aikbc", center, x["B"])
@@ -585,7 +603,7 @@ def _sweep_core(cores, center, LE, LE_ls, VB, UF, phis_c, y_onehot,
                 x["B"], center, x["re"], le_v, le_ls, x["phi_l"],
                 x["phi_r"], y_onehot, class_weight, x["uf"], eta, cutoff,
                 forward=True, refresh=refresh, power_iters=power_iters,
-                orth=orth, max_rank=max_rank)
+                orth=orth, max_rank=max_rank, **blk_kw)
             return (center, _m(lambda a: a[-1], env_b), ls_b[-1]), dict(
                 U=U, le=env_b, le_ls=ls_b, qu=Qu)
 

@@ -46,6 +46,7 @@ def main():
         t0 = time.perf_counter()
         try:
             BT, Y = pb._k1_call(eta2, center, B, le, re, phil, phir, y1h, w,
+                                jnp.zeros((N, 1), f32),
                                 U0, C=C, chi=chi, d=d, forward=True,
                                 est=25 * 2 ** 20)
             n = float(jnp.linalg.norm(Y))

@@ -46,6 +46,7 @@ def main():
             t0 = time.perf_counter()
             try:
                 G = pb._k1_grad_call(left, right, le, re, phil, phir, y1h, w,
+                                     jnp.zeros((N, 1), f32),
                                      C=C, chi=chi, d=d, forward=fwd)
                 n = float(jnp.linalg.norm(G[0, :8, 0, :8]))
                 print(f"chi={chi} fwd={fwd} grad OK norm={n:.5f} "

@@ -612,6 +612,14 @@ class TestPallasRouteNotice:
             np.float32, "KLD", "TSGO", 1, (False, True), "randomized_warm",
             "tpu", C=2, chi=64, d=5, N=100) is None
 
+    def test_mse_gd_is_fused_and_quiet(self):
+        # r5 widening: real-path MSE/GD run the fused kernels
+        from mpstime_tpu.training.sweep import pallas_route_notice
+        for loss, bb in (("MSE", "TSGO"), ("KLD", "GD"), ("MSE", "GD")):
+            assert pallas_route_notice(
+                np.float32, loss, bb, 1, (False, True), "randomized_warm",
+                "tpu", C=2, chi=64, d=5, N=100) is None
+
     def test_cpu_has_no_cliff_to_report(self):
         from mpstime_tpu.training.sweep import pallas_route_notice
         assert pallas_route_notice(
@@ -620,8 +628,9 @@ class TestPallasRouteNotice:
 
     @pytest.mark.parametrize("kw,frag", [
         (dict(svd_alg="randomized_warm_ritz"), "randomized_warm_ritz"),
-        (dict(loss="MSE"), "KLD+TSGO+1"),
-        (dict(update_iters=2), "KLD+TSGO+1"),
+        (dict(loss="MIXED"), "loss=MIXED"),
+        (dict(dtype=np.complex64, loss="MSE"), "pair kernels"),
+        (dict(update_iters=2), "update_iters=2"),
         (dict(rescale=(True, False)), "rescale"),
         (dict(chi=512), "footprint"),
         (dict(track_cost=True), "track_cost"),
