@@ -340,7 +340,7 @@ def _tri_newton_pair(X, iters: int = _TRI_NEWTON_ITERS):
     eye = (row == col).astype(f32)
     up = (col > row).astype(f32)
     half = up + 0.5 * eye
-    for _ in range(iters):
+    def _step(_, X):
         G = _cdot_ct(X, X)                     # X^H X (hermitian pair)
         Er = G[0] - eye
         Ei = G[1]
@@ -350,8 +350,12 @@ def _tri_newton_pair(X, iters: int = _TRI_NEWTON_ITERS):
         # so T's imaginary part has no diagonal
         Tr = eye - s * (half * Er)
         Ti = -s * (up * Ei)
-        X = _cdot(X, (Tr, Ti))
-    return X
+        return _cdot(X, (Tr, Ti))
+
+    # fori_loop, not a Python unroll — Mosaic compile cost scales with
+    # unrolled body count (see _jacobi_rounds_pair), and this runs inside
+    # every K12cr kernel
+    return jax.lax.fori_loop(0, iters, _step, X)
 
 
 def _k1c_kernel(eta_ref, y1h_ref, w_ref, *refs,
@@ -841,8 +845,15 @@ def _jacobi_rounds_pair(S, rounds: int):
     def down(v):                               # v2[i] = v[i-1]
         return _dot(dn_m, v)
 
-    for r in range(rounds):
-        off = r % 2
+    # lax.fori_loop, NOT a Python unroll: Mosaic's compile cost for this
+    # body is ~30 s PER UNROLLED COPY at k=64 (measured on v5e — 6 rounds
+    # = 200 s, 24 rounds = 444 s, which is what stalled the r5 chip
+    # session); as a loop the kernel compiles one body regardless of
+    # round count.  ``off`` becomes a traced scalar (jnp "%" matches the
+    # Python-int semantics of the unrolled original for idx_c - off = -1).
+    def _round(r, carry):
+        Sr, Si, Wr, Wi = carry
+        off = jax.lax.rem(r, 2)
         alpha = _dot(Sr * eye, ones_c)                       # [k, 1]
         beta = _dot(up_m, alpha)                             # alpha[i+1]
         wr = _dot(Sr * up_m, ones_c)                         # S[i, i+1]
@@ -884,6 +895,10 @@ def _jacobi_rounds_pair(S, rounds: int):
         Sr = (Sr + Sr.T) * 0.5                               # re-hermitize
         Si = (Si - Si.T) * 0.5
         Wr, Wi = _cdot((Wr, Wi), (Jr, Ji))
+        return (Sr, Si, Wr, Wi)
+
+    Sr, Si, Wr, Wi = jax.lax.fori_loop(0, rounds, _round,
+                                       (Sr, Si, Wr, Wi))
     wv = _dot(ones_r, Sr * eye) * nf                         # [1, k]
     return wv, (Wr, Wi)
 
