@@ -200,17 +200,25 @@ def _ns_orth_value(X):
     f32 = jnp.float32
     nf2 = jnp.sum(X * X) * f32(1.0 + 1e-3) ** 2
     X = X * jax.lax.rsqrt(jnp.maximum(nf2, jnp.finfo(f32).tiny))
-    for _ in range(_NS_QUINTIC):
+    # fori_loop bodies, NOT Python unrolls: Mosaic compile cost (and its
+    # kernel scratch accounting) scales with unrolled body count — the
+    # unrolled 14-step NS tail was the compile-resource driver behind the
+    # chi=384 SIGKILL / 18 MB monolith ceilings (r5 bisect; same pathology
+    # as the K12cr jacobi rounds, ~30 s compile per unrolled body at k=64)
+    def _quintic(_, X):
         G = jax.lax.dot_general(X, X, (((0,), (0,)), ((), ())),
                                 preferred_element_type=f32)
         G2 = jnp.dot(G, G, preferred_element_type=f32)
-        X = _NS_QA * X + jnp.dot(X, _NS_QB * G + _NS_QC * G2,
-                                 preferred_element_type=f32)
-    for _ in range(_NS_CUBIC):
+        return _NS_QA * X + jnp.dot(X, _NS_QB * G + _NS_QC * G2,
+                                    preferred_element_type=f32)
+
+    def _cubic(_, X):
         G = jax.lax.dot_general(X, X, (((0,), (0,)), ((), ())),
                                 preferred_element_type=f32)
-        X = 1.5 * X - 0.5 * jnp.dot(X, G, preferred_element_type=f32)
-    return X
+        return 1.5 * X - 0.5 * jnp.dot(X, G, preferred_element_type=f32)
+
+    X = jax.lax.fori_loop(0, _NS_QUINTIC, _quintic, X)
+    return jax.lax.fori_loop(0, _NS_CUBIC, _cubic, X)
 
 
 def _power_step_tail(BT, V0, y_ref, *, C: int, chi: int, d: int,

@@ -127,17 +127,24 @@ def _ns_orth_pair_value(X):
     nf2 = jnp.sum(_abs2(X)) * f32(1.0 + 1e-3) ** 2
     inv = jax.lax.rsqrt(jnp.maximum(nf2, jnp.finfo(f32).tiny))
     X = (X[0] * inv, X[1] * inv)
-    for _ in range(_NS_QUINTIC):
+    # fori_loop bodies, NOT Python unrolls — see pallas_bond._ns_orth_value:
+    # the unrolled NS tail is the kernel compile-resource driver (the q=3
+    # pair unroll was the documented block-route and monolith-ceiling
+    # limiter)
+    def _quintic(_, X):
         G = _cdot_ct(X, X)                       # X^H X (Hermitian)
         G2 = _cdot(G, G)
         P = (_NS_QB * G[0] + _NS_QC * G2[0], _NS_QB * G[1] + _NS_QC * G2[1])
         XP = _cdot(X, P)
-        X = (_NS_QA * X[0] + XP[0], _NS_QA * X[1] + XP[1])
-    for _ in range(_NS_CUBIC):
+        return (_NS_QA * X[0] + XP[0], _NS_QA * X[1] + XP[1])
+
+    def _cubic(_, X):
         G = _cdot_ct(X, X)
         XG = _cdot(X, G)
-        X = (1.5 * X[0] - 0.5 * XG[0], 1.5 * X[1] - 0.5 * XG[1])
-    return X
+        return (1.5 * X[0] - 0.5 * XG[0], 1.5 * X[1] - 0.5 * XG[1])
+
+    X = jax.lax.fori_loop(0, _NS_QUINTIC, _quintic, X)
+    return jax.lax.fori_loop(0, _NS_CUBIC, _cubic, X)
 
 
 # --------------------------------------------------------------------------

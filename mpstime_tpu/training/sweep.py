@@ -849,6 +849,11 @@ def _full_sweeps_impl(cores: jnp.ndarray, center: jnp.ndarray,
         def with_rot(refresh):
             if not ritz_track:
                 return run(refresh, ritz_exact_rot)
+            if ritz_exact_sweeps == 0:
+                # static: no exact sweeps at all — don't compile the exact
+                # branch (its XLA eigh sweep is minutes of compile the
+                # pure-tracking program never runs)
+                return run(refresh, ritz_track_rot)
             return lambda a: jax.lax.cond(i < ritz_exact_sweeps,
                                           run(refresh, ritz_exact_rot),
                                           run(refresh, ritz_track_rot), a)
